@@ -1,0 +1,60 @@
+"""Exact emulation of the int16 fixed-point arithmetic the AVX2 kernels use.
+
+The reference relies on quirky-but-load-bearing int16 semantics; we compute
+in int32 and reproduce them bit-exactly (SURVEY.md §7 "hard parts" (a)):
+
+* ``mulhrs`` — ``_mm256_mulhrs_epi16``: ((a*b) >> 14 + 1) >> 1, the rounding
+  high-multiply behind the "divide by constant" trick
+  (wibeth/tpg/UtilsAVX2.hpp:77-81: div(a, b) = mulhrs(a, 32768/b));
+* ``mullo16`` — ``_mm256_mullo_epi16``: wrapping int16 product
+  (RS kernels, ProcessAbsRSAVX2.hpp:137-144);
+* ``adds16`` — ``_mm256_adds_epi16``: saturating add;
+* ``wrap_i16`` / ``sat_i16`` — int16 wraparound / clamp.
+
+All functions are numpy/jnp polymorphic: they only use ``+ - * >> & |`` and
+``where``-free arithmetic, so they trace under jit and inside Pallas.
+"""
+
+from __future__ import annotations
+
+INT16_MAX = 32767
+INT16_MIN = -32768
+
+
+def wrap_i16(x):
+    """Reinterpret an int32 value as wrapped int16 (two's complement)."""
+    return ((x + 32768) & 0xFFFF) - 32768
+
+
+def sat_i16(x):
+    """Clamp to int16 range (saturating)."""
+    return x.clip(INT16_MIN, INT16_MAX) if hasattr(x, "clip") else max(INT16_MIN, min(INT16_MAX, x))
+
+
+def adds16(a, b):
+    """_mm256_adds_epi16: saturating int16 add (int32 inputs in i16 range)."""
+    return sat_i16(a + b)
+
+
+def mullo16(a, b):
+    """_mm256_mullo_epi16: wrapping low-half int16 product."""
+    return wrap_i16(wrap_i16(a) * wrap_i16(b))
+
+
+def mulhrs16(a, b):
+    """_mm256_mulhrs_epi16: round((a*b) / 2^15) computed as (((a*b)>>14)+1)>>1.
+
+    Inputs int32 holding int16-range values; arithmetic shifts.
+    Product fits int32 (|a|,|b| <= 2^15).
+    """
+    prod = wrap_i16(a) * wrap_i16(b)
+    return wrap_i16(((prod >> 14) + 1) >> 1)
+
+
+def div16_const(a, b: int):
+    """_mm256_div_epi16(a, b) = mulhrs(a, 32768/b) — approximate division.
+
+    Matches UtilsAVX2.hpp:77-81 exactly, including its rounding behavior
+    (e.g. div16_const(x, 10) uses multiplier 3276 = 32768//10).
+    """
+    return mulhrs16(a, 32768 // b)

@@ -1,0 +1,131 @@
+"""The SWTPG per-tick update — single source of truth for all backends.
+
+This is the reference's hot inner loop (ProcessAVX2.hpp:70-209 /
+ProcessAbsRSAVX2.hpp:98-305 / ProcessStandardRSAVX2.hpp and the naive
+oracles ProcessNaive.hpp:72-130, ProcessNaiveRS.hpp:66-161) expressed once as
+a pure function over (..., C) integer arrays.  The numpy oracle, the XLA
+``lax.scan`` backend and the Pallas TPU kernel all call exactly this
+function, so bit-exactness between backends is by construction and tested.
+
+All values are int32 holding int16-range quantities; int16 wrap/saturate
+points follow the AVX2 kernels via :mod:`fixedpoint`.
+"""
+
+from __future__ import annotations
+
+from .config import Algorithm, TPGConfig
+from .fixedpoint import div16_const, mullo16, wrap_i16
+
+INT16_MAX = 32767
+
+
+def frugal_update(m, s, acc, limit: int, xp, mask=None):
+    """Frugal-streaming running-median update (UtilsAVX2.hpp:24-74 /
+    ProcessNaive.hpp:21-38).  Returns (median, accumulator).
+
+    ``mask`` enables the conditional variant used for IQR quantiles
+    (wib/tpg/ProcessAVX2.hpp IQR section; ProcessNaiveFIR.hpp:94-97).
+    """
+    one = xp.int32(1)
+    zero = xp.int32(0)
+    delta = xp.where(s > m, one, zero) - xp.where(s < m, one, zero)
+    if mask is not None:
+        delta = xp.where(mask, delta, zero)
+    acc = acc + delta
+    hi = acc > limit
+    lo = acc < -limit
+    if mask is not None:
+        hi = hi & mask
+        lo = lo & mask
+    m = m + xp.where(hi, one, zero) - xp.where(lo, one, zero)
+    acc = xp.where(hi | lo, zero, acc)
+    return m, acc
+
+
+def _round_half_away(v, xp):
+    """std::round: half away from zero (ProcessNaiveRS.hpp:103)."""
+    return xp.trunc(v + xp.copysign(0.5, v)).astype(xp.int32)
+
+
+def tpg_tick(st: dict, s_raw, cfg: TPGConfig, xp):
+    """One time tick of the threshold/RS SWTPG pipeline.
+
+    st: dict with ChanState core fields as (..., C) int32 arrays (plus
+    ``rs_memory_factor``).  s_raw: (..., C) int32 raw ADC sample.
+
+    Returns (new_st, closed, record) where ``closed`` is the per-channel
+    "hit ended this tick" mask (the AVX ``left`` mask,
+    ProcessAVX2.hpp:100-102) and ``record`` is a dict of the post-update
+    charge/tover/peak_adc/peak_time values to be emitted for closed lanes.
+    """
+    one = xp.int32(1)
+    zero = xp.int32(0)
+    out = dict(st)
+
+    # -- pedestal (frugal streaming) ------------------------------------
+    ped, acc = frugal_update(st["pedestals"], s_raw, st["accum"],
+                             cfg.accumulator_limit, xp)
+    out["pedestals"], out["accum"] = ped, acc
+    s = s_raw - ped
+
+    # -- filtering stage -------------------------------------------------
+    if cfg.algorithm == Algorithm.SIMPLE_THRESHOLD:
+        x = s
+    elif cfg.algorithm in (Algorithm.ABS_RS, Algorithm.STANDARD_RS):
+        if cfg.rs_float:
+            # ProcessNaiveRS.hpp:95-103: float R=0.8, scale=2, round()
+            v = 0.8 * st["rs"].astype(xp.float32)
+            if cfg.algorithm == Algorithm.ABS_RS:
+                v = v + xp.abs(s).astype(xp.float32) / 2.0
+            else:
+                v = v + s.astype(xp.float32)
+            rs = _round_half_away(v, xp)
+        else:
+            # x10 integer fixed point with mulhrs division
+            # (ProcessAbsRSAVX2.hpp:137-144 / ProcessStandardRSAVX2.hpp:134-141)
+            first = mullo16(st["rs"], st["rs_memory_factor"])
+            if cfg.algorithm == Algorithm.ABS_RS:
+                second = mullo16(xp.abs(s), xp.int32(cfg.rs_scale_factor_x10))
+            else:
+                second = s
+            rs = div16_const(wrap_i16(first + second), 10)
+        # second frugal pedestal, on the RS waveform
+        rs_ped, rs_acc = frugal_update(st["pedestals_rs"], rs, st["accum_rs"],
+                                       cfg.accumulator_limit, xp)
+        out["pedestals_rs"], out["accum_rs"] = rs_ped, rs_acc
+        # state stores the post-subtraction RS (ProcessAbsRSAVX2.hpp:159,318)
+        x = wrap_i16(rs - rs_ped)
+        out["rs"] = x
+    else:
+        raise ValueError(f"tpg_tick does not handle {cfg.algorithm}; "
+                         "use fir.tpg_tick_fir for the FIR family")
+
+    # -- hit finding ------------------------------------------------------
+    is_over = x > cfg.threshold
+    closed = (st["prev_was_over"] != 0) & ~is_over
+
+    # charge accumulates the *pedestal-subtracted ADC* (not the filtered
+    # value) in every algorithm of this family; int32 accumulate + clamp
+    # reproduces the naive "simulated saturated add" (ProcessNaive.hpp:96-99).
+    charge = xp.minimum(st["hit_charge"] + xp.where(is_over, s, zero),
+                        INT16_MAX)
+    peak_upd = s > st["hit_peak_adc"]
+    if cfg.peak_gated:
+        peak_upd = peak_upd & is_over
+    peak_adc = xp.where(peak_upd, s, st["hit_peak_adc"])
+    # peak_time records tover *before* this tick's increment
+    # (ProcessAVX2.hpp:134-140, ProcessNaive.hpp:100-105)
+    peak_time = xp.where(peak_upd, st["hit_tover"], st["hit_peak_time"])
+    tover = xp.minimum(st["hit_tover"] + xp.where(is_over, one, zero),
+                       INT16_MAX)
+
+    record = {"charge": charge, "tover": tover,
+              "peak_adc": peak_adc, "peak_time": peak_time}
+
+    # zero the lanes whose hit just closed (ProcessAVX2.hpp:199-204)
+    out["hit_charge"] = xp.where(closed, zero, charge)
+    out["hit_tover"] = xp.where(closed, zero, tover)
+    out["hit_peak_adc"] = xp.where(closed, zero, peak_adc)
+    out["hit_peak_time"] = xp.where(closed, zero, peak_time)
+    out["prev_was_over"] = xp.where(is_over, one, zero)
+    return out, closed, record
