@@ -1,0 +1,235 @@
+"""Fused Pallas TPU kernel for the SWTPG streaming pipeline.
+
+The production analogue of process_window_avx2 / process_window_rs_avx2 /
+process_window_standard_rs_avx2 (wibeth/tpg/Process*AVX2.hpp) — one kernel,
+parameterized by :class:`TPGConfig`, calling the same
+:func:`ops.step.tpg_tick` as the oracle backends, so it is bit-exact by
+construction (and tested).
+
+Design (TPU-first; SURVEY.md §7.3):
+
+* channels live on VPU lanes: the C channel axis is laid out as
+  (S, 128) = (sublane rows, lanes); one grid block covers up to
+  ``block_sublanes`` rows (default: all of them — the per-tick chain is
+  latency-bound, so wider tiles are nearly free and multiply throughput);
+* time is the sequential axis: an inner ``fori_loop`` scans TC ticks with
+  the full ChanState resident in vector registers/VMEM (the recurrent
+  frugal-streaming state makes the time loop inherently sequential — the
+  reference kernels have the same structure per 16-lane AVX register);
+* the grid is (channel_blocks, time_chunks); Pallas double-buffers the ADC
+  chunks (HBM→VMEM) while the previous chunk computes; the state block is
+  revisited (stays in VMEM) across a block's time chunks, carried through
+  the aliased output block, and written back once;
+* hit emission replaces the reference's MAGIC-sentinel register dumps
+  (ProcessAVX2.hpp:157-196) with **per-channel K-slot buffers**: when a
+  channel's hit closes, its packed record is written into slot
+  ``n_closed[c]`` via K one-hot vector selects.  This keeps the hot loop
+  free of scalar synchronization (no cursors, no data-dependent branches)
+  — the slot writes do not feed the recurrent dependency chain, so they
+  pipeline behind it.  Records pack into 3 int32 words:
+  [charge<<16 | tover, peak_adc<<16 | peak_time, end_tick+1].
+  Closes beyond K per window are dropped per channel and visible in the
+  returned per-channel close counts (the reference similarly drops at its
+  fixed 100k hit buffer, WIBEthFrameProcessor.cpp:78; per-channel counts
+  feed the hot-channel monitoring the reference keeps in
+  m_tp_channel_rate_map).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .chanstate import FIELDS, NSTATE
+from .config import Algorithm, TPGConfig
+from .step import tpg_tick
+
+LANES = 128
+SUBLANES = 8                               # minimum sublane granule (int32 tile)
+KSTATE = NSTATE + 1                        # + rs_memory_factor
+_STATE_KEYS = FIELDS + ("rs_memory_factor",)
+
+# state fields actually carried through the tick loop, per algorithm family
+_LIVE_SIMPLE = ("pedestals", "accum", "prev_was_over", "hit_charge",
+                "hit_tover", "hit_peak_adc", "hit_peak_time")
+_LIVE_RS = _LIVE_SIMPLE + ("rs", "pedestals_rs", "accum_rs",
+                           "rs_memory_factor")
+
+
+def live_fields(cfg: TPGConfig):
+    return (_LIVE_SIMPLE if cfg.algorithm == Algorithm.SIMPLE_THRESHOLD
+            else _LIVE_RS)
+
+
+# ---- layout helpers ------------------------------------------------------------
+
+def pad_sublanes(C: int) -> int:
+    """Channel count -> padded sublane-row count (multiple of 8 lanes rows)."""
+    S = -(-C // LANES)
+    return -(-S // SUBLANES) * SUBLANES
+
+
+def pack_state(state: dict, n_channels: int, block_sublanes: int | None = None):
+    """ChanState dict of (C,) arrays -> (NB, KSTATE, SUB, 128) blocked stack."""
+    S = pad_sublanes(n_channels)
+    sub = block_sublanes or S
+    nb = -(-S // sub)
+    out = np.zeros((nb, KSTATE, sub, LANES), dtype=np.int32)
+    for i, k in enumerate(_STATE_KEYS):
+        v = np.zeros(nb * sub * LANES, dtype=np.int32)
+        v[:n_channels] = np.asarray(state[k], dtype=np.int32)
+        out[:, i] = v.reshape(nb, sub, LANES)
+    return jnp.asarray(out)
+
+
+def unpack_state(stack, n_channels: int) -> dict:
+    arr = np.asarray(stack)
+    nb, _, sub, _ = arr.shape
+    flat = arr.transpose(1, 0, 2, 3).reshape(KSTATE, nb * sub * LANES)
+    return {k: flat[i][:n_channels].copy() for i, k in enumerate(_STATE_KEYS)}
+
+
+def pack_adcs(adcs: np.ndarray) -> np.ndarray:
+    """(T, C) -> (T, S, 128) with zero-padding of the channel axis."""
+    T, C = adcs.shape
+    S = pad_sublanes(C)
+    out = np.zeros((T, S, LANES), dtype=np.int32)
+    out.reshape(T, S * LANES)[:, :C] = adcs
+    return out
+
+
+# ---- the kernel ----------------------------------------------------------------
+
+def _tpg_kernel(adc_ref, state_ref, state_out_ref, slots_ref, nclose_ref,
+                *, cfg: TPGConfig, tc: int, k_slots: int, sub: int):
+    t_chunk = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+    keys = live_fields(cfg)
+    kidx = {k: _STATE_KEYS.index(k) for k in keys}
+
+    @pl.when(t_chunk == 0)
+    def _():
+        # Seed the output state block from the input once per channel block;
+        # later time chunks carry state through the (VMEM-resident, revisited)
+        # output block — the input block is never refreshed between chunks.
+        state_out_ref[...] = state_ref[...]
+        slots_ref[...] = jnp.zeros_like(slots_ref)
+        nclose_ref[...] = jnp.zeros_like(nclose_ref)
+
+    carry0 = tuple(state_out_ref[0, kidx[k]] for k in keys)
+    carry0 += tuple(slots_ref[0, k] for k in range(k_slots))
+    carry0 += (nclose_ref[0],)
+    nst = len(keys)
+
+    def body(i, carry):
+        st = dict(zip(keys, carry[:nst]))
+        if cfg.algorithm == Algorithm.SIMPLE_THRESHOLD:
+            st["rs_memory_factor"] = None
+        slot_words = list(carry[nst:nst + k_slots])
+        nclose = carry[nst + k_slots]
+
+        st, closed, rec = tpg_tick(st, adc_ref[i], cfg, jnp)
+
+        # pack the record into 3 int32 words; lanes not closed are ignored
+        tick = t_chunk * tc + i
+        w0 = (rec["charge"] << 16) | rec["tover"]
+        w1 = (rec["peak_adc"] << 16) | rec["peak_time"]
+        w2 = jnp.full(closed.shape, tick + 1, jnp.int32)
+        packed = jnp.stack([w0, w1, w2])          # (3, sub, 128)
+
+        new_slots = []
+        for k in range(k_slots):
+            sel = closed & (nclose == k)
+            new_slots.append(jnp.where(sel[None], packed, slot_words[k]))
+        nclose = nclose + closed.astype(jnp.int32)
+
+        return (tuple(st[k] for k in keys) + tuple(new_slots) + (nclose,))
+
+    carry = jax.lax.fori_loop(0, tc, body, carry0)
+    for k in keys:
+        state_out_ref[0, kidx[k]] = carry[keys.index(k)]
+    for k in range(k_slots):
+        slots_ref[0, k] = carry[nst + k]
+    nclose_ref[0] = carry[nst + k_slots]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "tc", "k_slots", "interpret"))
+def process_window_pallas(adcs, state_stack, cfg: TPGConfig, tc: int = 256,
+                          k_slots: int = 4, interpret: bool = False):
+    """Run the fused kernel over a (T, S, 128) int32 window.
+
+    Args:
+      adcs: (T, S, 128) int32, T divisible by tc.
+      state_stack: (NB, KSTATE, SUB, 128) int32; SUB (from pack_state)
+        selects the channel-block width, NB * SUB == S.
+      tc: ticks per pipelined grid chunk.
+      k_slots: per-channel hit capacity per call (closes beyond this are
+        dropped per channel; see the per-channel counts output).
+
+    Returns (slots (NB, K, 3, SUB, 128) int32, nclose (NB, SUB, 128) int32,
+    new_state).  nclose is the per-channel number of hits that closed this
+    window (may exceed k_slots, indicating drops).
+    """
+    T, S, _ = adcs.shape
+    nb, kst, sub, _ = state_stack.shape
+    assert T % tc == 0 and kst == KSTATE and nb * sub == S
+    assert sub % SUBLANES == 0
+
+    kernel = functools.partial(_tpg_kernel, cfg=cfg, tc=tc, k_slots=k_slots,
+                               sub=sub)
+    state_out, slots, nclose = pl.pallas_call(
+        kernel,
+        grid=(nb, T // tc),
+        in_specs=[
+            pl.BlockSpec((tc, sub, LANES), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((1, KSTATE, sub, LANES), lambda b, t: (b, 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, KSTATE, sub, LANES), lambda b, t: (b, 0, 0, 0)),
+            pl.BlockSpec((1, k_slots, 3, sub, LANES),
+                         lambda b, t: (b, 0, 0, 0, 0)),
+            pl.BlockSpec((1, sub, LANES), lambda b, t: (b, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, KSTATE, sub, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nb, k_slots, 3, sub, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nb, sub, LANES), jnp.int32),
+        ],
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(adcs, state_stack)
+    return slots, nclose, state_out
+
+
+def decode_pallas_hits(slots, nclose, n_channels: int, tick_offset: int = 0):
+    """Decode K-slot outputs into the canonical hit array (host side).
+
+    Returns (hits, n_dropped) where n_dropped counts closes beyond the
+    per-channel slot capacity.
+    """
+    from .hits import HIT_DTYPE, sort_hits
+    slots = np.asarray(slots)
+    nclose = np.asarray(nclose)
+    nb, K, _, sub, lanes = slots.shape
+    C = nb * sub * lanes
+    flat = slots.transpose(1, 2, 0, 3, 4).reshape(K, 3, C)[:, :, :n_channels]
+    counts = nclose.reshape(C)[:n_channels]
+    k_idx, c_idx = np.nonzero(flat[:, 2] != 0)
+    hits = np.zeros(len(k_idx), dtype=HIT_DTYPE)
+    w0 = flat[k_idx, 0, c_idx]
+    w1 = flat[k_idx, 1, c_idx]
+    w2 = flat[k_idx, 2, c_idx]
+    hits["channel"] = c_idx
+    hits["end_tick"] = w2 - 1 + tick_offset
+    hits["charge"] = w0 >> 16
+    hits["tover"] = w0 & 0xFFFF
+    hits["peak_adc"] = w1 >> 16
+    hits["peak_time"] = w1 & 0xFFFF
+    n_dropped = int(np.maximum(counts - K, 0).sum())
+    return sort_hits(hits), n_dropped

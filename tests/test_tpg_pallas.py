@@ -1,0 +1,102 @@
+"""Pallas kernel bit-exactness vs the numpy oracle (interpret mode on CPU;
+the same kernel runs compiled on TPU — exercised by bench.py and the driver)."""
+
+import numpy as np
+import pytest
+
+from fdreadoutlibs_tpu.ops import TPGConfig, Algorithm
+from fdreadoutlibs_tpu.ops import patterns
+from fdreadoutlibs_tpu.ops.chanstate import init_chanstate, seed_chanstate
+from fdreadoutlibs_tpu.ops.hits import concat_hits
+from fdreadoutlibs_tpu.ops.reference import run_reference
+from fdreadoutlibs_tpu.ops.pallas_tpg import (
+    pack_adcs, pack_state, unpack_state,
+    process_window_pallas, decode_pallas_hits)
+from tests.test_tpg_scan import random_stream
+
+
+def run_pallas(adcs, cfg, rs_memory_factor=None, tc=32, k_slots=8,
+               window=None, block_sublanes=None):
+    """Pallas-backend equivalent of reference.run_reference (interpret mode)."""
+    import jax.numpy as jnp
+    adcs = np.asarray(adcs, dtype=np.int32)
+    T, C = adcs.shape
+    if rs_memory_factor is None:
+        rs_memory_factor = cfg.rs_memory_factor_x10
+    state = seed_chanstate(init_chanstate(C), adcs[0], rs_memory_factor)
+    packed = pack_adcs(adcs)
+    stack = pack_state(state, C, block_sublanes=block_sublanes)
+    window = window or T
+    parts = []
+    dropped = 0
+    for t0 in range(0, T, window):
+        slots, nclose, stack = process_window_pallas(
+            jnp.asarray(packed[t0:t0 + window]), stack, cfg, tc=tc,
+            k_slots=k_slots, interpret=True)
+        h, d = decode_pallas_hits(slots, nclose, C, tick_offset=t0)
+        parts.append(h)
+        dropped += d
+    return concat_hits(parts), unpack_state(stack, C), dropped
+
+
+CONFIGS = [
+    TPGConfig(algorithm=Algorithm.SIMPLE_THRESHOLD, threshold=120),
+    TPGConfig(algorithm=Algorithm.ABS_RS, threshold=150),
+    TPGConfig(algorithm=Algorithm.STANDARD_RS, threshold=150),
+]
+
+
+@pytest.mark.parametrize("cfg", CONFIGS, ids=lambda c: c.algorithm.value)
+def test_pallas_matches_reference(cfg):
+    adcs = random_stream(128, 48, seed=21)      # pads 48 -> 128 lanes
+    h_ref, st_ref = run_reference(adcs, cfg, window=128)
+    h_pal, st_pal, dropped = run_pallas(adcs, cfg)
+    assert dropped == 0
+    assert len(h_ref) > 0
+    np.testing.assert_array_equal(h_pal, h_ref)
+    for k in st_ref:
+        if k in ("fir_prev", "fir_phase"):
+            continue
+        np.testing.assert_array_equal(st_pal[k], np.asarray(st_ref[k]),
+                                      err_msg=k)
+
+
+def test_pallas_multiblock():
+    """More channels than one block: exercises the block grid axis."""
+    C = 1024 + 256
+    adcs = random_stream(64, C, seed=23, n_signals=300)
+    cfg = TPGConfig(threshold=120)
+    h_ref, _ = run_reference(adcs, cfg)
+    h_pal, _, dropped = run_pallas(adcs, cfg, block_sublanes=8, k_slots=16)
+    assert dropped == 0
+    np.testing.assert_array_equal(h_pal, h_ref)
+    assert h_ref["channel"].max() >= 1024  # hits beyond the first block
+
+
+def test_pallas_state_carry_across_calls():
+    """Hits spanning kernel launches close correctly (window invariance)."""
+    adcs = patterns.golden(n_frames=4, channel=11, offset=60)
+    cfg = TPGConfig(threshold=patterns.GOLDEN_THRESHOLD)
+    h_ref, _ = run_reference(adcs, cfg)
+    h_one, _, _ = run_pallas(adcs, cfg, tc=64)                # one launch
+    h_many, _, _ = run_pallas(adcs, cfg, tc=64, window=64)    # 4 launches
+    np.testing.assert_array_equal(h_one, h_ref)
+    np.testing.assert_array_equal(h_many, h_ref)
+
+
+def test_pallas_slot_overflow_counts():
+    """Closes beyond k_slots per channel per window are dropped and counted."""
+    adcs = random_stream(256, 16, seed=29, n_signals=120)
+    cfg = TPGConfig(threshold=80)
+    h_ref, _ = run_reference(adcs, cfg)
+    per_chan = np.bincount(h_ref["channel"], minlength=16)
+    assert per_chan.max() > 2
+    k = 2
+    h_pal, _, dropped = run_pallas(adcs, cfg, tc=256, k_slots=k)
+    assert dropped == int(np.maximum(per_chan - k, 0).sum())
+    # the kept hits are each channel's first k closes
+    kept = []
+    for c in range(16):
+        hc = h_ref[h_ref["channel"] == c]
+        kept.append(hc[np.argsort(hc["end_tick"])][:k])
+    np.testing.assert_array_equal(h_pal, concat_hits(kept))
