@@ -1,0 +1,279 @@
+"""WIBEth frame processor — the flagship SWTPG pipeline.
+
+Equivalent of WIBEthFrameProcessor + WIBEthFrameHandler
+(src/wibeth/WIBEthFrameProcessor.cpp): preprocess = sequence_check +
+timestamp_check (cpp:299-405), postprocess = find_hits -> SWTPG ->
+process_swtpg_hits TP assembly (cpp:411-572) — vectorized over frame
+batches, with the hot path on device (Pallas kernel or XLA scan backend).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..formats import wibeth
+from ..formats.trigprim import TP_DTYPE, TPAlgorithm, TPType
+from ..ops import TPGConfig, Algorithm
+from ..ops.chanstate import init_chanstate, seed_chanstate
+from ..ops.hits import concat_hits, decode_dense
+from ..utils.channel_map import make_map
+from .errors import ErrorInterval, LinkMisconfiguration, TPTooLong
+from .processor import TaskRawDataProcessor
+from .transport import Sender
+
+_ALGO_ENUM = {
+    Algorithm.SIMPLE_THRESHOLD: TPAlgorithm.kSimpleThreshold,
+    Algorithm.ABS_RS: TPAlgorithm.kAbsRunningSum,
+    Algorithm.STANDARD_RS: TPAlgorithm.kRunningSum,
+}
+
+CLOCKS_PER_TPC_TICK = wibeth.SAMPLES_TICK_DIFFERENCE  # 32
+
+
+class WIBEthFrameProcessor(TaskRawDataProcessor):
+
+    def __init__(self, error_registry=None, tp_sink: Optional[Sender] = None):
+        super().__init__(error_registry)
+        self.tp_sink = tp_sink
+        self.tpg_enabled = False
+        self.backend = "scan"
+        self._state = None
+        self._first_hit = True
+        self._pallas_stack = None
+
+    # ------------------------------------------------------------------ conf
+    def conf(self, config: dict) -> None:
+        """Config keys mirror RawDataProcessorConf
+        (WIBEthFrameProcessor.cpp:173-235)."""
+        super().conf(config)
+        self.source_id = config.get("source_id", 0)
+        self.crate_no = config.get("crate_id", 0)
+        self.slot_no = config.get("slot_id", 0)
+        self.stream_id = config.get("link_id", 0)
+        self.tp_max_width = config.get("tp_timeout", 10_000)
+        self.channel_mask_set = set(config.get("tpg_channel_mask", []))
+        self.enable_simple_threshold_on_collection = config.get(
+            "enable_simple_threshold_on_collection", False)
+
+        self.tpg_cfg = TPGConfig.from_raw(
+            algorithm=config.get("tpg_algorithm", "SimpleThreshold"),
+            threshold=config.get("tpg_threshold", 2000),
+            rs_memory_factor=config.get("tpg_rs_memory_factor", 0.8),
+            rs_scale_factor=config.get("tpg_rs_scale_factor", 2.0),
+            frugal_streaming_accumulator_limit=config.get(
+                "tpg_frugal_streaming_accumulator_limit", 10),
+        )
+        self.tp_algo = _ALGO_ENUM[self.tpg_cfg.algorithm]
+        self.backend = config.get("tpg_backend", "scan")
+        self.k_slots = config.get("tpg_k_slots", 8)
+        self._interpret = bool(config.get("tpg_pallas_interpret", False))
+
+        self.add_preprocess_task(self.sequence_check)
+        self.add_preprocess_task(self.timestamp_check)
+        if config.get("enable_tpg", False):
+            self.tpg_enabled = True
+            self.channel_map = make_map(
+                config.get("channel_map_name", "IdentityChannelMap"),
+                **config.get("channel_map_args", {}))
+            self.add_postprocess_task(self.find_hits)
+
+    def start(self, args=None) -> None:
+        super().start(args)
+        self.previous_ts = 0
+        self.previous_seq_id = 0
+        self._first_ts_check = True
+        self._first_seq_check = True
+        self._first_hit = True
+        self._state = None
+        self._pallas_stack = None
+        self.det_id = 0
+
+    # ------------------------------------------------ preprocess: seq check
+    def sequence_check(self, frames: np.ndarray) -> None:
+        """12-bit sequence-id continuity (WIBEthFrameProcessor.cpp:299-353),
+        vectorized over the batch (including the batch boundary)."""
+        n = frames.shape[0]
+        if self.emulator_mode:
+            wibeth.fake_geoid(frames, self.crate_no, self.slot_no,
+                              self.stream_id)
+            wibeth.fake_seq_ids(frames, self.previous_seq_id + 1
+                                if not self._first_seq_check else 0)
+        seq = wibeth.get_header_field(frames, "seq_id").astype(np.int64)
+        prev = np.concatenate([[self.previous_seq_id], seq[:-1]])
+        expected = (prev + 1) & 0xFFF
+        delta = (seq - expected).astype(np.int64)
+        delta = np.where(delta > 0x800, delta - 0x1000, delta)
+        delta = np.where(delta < -0x7FF, delta + 0x1000, delta)
+        if self._first_seq_check:
+            # no reference point for the very first payload
+            delta[0] = 0
+            self._first_seq_check = False
+        bad = np.nonzero(delta != 0)[0]
+        if len(bad):
+            self.metrics.inc("num_seq_id_errors", len(bad))
+            self.metrics.set_max("max_seq_id_jump", int(delta.max()))
+            self.metrics.set_min("min_seq_id_jump", int(delta.min()))
+            for i in bad[:16]:
+                self.error_registry.add_error(
+                    "SEQUENCE_ID_JUMP",
+                    ErrorInterval(int(expected[i]), int(seq[i])))
+        self.previous_seq_id = int(seq[-1])
+
+    # ------------------------------------------ preprocess: timestamp check
+    def timestamp_check(self, frames: np.ndarray) -> None:
+        """Expected per-frame tick difference = 2048
+        (WIBEthFrameProcessor.cpp:360-405)."""
+        tick = wibeth.EXPECTED_TICK_DIFFERENCE
+        if self.emulator_mode:
+            first = (self.previous_ts + tick) if not self._first_ts_check else \
+                wibeth.get_timestamp(frames)[0]
+            wibeth.fake_timestamps(frames, first)
+        ts = wibeth.get_timestamp(frames).astype(np.uint64)
+        prev = np.concatenate([[np.uint64(self.previous_ts)], ts[:-1]])
+        delta = ts - prev
+        ok = delta == tick
+        if self._first_ts_check:
+            ok[0] = True
+            self._first_ts_check = False
+        bad = np.nonzero(~ok)[0]
+        if len(bad):
+            self.metrics.inc("num_ts_errors", len(bad))
+            for i in bad[:16]:
+                self.error_registry.add_error(
+                    "MISSING_FRAMES",
+                    ErrorInterval(int(prev[i] + tick), int(ts[i])))
+        self.previous_ts = int(ts[-1])
+        self.last_processed_daq_ts = int(ts[-1])
+
+    # ------------------------------------------------- postprocess: SWTPG
+    def _first_frame_setup(self, frames: np.ndarray, adcs0: np.ndarray):
+        """First-payload bookkeeping (WIBEthFrameProcessor.cpp:426-464):
+        link-misconfiguration check, channel map, per-channel RS memory
+        factor (threshold-on-collection), state seeding."""
+        crate = int(wibeth.get_header_field(frames, "crate_id")[0])
+        slot = int(wibeth.get_header_field(frames, "slot_id")[0])
+        stream = int(wibeth.get_header_field(frames, "stream_id")[0])
+        self.det_id = int(wibeth.get_header_field(frames, "det_id")[0])
+        if (crate, slot, stream) != (self.crate_no, self.slot_no,
+                                     self.stream_id):
+            self.metrics.inc("num_link_misconfigurations")
+            self.error_registry.add_error(
+                "LINK_MISCONFIGURATION", ErrorInterval(0, 0))
+
+        C = wibeth.N_CHANNELS
+        self.register_channels = self.channel_map.offline_channels(
+            self.crate_no, self.slot_no, self.stream_id, C)
+        planes = self.channel_map.planes(self.register_channels)
+        if self.enable_simple_threshold_on_collection:
+            # collection (plane 0) -> memoryless RS (cpp:441-450)
+            self.register_memory_factor = np.where(
+                planes == 0, 0, self.tpg_cfg.rs_memory_factor_x10)
+        else:
+            self.register_memory_factor = np.full(
+                C, self.tpg_cfg.rs_memory_factor_x10)
+
+        self._state = seed_chanstate(init_chanstate(C), adcs0,
+                                     self.register_memory_factor)
+        self._first_hit = False
+
+    def find_hits(self, frames: np.ndarray) -> None:
+        """Unpack + SWTPG over the batch (cpp:411-476)."""
+        if frames.shape[0] == 0:
+            return
+        timestamp = int(wibeth.get_timestamp(frames)[0])
+        adcs = wibeth.get_adcs(frames).reshape(-1, wibeth.N_CHANNELS) \
+            .astype(np.int32)
+        if self._first_hit:
+            self._first_frame_setup(frames, adcs[0])
+
+        hits = self._run_backend(adcs)
+        self.metrics.inc("num_hits", len(hits))
+        self.process_swtpg_hits(hits, timestamp)
+
+    def _run_backend(self, adcs: np.ndarray):
+        if self.backend == "reference":
+            from ..ops.reference import process_window_reference
+            hits, self._state = process_window_reference(
+                adcs, self._state, self.tpg_cfg)
+            return hits
+        if self.backend == "scan":
+            import jax.numpy as jnp
+            from ..ops.scan import process_window_scan, state_to_jnp
+            state = state_to_jnp(self._state)
+            closed, records, new_state = process_window_scan(
+                jnp.asarray(adcs), state, self.tpg_cfg)
+            self._state.update({k: np.asarray(v)
+                                for k, v in new_state.items()})
+            return decode_dense(closed, records)
+        if self.backend == "pallas":
+            import jax.numpy as jnp
+            from ..ops.pallas_tpg import (decode_pallas_hits, pack_adcs,
+                                          pack_state, process_window_pallas,
+                                          unpack_state)
+            C = adcs.shape[1]
+            if self._pallas_stack is None:
+                self._pallas_stack = pack_state(self._state, C)
+            slots, nclose, self._pallas_stack = process_window_pallas(
+                jnp.asarray(pack_adcs(adcs)), self._pallas_stack,
+                self.tpg_cfg, tc=adcs.shape[0], k_slots=self.k_slots,
+                interpret=self._interpret)
+            hits, dropped = decode_pallas_hits(slots, nclose, C)
+            if dropped:
+                self.metrics.inc("num_hits_dropped", dropped)
+            self._state.update(unpack_state(self._pallas_stack, C))
+            return hits
+        raise ValueError(f"unknown tpg_backend {self.backend!r}")
+
+    # ------------------------------------------------------- TP assembly
+    def process_swtpg_hits(self, hits: np.ndarray, timestamp: int) -> None:
+        """Hit records -> TriggerPrimitives (cpp:479-572), vectorized.
+
+        t_begin = ts + 32 * (end_tick - tover); t_peak = t_begin +
+        32 * peak_time (cpp:523-524).
+        """
+        if len(hits) == 0:
+            return
+        t_begin = (np.int64(timestamp)
+                   + CLOCKS_PER_TPC_TICK
+                   * (hits["end_tick"].astype(np.int64)
+                      - hits["tover"].astype(np.int64)))
+        offline = self.register_channels[hits["channel"]]
+
+        tps = np.zeros(len(hits), dtype=TP_DTYPE)
+        tps["time_start"] = t_begin.astype(np.uint64)
+        tps["time_peak"] = (t_begin + CLOCKS_PER_TPC_TICK *
+                            hits["peak_time"].astype(np.int64)).astype(np.uint64)
+        tps["time_over_threshold"] = (
+            hits["tover"].astype(np.uint64) * CLOCKS_PER_TPC_TICK)
+        tps["channel"] = offline
+        tps["adc_integral"] = hits["charge"]
+        tps["adc_peak"] = hits["peak_adc"]
+        tps["detid"] = self.det_id
+        tps["type"] = TPType.kTPC
+        tps["algorithm"] = self.tp_algo
+        tps["version"] = 1
+
+        # channel mask (cpp:528)
+        if self.channel_mask_set:
+            keep = ~np.isin(tps["channel"],
+                            np.fromiter(self.channel_mask_set, dtype=np.int64))
+            tps = tps[keep]
+        # suppress too-long TPs (cpp:550-553)
+        too_long = tps["time_over_threshold"] > self.tp_max_width
+        n_long = int(too_long.sum())
+        if n_long:
+            self.metrics.inc("num_tps_suppressed_too_long", n_long)
+            tps = tps[~too_long]
+
+        self.metrics.add_channel_tps(tps["channel"])
+        if len(tps) == 0:
+            return
+        if self.tp_sink is not None:
+            if not self.tp_sink.try_send(tps):
+                self.metrics.inc("num_tps_send_failed", len(tps))
+            else:
+                self.metrics.inc("num_tps_sent", len(tps))
+        else:
+            self.metrics.inc("num_tps_sent", len(tps))

@@ -1,0 +1,63 @@
+"""Metrics collection (≈ opmonlib::InfoCollector + RawDataProcessorInfo).
+
+Counters mirror the reference's info structs (WIBEthFrameProcessor.cpp:
+238-292, TPCTPRequestHandler.cpp:58-82): sequence/timestamp error counters,
+min/max seq jumps, hit/TP rates, send failures, suppressed-too-long counts,
+heartbeats, and the per-channel TP-rate map whose top-10 feeds monitoring.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import defaultdict
+
+
+class MetricsCollector:
+    def __init__(self):
+        self._counters: dict[str, int] = defaultdict(int)
+        self._gauges: dict[str, float] = {}
+        self.channel_tp_counts: dict[int, int] = defaultdict(int)
+        self._t0 = time.monotonic()
+
+    # counters -----------------------------------------------------------
+    def inc(self, name: str, amount: int = 1) -> None:
+        self._counters[name] += amount
+
+    def set_max(self, name: str, value) -> None:
+        self._gauges[name] = max(self._gauges.get(name, value), value)
+
+    def set_min(self, name: str, value) -> None:
+        self._gauges[name] = min(self._gauges.get(name, value), value)
+
+    def count(self, name: str) -> int:
+        return self._counters[name]
+
+    def gauge(self, name: str):
+        return self._gauges.get(name)
+
+    def add_channel_tps(self, channels) -> None:
+        for c in channels:
+            self.channel_tp_counts[int(c)] += 1
+
+    def top_channels(self, n: int = 10) -> list[tuple[int, int]]:
+        """Top-n (channel, tp_count) — WIBEthFrameProcessor.cpp:264-287."""
+        return sorted(self.channel_tp_counts.items(), key=lambda kv: -kv[1])[:n]
+
+    # snapshot (get_info equivalent) -------------------------------------
+    def get_info(self) -> dict:
+        now = time.monotonic()
+        seconds = max(now - self._t0, 1e-9)
+        info = dict(self._counters)
+        info.update(self._gauges)
+        info["rate_tp_hits_khz"] = self._counters.get("num_hits", 0) / seconds / 1e3
+        info["interval_seconds"] = seconds
+        info["top_channels"] = self.top_channels()
+        return info
+
+    def reset_interval(self) -> dict:
+        """Snapshot and reset rate counters (the exchange(0) pattern)."""
+        info = self.get_info()
+        self._counters.clear()
+        self.channel_tp_counts.clear()
+        self._t0 = time.monotonic()
+        return info

@@ -1,0 +1,152 @@
+"""WIBEthFrameProcessor tests: validation checks, TP assembly, backends."""
+
+import numpy as np
+import pytest
+
+from fdreadoutlibs_tpu.formats import wibeth
+from fdreadoutlibs_tpu.ops import patterns
+from fdreadoutlibs_tpu.stream import WIBEthFrameProcessor
+from fdreadoutlibs_tpu.stream.transport import QueueSender
+
+
+def make_processor(backend="scan", **conf_overrides):
+    sink = QueueSender()
+    proc = WIBEthFrameProcessor(tp_sink=sink)
+    conf = {
+        "source_id": 7,
+        "crate_id": 1, "slot_id": 2, "link_id": 3,
+        "enable_tpg": True,
+        "tpg_algorithm": "SimpleThreshold",
+        "tpg_threshold": patterns.GOLDEN_THRESHOLD,
+        "tp_timeout": 100_000,
+        "tpg_backend": backend,
+        "tpg_pallas_interpret": True,
+        "channel_map_name": "IdentityChannelMap",
+    }
+    conf.update(conf_overrides)
+    proc.conf(conf)
+    proc.start()
+    return proc, sink
+
+
+def golden_frames(n_frames=2, channel=0, offset=1, ts0=79554162068719943):
+    frames, _ = patterns.pattern_frames(
+        "golden", first_timestamp=ts0, crate_id=1, slot_id=2, stream_id=3,
+        n_frames=n_frames, channel=channel, offset=offset)
+    wibeth.fake_seq_ids(frames, 1)
+    return frames
+
+
+class TestGoldenEndToEnd:
+    def test_reference_doc_tp_values(self):
+        """Reproduce the reference docs' golden TP dump
+        (docs/README.md:85-90)."""
+        ts0 = 79554162068719943
+        proc, sink = make_processor()
+        proc.process(golden_frames(n_frames=2, offset=1, ts0=ts0))
+        tps = np.concatenate(sink.drain())
+        assert len(tps) == 2
+        # link (1,2,3) under the identity map puts channel 0 at offline base
+        base = proc.register_channels[0]
+        assert tps["channel"][0] == base
+        assert tps["time_start"][0] == 79554162068719975
+        assert tps["time_peak"][0] == 79554162068720103
+        assert tps["adc_integral"][0] == 4528
+        assert tps["adc_peak"][0] == 506
+        assert tps["time_start"][1] == 79554162068722023
+        assert tps["time_peak"][1] == 79554162068722151
+        assert tps["adc_integral"][1] == 4021
+        assert tps["adc_peak"][1] == 505
+        assert proc.metrics.count("num_ts_errors") == 0
+        assert proc.metrics.count("num_seq_id_errors") == 0
+
+    @pytest.mark.parametrize("backend", ["reference", "scan", "pallas"])
+    def test_backends_identical(self, backend):
+        proc, sink = make_processor(backend=backend)
+        proc.process(golden_frames(n_frames=4, channel=17, offset=58))
+        tps = np.concatenate(sink.drain())
+        ref_proc, ref_sink = make_processor(backend="reference")
+        ref_proc.process(golden_frames(n_frames=4, channel=17, offset=58))
+        ref = np.concatenate(ref_sink.drain())
+        np.testing.assert_array_equal(tps, ref)
+
+    def test_state_carries_across_batches(self):
+        proc, sink = make_processor()
+        frames = golden_frames(n_frames=4, offset=60)  # hits span frames
+        for i in range(4):
+            proc.process(frames[i:i + 1])
+        tps_split = np.concatenate(sink.drain())
+        proc2, sink2 = make_processor()
+        proc2.process(frames)
+        tps_whole = np.concatenate(sink2.drain())
+        np.testing.assert_array_equal(tps_split, tps_whole)
+
+
+class TestValidation:
+    def test_sequence_jump_detected(self):
+        proc, sink = make_processor()
+        frames = golden_frames(n_frames=4)
+        seq = wibeth.get_header_field(frames, "seq_id")
+        seq[2:] += 5  # jump
+        wibeth.set_header_field(frames, "seq_id", seq)
+        proc.process(frames)
+        assert proc.metrics.count("num_seq_id_errors") == 1
+        assert proc.metrics.gauge("max_seq_id_jump") == 5
+        assert proc.error_registry.has_error("SEQUENCE_ID_JUMP")
+
+    def test_sequence_wraparound_ok(self):
+        proc, sink = make_processor()
+        frames = golden_frames(n_frames=4)
+        wibeth.fake_seq_ids(frames, 0xFFE)  # FFE FFF 000 001
+        proc.process(frames)
+        assert proc.metrics.count("num_seq_id_errors") == 0
+
+    def test_timestamp_gap_detected(self):
+        proc, sink = make_processor()
+        frames = golden_frames(n_frames=4)
+        ts = wibeth.get_timestamp(frames)
+        ts[2:] += 2048  # one frame missing
+        wibeth.set_timestamp(frames, ts)
+        proc.process(frames)
+        assert proc.metrics.count("num_ts_errors") == 1
+        assert proc.error_registry.has_error("MISSING_FRAMES")
+
+    def test_emulator_mode_fixes_headers(self):
+        proc, sink = make_processor(emulator_mode=True)
+        frames = golden_frames(n_frames=4)
+        # scramble timestamps and seq ids; emulator must repair them
+        wibeth.set_timestamp(frames, np.arange(4).astype(np.uint64) * 999)
+        wibeth.set_header_field(frames, "seq_id", [7, 3, 9, 1])
+        proc.process(frames)
+        assert proc.metrics.count("num_ts_errors") == 0
+        assert proc.metrics.count("num_seq_id_errors") == 0
+
+    def test_link_misconfiguration(self):
+        proc, sink = make_processor(crate_id=9)  # frames say crate 1
+        proc.process(golden_frames())
+        assert proc.metrics.count("num_link_misconfigurations") == 1
+
+
+class TestTPFiltering:
+    def test_channel_mask(self):
+        proc, sink = make_processor()
+        base = None
+        proc.process(golden_frames(channel=5))
+        tps = np.concatenate(sink.drain())
+        masked_channel = int(tps["channel"][0])
+        proc2, sink2 = make_processor(tpg_channel_mask=[masked_channel])
+        proc2.process(golden_frames(channel=5))
+        assert len(sink2) == 0  # everything masked
+
+    def test_too_long_suppression(self):
+        proc, sink = make_processor(tp_timeout=4 * 32)  # 4 ticks max
+        proc.process(golden_frames())  # golden ToT = 9 ticks = 288 clocks
+        assert len(sink) == 0
+        assert proc.metrics.count("num_tps_suppressed_too_long") == 2
+
+    def test_top_channel_metrics(self):
+        proc, sink = make_processor()
+        proc.process(golden_frames(n_frames=3, channel=9))
+        top = proc.metrics.top_channels()
+        assert len(top) == 1
+        assert top[0][1] == 3  # 3 TPs on that channel
