@@ -1,0 +1,111 @@
+"""Timestamp-ordered latency buffer.
+
+Equivalent of readoutlibs::SkipListLatencyBufferModel (folly
+ConcurrentSkipList) as exercised by the reference (SURVEY.md §2.6 item 2):
+ordered insertion, head/tail timestamps, windowed extraction
+(get_fragment_pieces, TPCTPRequestHandler.cpp:121-133) and front cleanup
+(DAPHNEListRequestHandler.cpp:17-59).
+
+Implementation: batches append to a pending list and are merged into one
+sorted structured array lazily — batch-oriented insertion is the TPU-native
+arrival pattern, so amortized cost is O(n log n) per consolidation instead
+of per-element skip-list hops.  Thread-safe.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import numpy as np
+
+
+class LatencyBuffer:
+    """Ordered store of records with a ``time_start``-like key field."""
+
+    def __init__(self, key: str = "time_start", capacity: int | None = None):
+        self.key = key
+        self.capacity = capacity
+        self._sorted: np.ndarray | None = None
+        self._pending: list[np.ndarray] = []
+        self._lock = threading.RLock()
+        self.total_inserted = 0
+
+    # -- insertion -------------------------------------------------------
+    def insert(self, batch: np.ndarray) -> int:
+        """Insert a batch; returns number accepted (capacity-limited)."""
+        if len(batch) == 0:
+            return 0
+        with self._lock:
+            n = len(batch)
+            if self.capacity is not None:
+                room = self.capacity - self.occupancy()
+                if room <= 0:
+                    return 0
+                batch = batch[:room]
+                n = len(batch)
+            self._pending.append(np.asarray(batch).copy())
+            self.total_inserted += n
+            return n
+
+    def _consolidate(self) -> np.ndarray:
+        if self._pending:
+            parts = ([self._sorted] if self._sorted is not None else []) \
+                + self._pending
+            merged = np.concatenate(parts)
+            order = np.argsort(merged[self.key], kind="stable")
+            self._sorted = merged[order]
+            self._pending = []
+        if self._sorted is None:
+            self._sorted = np.zeros(0, dtype=object)
+        return self._sorted
+
+    # -- queries ---------------------------------------------------------
+    def occupancy(self) -> int:
+        with self._lock:
+            n = len(self._sorted) if self._sorted is not None else 0
+            return n + sum(len(p) for p in self._pending)
+
+    def oldest_ts(self):
+        with self._lock:
+            arr = self._consolidate()
+            return int(arr[self.key][0]) if len(arr) else None
+
+    def newest_ts(self):
+        with self._lock:
+            arr = self._consolidate()
+            return int(arr[self.key][-1]) if len(arr) else None
+
+    def extract_window(self, start_ts: int, end_ts: int) -> np.ndarray:
+        """All records with start_ts <= key < end_ts (kept in the buffer;
+        the request path reads without consuming, like get_fragment_pieces)."""
+        with self._lock:
+            arr = self._consolidate()
+            if not len(arr):
+                return arr
+            lo = np.searchsorted(arr[self.key], start_ts, side="left")
+            hi = np.searchsorted(arr[self.key], end_ts, side="left")
+            return arr[lo:hi].copy()
+
+    # -- cleanup ---------------------------------------------------------
+    def pop_until(self, ts: int) -> int:
+        """Drop records with key < ts; returns number dropped."""
+        with self._lock:
+            arr = self._consolidate()
+            lo = np.searchsorted(arr[self.key], ts, side="left") if len(arr) else 0
+            self._sorted = arr[lo:]
+            return int(lo)
+
+    def cleanup_max_ts_diff(self, max_ts_diff: int) -> int:
+        """DAPHNEListRequestHandler-style cleanup: pop the oldest until
+        newest - oldest <= max_ts_diff (cpp:37-50)."""
+        with self._lock:
+            arr = self._consolidate()
+            if not len(arr):
+                return 0
+            newest = arr[self.key][-1]
+            cutoff = int(newest) - int(max_ts_diff)
+            return self.pop_until(cutoff)
+
+    def snapshot(self) -> np.ndarray:
+        with self._lock:
+            return self._consolidate().copy()

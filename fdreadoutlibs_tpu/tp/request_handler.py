@@ -1,0 +1,162 @@
+"""TP request handler: TPSet windowing, heartbeats, cutoff, data requests.
+
+Equivalent of TPCTPRequestHandler (src/TPCTPRequestHandler.cpp): a sender
+loop windows buffered TPs into ``trigger::TPSet``s at a configured rate with
+a latency margin, emits heartbeats for empty windows, maintains the cutoff
+timestamp that rejects tardy TPs upstream, and serves windowed data
+requests from the same buffer.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Optional
+
+import numpy as np
+
+from ..formats.trigprim import TPSet, TPSetType
+from ..utils.metrics import MetricsCollector
+from .latency_buffer import LatencyBuffer
+
+TICKS_PER_MS = 62_500  # 62.5 MHz clock (TPCTPRequestHandler.cpp:93)
+
+
+class TPRequestHandler:
+
+    def __init__(self, tpset_sink=None, latency_buffer: Optional[LatencyBuffer] = None):
+        self.tpset_sink = tpset_sink
+        self.buffer = latency_buffer or LatencyBuffer()
+        self.metrics = MetricsCollector()
+        self._thread: Optional[threading.Thread] = None
+        self._run_marker = False
+
+    # -- lifecycle (cpp:8-55) -------------------------------------------
+    def conf(self, config: dict) -> None:
+        """Keys mirror ReadoutModelConf (cpp:20-27)."""
+        self.source_id = config.get("tpset_sourceid", config.get("source_id", 0))
+        rate = config.get("tpset_transmission_rate_hz", 200)
+        self.sender_sleep_us = 1_000_000 // rate
+        self.min_latency_ticks = config.get("tpset_min_latency_ticks", 3125 * 32)
+        self.tardy_quiet_time_sec = config.get(
+            "tardy_tp_quiet_time_at_start_sec", 10)
+
+    def start(self, run_number: int = 0) -> None:
+        self.run_number = run_number
+        self.cutoff_timestamp = 0
+        self.next_tpset_seqno = 0
+        self._start_win_ts = None
+        self._run_start = time.monotonic()
+        self.metrics.reset_interval()
+        self._run_marker = True
+
+    def stop(self) -> None:
+        self._run_marker = False
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None
+        self.cutoff_timestamp = 0
+
+    # -- TP ingress with tardy suppression (cpp:85-97) -------------------
+    def insert_tps(self, tps: np.ndarray) -> int:
+        """Insert TPs; those older than the cutoff timestamp are tardy and
+        suppressed (the reference rejects them upstream via
+        supports_cutoff_timestamp, hpp:81-83)."""
+        if len(tps) == 0:
+            return 0
+        tardy = tps["time_start"] < np.uint64(self.cutoff_timestamp)
+        n_tardy = int(tardy.sum())
+        if n_tardy:
+            self.metrics.inc("num_tps_suppressed_tardy", n_tardy)
+            quiet = (time.monotonic() - self._run_start) < self.tardy_quiet_time_sec
+            if not quiet:
+                worst = int(np.uint64(self.cutoff_timestamp)
+                            - tps["time_start"][tardy].min())
+                self.metrics.set_max("max_tardy_ms", worst / TICKS_PER_MS)
+            tps = tps[~tardy]
+        return self.buffer.insert(tps)
+
+    # -- TPSet emission (cpp:100-193) ------------------------------------
+    def send_tp_sets_once(self) -> Optional[TPSet]:
+        """One cycle of the sender loop; returns the TPSet if one was due."""
+        if self.buffer.occupancy() == 0:
+            return None
+        newest = self.buffer.newest_ts()
+        oldest = self.buffer.oldest_ts()
+        if self._start_win_ts is None:
+            self._start_win_ts = oldest
+        if newest - self._start_win_ts <= self.min_latency_ticks:
+            return None
+        end_win_ts = newest - self.min_latency_ticks
+        tps = self.buffer.extract_window(self._start_win_ts, end_win_ts)
+
+        tpset = TPSet(
+            run_number=self.run_number,
+            type=TPSetType.kPayload if len(tps) else TPSetType.kHeartbeat,
+            origin=self.source_id,
+            start_time=self._start_win_ts,
+            end_time=end_win_ts,
+            seqno=self.next_tpset_seqno,
+            objects=tps,
+        )
+        self.next_tpset_seqno += 1
+        if len(tps):
+            # provisional window times replaced by first/last TP (cpp:156-164)
+            tpset.start_time = int(tps["time_start"][0])
+            tpset.end_time = int(tps["time_start"][-1])
+        self.cutoff_timestamp = tpset.end_time
+
+        sent = True
+        if self.tpset_sink is not None:
+            sent = self.tpset_sink.try_send(tpset)
+        if not sent:
+            self.metrics.inc("num_tpsets_send_failed")
+            self.metrics.inc("num_tps_in_tpsets_send_failed", len(tps))
+        else:
+            self.metrics.inc("num_tpsets_sent")
+            self.metrics.inc("num_tps_sent", len(tps))
+            if len(tps) == 0:
+                self.metrics.inc("num_heartbeats")
+        # advance the window (cpp:181); shipped TPs REMAIN buffered for the
+        # data-request path — cleanup is a separate policy (see cleanup())
+        self._start_win_ts = end_win_ts
+        return tpset
+
+    # -- cleanup (DefaultSkipListRequestHandler / DAPHNE override) -------
+    def cleanup(self, max_occupancy: int | None = None,
+                max_ts_diff: int | None = None) -> int:
+        """Trim the buffer: by occupancy (pop oldest beyond max_occupancy)
+        and/or by time span (DAPHNEListRequestHandler.cpp:37-50)."""
+        dropped = 0
+        if max_ts_diff is not None:
+            dropped += self.buffer.cleanup_max_ts_diff(max_ts_diff)
+        if max_occupancy is not None:
+            excess = self.buffer.occupancy() - max_occupancy
+            if excess > 0:
+                arr = self.buffer.snapshot()
+                cutoff = int(arr["time_start"][excess])
+                dropped += self.buffer.pop_until(cutoff)
+        if dropped:
+            self.metrics.inc("num_tps_cleaned", dropped)
+        return dropped
+
+    # -- background sender thread (ReusableThread, cpp:43) ---------------
+    def start_sender_thread(self) -> None:
+        def loop():
+            while self._run_marker:
+                self.send_tp_sets_once()
+                time.sleep(self.sender_sleep_us / 1e6)
+        self._thread = threading.Thread(target=loop, name="tpset-sender",
+                                        daemon=True)
+        self._thread.start()
+
+    # -- windowed data requests (DefaultSkipListRequestHandler path) -----
+    def request(self, start_ts: int, end_ts: int) -> np.ndarray:
+        """Serve a data request: all buffered TPs in [start_ts, end_ts)."""
+        self.metrics.inc("num_requests")
+        return self.buffer.extract_window(start_ts, end_ts)
+
+    def get_info(self) -> dict:
+        info = self.metrics.get_info()
+        info["buffer_occupancy"] = self.buffer.occupancy()
+        return info
