@@ -1,0 +1,113 @@
+"""Full-APA / multi-chip SWTPG pipeline.
+
+The "training step" analogue of this framework: one jitted step consumes a
+batch of packed WIBEth ADC words for L links, runs unpack + the SWTPG scan
+with carried per-channel state, compacts hits on device, and psums a
+monitoring aggregate — all sharded over the 'link' mesh axis via shard_map.
+
+Single-chip production uses the fused Pallas kernel over the stacked
+channel axis (see ops.pallas_tpg and bench.py); this module provides the
+portable multi-chip scan path plus the link-stacking helpers.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..formats import wibeth
+from ..ops import TPGConfig
+from ..ops.chanstate import init_chanstate, seed_chanstate
+from ..ops.scan import STATE_KEYS, compact_hits_device, process_window_scan
+
+N_CH = wibeth.N_CHANNELS
+
+
+def make_apa_step(mesh: Mesh, cfg: TPGConfig, max_hits_per_link: int = 512):
+    """Build the jitted multi-chip step.
+
+    step(words (L, T, 28) uint32, state {k: (L, 64) int32}) ->
+      (hits (L, max_hits, 6) int32, n_hits (L,) int32, total_hits scalar,
+       new_state)
+
+    Links shard over the mesh 'link' axis; the only collective is the psum
+    for the monitoring total.
+    """
+
+    def _local(words, state):
+        # words: (Lloc, T, 28); state values: (Lloc, 64)
+        Lloc, T, _ = words.shape
+        adcs = wibeth.unpack_frames_jnp(words)            # (Lloc, T, 64)
+        flat = adcs.transpose(1, 0, 2).reshape(T, Lloc * N_CH)
+        st = {k: state[k].reshape(Lloc * N_CH) for k in STATE_KEYS}
+        closed, records, new_st = process_window_scan(flat, st, cfg)
+
+        # shard-local per-link compaction (no cross-link coupling)
+        closed_l = closed.reshape(T, Lloc, N_CH).transpose(1, 0, 2)
+        records_l = {f: records[f].reshape(T, Lloc, N_CH).transpose(1, 0, 2)
+                     for f in records}
+        hits, n_hits, _ = jax.vmap(
+            lambda c, r: compact_hits_device(c, r,
+                                             max_hits=max_hits_per_link)
+        )(closed_l, records_l)
+        total = jax.lax.psum(jnp.sum(n_hits), "link")
+        new_state = {k: new_st[k].reshape(Lloc, N_CH) for k in STATE_KEYS}
+        return hits, n_hits, total, new_state
+
+    state_spec = {k: P("link") for k in STATE_KEYS}
+    step = shard_map(
+        _local, mesh=mesh,
+        in_specs=(P("link"), state_spec),
+        out_specs=(P("link"), P("link"), P(), state_spec),
+        check_rep=False,
+    )
+    return jax.jit(step)
+
+
+class APAPipeline:
+    """Streaming APA pipeline: carries sharded per-channel state across
+    batches; the host feeds packed frame batches per link."""
+
+    def __init__(self, n_links: int, cfg: TPGConfig,
+                 mesh: Optional[Mesh] = None, max_hits_per_link: int = 512):
+        from .mesh import make_link_mesh
+        self.mesh = mesh or make_link_mesh()
+        self.n_links = n_links
+        assert n_links % self.mesh.devices.size == 0, \
+            "links must divide evenly over devices"
+        self.cfg = cfg
+        self.step = make_apa_step(self.mesh, cfg, max_hits_per_link)
+        self.state = None
+
+    def init_state(self, first_samples: np.ndarray,
+                   rs_memory_factor=None) -> None:
+        """Seed per-channel state from the first time sample of each link
+        ((L, 64) array; ProcessingInfo::setState semantics)."""
+        if rs_memory_factor is None:
+            rs_memory_factor = self.cfg.rs_memory_factor_x10
+        st = seed_chanstate(init_chanstate(self.n_links * N_CH),
+                            np.asarray(first_samples).reshape(-1),
+                            rs_memory_factor)
+        sharding = NamedSharding(self.mesh, P("link"))
+        self.state = {k: jax.device_put(
+            np.asarray(st[k], dtype=np.int32).reshape(self.n_links, N_CH),
+            sharding) for k in STATE_KEYS}
+
+    def process(self, words: np.ndarray):
+        """words: (L, T, 28) uint32 packed ADC rows for T ticks per link."""
+        if self.state is None:
+            # seed from the first tick of this batch
+            adcs0 = np.stack([
+                np.asarray(wibeth.unpack_frames_jnp(jnp.asarray(w[:1])))[0]
+                for w in words])
+            self.init_state(adcs0)
+        sharding = NamedSharding(self.mesh, P("link"))
+        words = jax.device_put(jnp.asarray(words), sharding)
+        hits, n_hits, total, self.state = self.step(words, self.state)
+        return hits, n_hits, int(total)
