@@ -18,3 +18,7 @@ from .errors import (FrameErrorRegistry, FDReadoutError,  # noqa: F401
 from .transport import Sender, QueueSender, CallbackSender  # noqa: F401
 from .processor import TaskRawDataProcessor  # noqa: F401
 from .wibeth import WIBEthFrameProcessor  # noqa: F401
+from .wib2 import WIB2FrameProcessor  # noqa: F401
+from .daphne import DAPHNEFrameProcessor, DAPHNEStreamFrameProcessor  # noqa: F401
+from .tde import TDEFrameProcessor  # noqa: F401
+from .ssp import SSPFrameProcessor, SWTriggerPrimitiveProcessor  # noqa: F401

@@ -255,12 +255,15 @@ class WIBEthFrameProcessor(TaskRawDataProcessor):
         tps["algorithm"] = self.tp_algo
         tps["version"] = 1
 
-        # channel mask (cpp:528)
+        self._filter_and_send(tps)
+
+    def _filter_and_send(self, tps: np.ndarray) -> None:
+        """Channel mask (cpp:528), too-long suppression (cpp:550-553),
+        non-blocking send (cpp:555-558)."""
         if self.channel_mask_set:
             keep = ~np.isin(tps["channel"],
                             np.fromiter(self.channel_mask_set, dtype=np.int64))
             tps = tps[keep]
-        # suppress too-long TPs (cpp:550-553)
         too_long = tps["time_over_threshold"] > self.tp_max_width
         n_long = int(too_long.sum())
         if n_long:
