@@ -42,9 +42,11 @@ class TPGConfig:
     # FIR family (wib/wib2): firwin_int(7, 0.1, 2**tap_exponent) + trailing 0
     tap_exponent: int = 6
     n_taps: int = 8
-    # semantics flags (see module docstring)
+    taps: tuple | None = None           # None -> firwin_int(7,0.1,mult)+(0,)
+    # semantics flags (see module docstring and ops/fir.py)
     peak_gated: bool = False
     rs_float: bool = False
+    fir_avx_semantics: bool = True
 
     @property
     def multiplier(self) -> int:

@@ -1,0 +1,139 @@
+"""FIR+IQR SWTPG family (the WIB/WIB2 legacy kernels).
+
+Covers DesignFIR.{hpp,cpp} (scipy firwin ported to integer taps) and the
+FIR pipeline of wib2/tpg/ProcessNaive.hpp:40-160 / ProcessAVX2FIR.hpp and
+wib/tpg/ProcessAVX2.hpp:79-376:
+
+* IQR noise estimate: frugal-streaming 25th/75th quantiles updated only
+  when the sample is below/above the median (ProcessNaive.hpp:94-98);
+  sigma = q75 - q25;
+* 8-tap integer FIR over the pedestal-subtracted, adcMax-clamped samples;
+  the reference keeps a per-channel circular buffer with a global phase
+  (absTimeModNTAPS); here the buffer is kept oldest-first and shifted,
+  which is arithmetically identical (filt_t = sum_j taps[j] * s_{t-8+j},
+  taps[7] = 0) and removes the phase bookkeeping from the carried state;
+* dynamic threshold in sigma units: naive compares
+  filt > threshold * sigma * multiplier in full precision
+  (ProcessNaive.hpp:123 with threshold=5); the AVX2 kernel clamps sigma to
+  32768/(multiplier*5) and wraps the int16 product chain
+  (ProcessAVX2FIR.hpp:36,133,208) — both behaviors are selectable via
+  ``fir_avx_semantics`` (default True = deployed behavior);
+* charge accumulates filt >> tap_exponent (ProcessNaive.hpp:127).
+
+Hit records are the 4-field family (no peak tracking in the reference
+kernels); peak fields are still produced (superset) but the WIB2/WIB TP
+assembly derives peaks as (begin+end)/2 and charge/20.
+"""
+
+from __future__ import annotations
+
+import math
+
+from .config import TPGConfig
+from .fixedpoint import mullo16, wrap_i16
+from .step import frugal_update
+
+INT16_MAX = 32767
+NTAPS = 8
+
+
+# ---- filter design (DesignFIR.cpp ported) --------------------------------------
+
+def hamming(M: int) -> list[float]:
+    """DesignFIR.cpp:20-28."""
+    return [0.54 - 0.46 * math.cos(2.0 * math.pi * n / (M - 1))
+            for n in range(M)]
+
+
+def sinc(x: float) -> float:
+    if x == 0:
+        return 1.0
+    return math.sin(math.pi * x) / (math.pi * x)
+
+
+def firwin(N: int, cutoff: float) -> list[float]:
+    """Normalized lowpass (DesignFIR.cpp:38-53); cutoff in Nyquist units."""
+    alpha = N // 2
+    window = hamming(N)
+    ret = [window[m] * sinc(cutoff * (m - alpha)) for m in range(N)]
+    s = sum(ret)
+    return [v / s for v in ret]
+
+
+def firwin_int(N: int, cutoff: float, multiplier: int) -> list[int]:
+    """Integer taps: round(multiplier * firwin) (DesignFIR.cpp:56-66)."""
+    return [int(round(multiplier * v)) for v in firwin(N, cutoff)]
+
+
+def default_taps(cfg: TPGConfig) -> tuple:
+    """The reference's production taps: firwin_int(7, 0.1, multiplier) with a
+    trailing 0 (WIB2FrameProcessor.cpp:93-94)."""
+    return tuple(firwin_int(7, 0.1, cfg.multiplier)) + (0,)
+
+
+# ---- the FIR tick ---------------------------------------------------------------
+
+def tpg_tick_fir(st: dict, s_raw, cfg: TPGConfig, xp, taps: tuple):
+    """One tick of the FIR+IQR pipeline over (..., C) arrays.
+
+    ``st`` additionally carries ``fir_prev``: (NTAPS, ..., C) int32,
+    oldest-first.  Returns (new_st, closed, record) like tpg_tick.
+    """
+    one = xp.int32(1)
+    zero = xp.int32(0)
+    out = dict(st)
+    limit = cfg.accumulator_limit
+
+    # IQR quantiles: gated on the *pre-update* median (ProcessNaive.hpp:94-98)
+    med0 = st["pedestals"]
+    q25, a25 = frugal_update(st["quantile25"], s_raw, st["accum25"], limit,
+                             xp, mask=s_raw < med0)
+    q75, a75 = frugal_update(st["quantile75"], s_raw, st["accum75"], limit,
+                             xp, mask=s_raw > med0)
+    med, acc = frugal_update(med0, s_raw, st["accum"], limit, xp)
+    out["quantile25"], out["accum25"] = q25, a25
+    out["quantile75"], out["accum75"] = q75, a75
+    out["pedestals"], out["accum"] = med, acc
+    sigma = q75 - q25
+
+    s = s_raw - med
+    s = xp.minimum(s, cfg.adc_max)          # pre-filter clamp
+
+    # 8-tap FIR over the previous 8 samples (current sample enters next tick)
+    buf = st["fir_prev"]
+    filt32 = zero
+    for j, t in enumerate(taps):
+        if t:
+            filt32 = filt32 + xp.int32(t) * buf[j]
+    filt = wrap_i16(filt32)
+    out["fir_prev"] = xp.concatenate([buf[1:], s[None]], axis=0)
+
+    # dynamic threshold in sigma units
+    if cfg.fir_avx_semantics:
+        sigma_c = xp.minimum(sigma, (1 << 15) // (cfg.multiplier * 5))
+        thr = mullo16(mullo16(sigma_c, xp.int32(cfg.multiplier)),
+                      xp.int32(cfg.threshold))
+        is_over = filt > thr
+    else:
+        is_over = filt > xp.int32(cfg.threshold) * sigma * \
+            xp.int32(cfg.multiplier)
+
+    closed = (st["prev_was_over"] != 0) & ~is_over
+    to_add = xp.where(is_over, filt >> cfg.tap_exponent, zero)
+    charge = xp.minimum(st["hit_charge"] + to_add, INT16_MAX)
+    peak_upd = filt > st["hit_peak_adc"]
+    if cfg.peak_gated:
+        peak_upd = peak_upd & is_over
+    peak_adc = xp.where(peak_upd, filt, st["hit_peak_adc"])
+    peak_time = xp.where(peak_upd, st["hit_tover"], st["hit_peak_time"])
+    tover = xp.minimum(st["hit_tover"] + xp.where(is_over, one, zero),
+                       INT16_MAX)
+
+    record = {"charge": charge, "tover": tover,
+              "peak_adc": peak_adc, "peak_time": peak_time}
+    out["hit_charge"] = xp.where(closed, zero, charge)
+    out["hit_tover"] = xp.where(closed, zero, tover)
+    out["hit_peak_adc"] = xp.where(closed, zero, peak_adc)
+    out["hit_peak_time"] = xp.where(closed, zero, peak_time)
+    out["prev_was_over"] = xp.where(is_over, one, zero)
+    return out, closed, record

@@ -47,23 +47,29 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .chanstate import FIELDS, NSTATE
 from .config import Algorithm, TPGConfig
-from .step import tpg_tick
+from .step import dispatch_tick
 
 LANES = 128
 SUBLANES = 8                               # minimum sublane granule (int32 tile)
-KSTATE = NSTATE + 1                        # + rs_memory_factor
+N_FIR_TAPS = 8
+KSTATE = NSTATE + 1 + N_FIR_TAPS           # + rs_memory_factor + FIR ring rows
 _STATE_KEYS = FIELDS + ("rs_memory_factor",)
+_FIR_ROW0 = NSTATE + 1                     # first FIR ring row in the stack
 
 # state fields actually carried through the tick loop, per algorithm family
 _LIVE_SIMPLE = ("pedestals", "accum", "prev_was_over", "hit_charge",
                 "hit_tover", "hit_peak_adc", "hit_peak_time")
 _LIVE_RS = _LIVE_SIMPLE + ("rs", "pedestals_rs", "accum_rs",
                            "rs_memory_factor")
+_LIVE_FIR = _LIVE_SIMPLE + ("quantile25", "quantile75", "accum25", "accum75")
 
 
 def live_fields(cfg: TPGConfig):
-    return (_LIVE_SIMPLE if cfg.algorithm == Algorithm.SIMPLE_THRESHOLD
-            else _LIVE_RS)
+    if cfg.algorithm == Algorithm.SIMPLE_THRESHOLD:
+        return _LIVE_SIMPLE
+    if cfg.algorithm == Algorithm.FIR:
+        return _LIVE_FIR
+    return _LIVE_RS
 
 
 # ---- layout helpers ------------------------------------------------------------
@@ -80,10 +86,18 @@ def pack_state(state: dict, n_channels: int, block_sublanes: int | None = None):
     sub = block_sublanes or S
     nb = -(-S // sub)
     out = np.zeros((nb, KSTATE, sub, LANES), dtype=np.int32)
-    for i, k in enumerate(_STATE_KEYS):
+
+    def put(i, values):
         v = np.zeros(nb * sub * LANES, dtype=np.int32)
-        v[:n_channels] = np.asarray(state[k], dtype=np.int32)
+        v[:n_channels] = np.asarray(values, dtype=np.int32)
         out[:, i] = v.reshape(nb, sub, LANES)
+
+    for i, k in enumerate(_STATE_KEYS):
+        put(i, state[k])
+    fir = state.get("fir_prev")
+    if fir is not None:
+        for j in range(N_FIR_TAPS):
+            put(_FIR_ROW0 + j, np.asarray(fir)[j])
     return jnp.asarray(out)
 
 
@@ -91,7 +105,9 @@ def unpack_state(stack, n_channels: int) -> dict:
     arr = np.asarray(stack)
     nb, _, sub, _ = arr.shape
     flat = arr.transpose(1, 0, 2, 3).reshape(KSTATE, nb * sub * LANES)
-    return {k: flat[i][:n_channels].copy() for i, k in enumerate(_STATE_KEYS)}
+    st = {k: flat[i][:n_channels].copy() for i, k in enumerate(_STATE_KEYS)}
+    st["fir_prev"] = flat[_FIR_ROW0:_FIR_ROW0 + N_FIR_TAPS, :n_channels].copy()
+    return st
 
 
 def pack_adcs(adcs: np.ndarray) -> np.ndarray:
@@ -121,19 +137,25 @@ def _tpg_kernel(adc_ref, state_ref, state_out_ref, slots_ref, nclose_ref,
         slots_ref[...] = jnp.zeros_like(slots_ref)
         nclose_ref[...] = jnp.zeros_like(nclose_ref)
 
+    is_fir = cfg.algorithm == Algorithm.FIR
     carry0 = tuple(state_out_ref[0, kidx[k]] for k in keys)
+    if is_fir:
+        carry0 += (jnp.stack([state_out_ref[0, _FIR_ROW0 + j]
+                              for j in range(N_FIR_TAPS)]),)
     carry0 += tuple(slots_ref[0, k] for k in range(k_slots))
     carry0 += (nclose_ref[0],)
-    nst = len(keys)
+    nst = len(keys) + (1 if is_fir else 0)
 
     def body(i, carry):
-        st = dict(zip(keys, carry[:nst]))
+        st = dict(zip(keys, carry[:len(keys)]))
+        if is_fir:
+            st["fir_prev"] = carry[len(keys)]
         if cfg.algorithm == Algorithm.SIMPLE_THRESHOLD:
             st["rs_memory_factor"] = None
         slot_words = list(carry[nst:nst + k_slots])
         nclose = carry[nst + k_slots]
 
-        st, closed, rec = tpg_tick(st, adc_ref[i], cfg, jnp)
+        st, closed, rec = dispatch_tick(st, adc_ref[i], cfg, jnp)
 
         # pack the record into 3 int32 words; lanes not closed are ignored
         tick = t_chunk * tc + i
@@ -148,11 +170,18 @@ def _tpg_kernel(adc_ref, state_ref, state_out_ref, slots_ref, nclose_ref,
             new_slots.append(jnp.where(sel[None], packed, slot_words[k]))
         nclose = nclose + closed.astype(jnp.int32)
 
-        return (tuple(st[k] for k in keys) + tuple(new_slots) + (nclose,))
+        out = tuple(st[k] for k in keys)
+        if is_fir:
+            out += (st["fir_prev"],)
+        return out + tuple(new_slots) + (nclose,)
 
     carry = jax.lax.fori_loop(0, tc, body, carry0)
     for k in keys:
         state_out_ref[0, kidx[k]] = carry[keys.index(k)]
+    if is_fir:
+        fir = carry[len(keys)]
+        for j in range(N_FIR_TAPS):
+            state_out_ref[0, _FIR_ROW0 + j] = fir[j]
     for k in range(k_slots):
         slots_ref[0, k] = carry[nst + k]
     nclose_ref[0] = carry[nst + k_slots]

@@ -13,7 +13,7 @@ import numpy as np
 from .chanstate import ChanState, init_chanstate, seed_chanstate
 from .config import TPGConfig
 from .hits import HIT_DTYPE, sort_hits
-from .step import tpg_tick
+from .step import dispatch_tick
 
 
 def process_window_reference(adcs: np.ndarray, state: ChanState,
@@ -29,7 +29,7 @@ def process_window_reference(adcs: np.ndarray, state: ChanState,
     st = {k: np.asarray(v).copy() for k, v in state.items()}
     out = []
     for t in range(T):
-        st, closed, rec = tpg_tick(st, adcs[t], cfg, np)
+        st, closed, rec = dispatch_tick(st, adcs[t], cfg, np)
         (idx,) = np.nonzero(closed)
         if len(idx):
             h = np.zeros(len(idx), dtype=HIT_DTYPE)

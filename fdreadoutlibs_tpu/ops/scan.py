@@ -16,9 +16,9 @@ import jax.numpy as jnp
 
 from .chanstate import FIELDS
 from .config import TPGConfig
-from .step import tpg_tick
+from .step import dispatch_tick
 
-STATE_KEYS = FIELDS + ("rs_memory_factor",)
+STATE_KEYS = FIELDS + ("rs_memory_factor", "fir_prev")
 
 
 def state_to_jnp(state) -> dict:
@@ -35,7 +35,7 @@ def process_window_scan(adcs, state: dict, cfg: TPGConfig):
     carry0 = {k: jnp.asarray(state[k], dtype=jnp.int32) for k in STATE_KEYS}
 
     def body(st, s_row):
-        st, closed, rec = tpg_tick(st, s_row, cfg, jnp)
+        st, closed, rec = dispatch_tick(st, s_row, cfg, jnp)
         return st, (closed, rec["charge"], rec["tover"], rec["peak_adc"],
                     rec["peak_time"])
 

@@ -129,3 +129,13 @@ def tpg_tick(st: dict, s_raw, cfg: TPGConfig, xp):
     out["hit_peak_time"] = xp.where(closed, zero, peak_time)
     out["prev_was_over"] = xp.where(is_over, one, zero)
     return out, closed, record
+
+
+def dispatch_tick(st: dict, s_raw, cfg: TPGConfig, xp):
+    """Algorithm dispatch: threshold/RS families via tpg_tick, FIR family
+    via fir.tpg_tick_fir (the reference's function-pointer dispatch,
+    WIBEthFrameProcessor.cpp:182-197)."""
+    if cfg.algorithm == Algorithm.FIR:
+        from .fir import default_taps, tpg_tick_fir
+        return tpg_tick_fir(st, s_raw, cfg, xp, cfg.taps or default_taps(cfg))
+    return tpg_tick(st, s_raw, cfg, xp)

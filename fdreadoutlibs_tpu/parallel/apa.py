@@ -45,7 +45,9 @@ def make_apa_step(mesh: Mesh, cfg: TPGConfig, max_hits_per_link: int = 512):
         Lloc, T, _ = words.shape
         adcs = wibeth.unpack_frames_jnp(words)            # (Lloc, T, 64)
         flat = adcs.transpose(1, 0, 2).reshape(T, Lloc * N_CH)
-        st = {k: state[k].reshape(Lloc * N_CH) for k in STATE_KEYS}
+        st = {k: (state[k].transpose(1, 0, 2).reshape(-1, Lloc * N_CH)
+                  if k == "fir_prev" else state[k].reshape(Lloc * N_CH))
+              for k in STATE_KEYS}
         closed, records, new_st = process_window_scan(flat, st, cfg)
 
         # shard-local per-link compaction (no cross-link coupling)
@@ -57,7 +59,10 @@ def make_apa_step(mesh: Mesh, cfg: TPGConfig, max_hits_per_link: int = 512):
                                              max_hits=max_hits_per_link)
         )(closed_l, records_l)
         total = jax.lax.psum(jnp.sum(n_hits), "link")
-        new_state = {k: new_st[k].reshape(Lloc, N_CH) for k in STATE_KEYS}
+        new_state = {k: (new_st[k].reshape(-1, Lloc, N_CH).transpose(1, 0, 2)
+                         if k == "fir_prev"
+                         else new_st[k].reshape(Lloc, N_CH))
+                     for k in STATE_KEYS}
         return hits, n_hits, total, new_state
 
     state_spec = {k: P("link") for k in STATE_KEYS}
@@ -95,9 +100,15 @@ class APAPipeline:
                             np.asarray(first_samples).reshape(-1),
                             rs_memory_factor)
         sharding = NamedSharding(self.mesh, P("link"))
-        self.state = {k: jax.device_put(
-            np.asarray(st[k], dtype=np.int32).reshape(self.n_links, N_CH),
-            sharding) for k in STATE_KEYS}
+
+        def to_link_major(k):
+            v = np.asarray(st[k], dtype=np.int32)
+            if k == "fir_prev":   # (NTAPS, C) -> (L, NTAPS, 64)
+                return v.reshape(-1, self.n_links, N_CH).transpose(1, 0, 2)
+            return v.reshape(self.n_links, N_CH)
+
+        self.state = {k: jax.device_put(to_link_major(k), sharding)
+                      for k in STATE_KEYS}
 
     def process(self, words: np.ndarray):
         """words: (L, T, 28) uint32 packed ADC rows for T ticks per link."""

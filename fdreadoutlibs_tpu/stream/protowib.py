@@ -1,0 +1,198 @@
+"""ProtoWIB frame processor — the legacy FIR+IQR dual-plane pipeline.
+
+Equivalent of WIBFrameProcessor (include/fdreadoutlibs/wib/
+WIBFrameProcessor.hpp; excluded from the reference *build* but fully
+specified): preprocess = timestamp_check (delta 25/frame, 300/superchunk,
+hpp:352-394) + frame_error_check (16 wib_errors bits with rate-limited
+errored-frame forwarding, hpp:399-438); postprocess = FIR+IQR hit finding
+with the collection/induction plane split.
+
+The reference runs collection (6 registers) on the caller thread and
+induction (10 registers) on a pinned spin-waiting thread because "a single
+thread can't keep up with all channels" (hpp:455-459, 545-584).  On TPU
+both planes are lane subsets of one batch; they are processed as two kernel
+invocations purely to honor the separate per-plane thresholds, with no
+thread handshake (SURVEY.md §2.7).
+
+Hits feed the legacy WIBTPHandler (fixed aligned TPSet windows) rather
+than the TPCTPRequestHandler path (hpp:665-667).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..formats import protowib
+from ..formats.trigprim import TP_DTYPE, TPAlgorithm, TPType
+from ..ops import TPGConfig, Algorithm
+from ..ops.chanstate import init_chanstate, seed_chanstate
+from ..tp.wib_tp_handler import WIBTPHandler
+from .errors import ErrorInterval
+from .processor import TaskRawDataProcessor
+
+CLOCKS_PER_TPC_TICK = 25     # 2 MHz @ 50 MHz clock (hpp:586-590)
+
+
+class WIBFrameProcessor(TaskRawDataProcessor):
+
+    def __init__(self, error_registry=None, tp_handler: WIBTPHandler | None = None,
+                 errored_frame_sink=None):
+        super().__init__(error_registry)
+        self.tp_handler = tp_handler
+        self.errored_frame_sink = errored_frame_sink
+        self.tpg_enabled = False
+        self.backend = "reference"
+
+    def conf(self, config: dict) -> None:
+        super().conf(config)
+        self.crate_no = config.get("crate_id", 0)
+        self.slot_no = config.get("slot_id", 0)
+        self.fiber_no = config.get("link_id", 0)
+        self.backend = config.get("tpg_backend", "reference")
+        # per-plane thresholds in sigma units (hpp:724: m_coll_threshold=5)
+        self.coll_threshold = config.get("tpg_collection_threshold", 5)
+        self.ind_threshold = config.get("tpg_induction_threshold", 5)
+        self.min_collection_offline = config.get("min_collection_offline", 9472)
+        self.min_induction_offline = config.get("min_induction_offline", 7680)
+        self.error_forward_limit = config.get("errored_frame_forward_limit", 16)
+
+        self.add_preprocess_task(self.timestamp_check)
+        self.add_preprocess_task(self.frame_error_check)
+        if config.get("enable_tpg", config.get("enable_software_tpg", False)):
+            self.tpg_enabled = True
+            self.add_postprocess_task(self.find_hits)
+
+    def start(self, args=None) -> None:
+        super().start(args)
+        self.previous_ts = 0
+        self._first_ts_check = True
+        self._first_hit = True
+        self._coll_state = None
+        self._ind_state = None
+        coll_off, ind_off = protowib.register_offline_channels(
+            self.min_collection_offline, self.min_induction_offline)
+        self.collection_offlines = coll_off
+        self.induction_offlines = ind_off
+        if self.tp_handler is not None:
+            self.tp_handler.reset()
+
+    # ------------------------------------------------------------ checks
+    def timestamp_check(self, superchunks: np.ndarray) -> None:
+        tick = protowib.SUPERCHUNK_TICK_DIFFERENCE     # 300
+        frames = protowib.superchunk_frames(superchunks)
+        if self.emulator_mode:
+            first = (self.previous_ts + tick) if not self._first_ts_check else \
+                int(protowib.get_timestamp(frames[0, :1])[0])
+            protowib.fake_timestamps(superchunks, first)
+        ts = protowib.get_timestamp(frames[:, 0]).astype(np.uint64)
+        prev = np.concatenate([[np.uint64(self.previous_ts)], ts[:-1]])
+        ok = (ts - prev) == tick
+        if self._first_ts_check:
+            ok[0] = True
+            self._first_ts_check = False
+        bad = np.nonzero(~ok)[0]
+        if len(bad):
+            self.metrics.inc("num_ts_errors", len(bad))
+            for i in bad[:16]:
+                self.error_registry.add_error(
+                    "MISSING_FRAMES", ErrorInterval(int(prev[i] + tick),
+                                                    int(ts[i])))
+        self.previous_ts = int(ts[-1])
+        self.last_processed_daq_ts = int(ts[-1])
+
+    def frame_error_check(self, superchunks: np.ndarray) -> None:
+        """16 WIB error bits per frame; errored frames forwarded to the
+        errored_frames sink, rate-limited (hpp:399-438)."""
+        frames = protowib.superchunk_frames(superchunks)
+        errs = protowib.get_wib_errors(frames.reshape(-1, protowib.FRAME_SIZE))
+        bad = np.nonzero(errs != 0)[0]
+        if len(bad):
+            self.metrics.inc("num_frame_errors", len(bad))
+            for bit in range(16):
+                n_bit = int(((errs[bad] >> bit) & 1).sum())
+                if n_bit:
+                    self.metrics.inc(f"num_frame_errors_bit{bit}", n_bit)
+            if self.errored_frame_sink is not None:
+                flat = frames.reshape(-1, protowib.FRAME_SIZE)
+                self.errored_frame_sink.try_send(
+                    flat[bad[: self.error_forward_limit]].copy())
+
+    # --------------------------------------------------------------- TPG
+    def _seed(self, adcs0: np.ndarray) -> None:
+        coll0 = adcs0[protowib.COLLECTION_INDEX_TO_CHAN]
+        ind0 = adcs0[protowib.INDUCTION_INDEX_TO_CHAN]
+        self.coll_cfg = TPGConfig(algorithm=Algorithm.FIR,
+                                  threshold=self.coll_threshold)
+        self.ind_cfg = TPGConfig(algorithm=Algorithm.FIR,
+                                 threshold=self.ind_threshold)
+        self._coll_state = seed_chanstate(
+            init_chanstate(protowib.N_COLLECTION), coll0, 0)
+        self._ind_state = seed_chanstate(
+            init_chanstate(protowib.N_INDUCTION), ind0, 0)
+        self._first_hit = False
+
+    def find_hits(self, superchunks: np.ndarray) -> None:
+        if superchunks.shape[0] == 0:
+            return
+        frames = protowib.superchunk_frames(superchunks)
+        timestamp = int(protowib.get_timestamp(frames[0, :1])[0])
+        adcs = protowib.get_adcs(frames).reshape(-1, protowib.N_CHANNELS) \
+            .astype(np.int32)
+        if self._first_hit:
+            self._seed(adcs[0])
+
+        coll = adcs[:, protowib.COLLECTION_INDEX_TO_CHAN]
+        ind = adcs[:, protowib.INDUCTION_INDEX_TO_CHAN]
+        h_coll, self._coll_state = self._run(coll, self._coll_state,
+                                             self.coll_cfg)
+        h_ind, self._ind_state = self._run(ind, self._ind_state, self.ind_cfg)
+        self.metrics.inc("num_hits", len(h_coll) + len(h_ind))
+        current = timestamp + CLOCKS_PER_TPC_TICK * adcs.shape[0]
+        self._emit_tps(h_coll, self.collection_offlines, timestamp, current)
+        self._emit_tps(h_ind, self.induction_offlines, timestamp, current)
+        if self.tp_handler is not None:
+            self.tp_handler.try_sending_tpsets(current)
+
+    def _run(self, adcs, state, cfg):
+        if self.backend == "reference":
+            from ..ops.reference import process_window_reference
+            return process_window_reference(adcs, state, cfg)
+        import jax.numpy as jnp
+        from ..ops.hits import decode_dense
+        from ..ops.scan import process_window_scan, state_to_jnp
+        closed, records, new_state = process_window_scan(
+            jnp.asarray(adcs), state_to_jnp(state), cfg)
+        state.update({k: np.asarray(v) for k, v in new_state.items()})
+        return decode_dense(closed, records), state
+
+    def _emit_tps(self, hits: np.ndarray, offlines: np.ndarray,
+                  timestamp: int, current_time: int) -> None:
+        """add_hits_to_tphandler (hpp:586-676): WIB TP variant with
+        clocksPerTPCTick = 25, peak = midpoint, adc_peak = charge/20."""
+        if len(hits) == 0:
+            return
+        end_tick = hits["end_tick"].astype(np.int64)
+        tover = hits["tover"].astype(np.int64)
+        t_begin = np.int64(timestamp) + CLOCKS_PER_TPC_TICK * (end_tick - tover)
+        t_end = np.int64(timestamp) + CLOCKS_PER_TPC_TICK * end_tick
+        tps = np.zeros(len(hits), dtype=TP_DTYPE)
+        tps["time_start"] = t_begin.astype(np.uint64)
+        tps["time_peak"] = ((t_begin + t_end) // 2).astype(np.uint64)
+        tps["time_over_threshold"] = (tover * CLOCKS_PER_TPC_TICK).astype(np.uint64)
+        tps["channel"] = offlines[hits["channel"]]
+        tps["adc_integral"] = hits["charge"]
+        tps["adc_peak"] = hits["charge"] // 20
+        tps["detid"] = self.fiber_no
+        tps["type"] = TPType.kTPC
+        # the reference labels WIB FIR output kSimpleThreshold (hpp:659)
+        tps["algorithm"] = TPAlgorithm.kSimpleThreshold
+        tps["version"] = 1
+        self.metrics.add_channel_tps(tps["channel"])
+        if self.tp_handler is not None:
+            accepted = self.tp_handler.add_tps(tps, current_time)
+            self.metrics.inc("num_tps_sent", accepted)
+            if accepted < len(tps):
+                self.metrics.inc("num_tps_suppressed_too_long",
+                                 len(tps) - accepted)
+        else:
+            self.metrics.inc("num_tps_sent", len(tps))

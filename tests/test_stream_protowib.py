@@ -1,0 +1,122 @@
+"""ProtoWIB processor + legacy WIBTPHandler tests."""
+
+import numpy as np
+import pytest
+
+from fdreadoutlibs_tpu.formats import protowib
+from fdreadoutlibs_tpu.formats.trigprim import make_tps
+from fdreadoutlibs_tpu.stream.protowib import WIBFrameProcessor
+from fdreadoutlibs_tpu.stream.transport import QueueSender
+from fdreadoutlibs_tpu.tp.wib_tp_handler import WIBTPHandler
+
+
+def make_superchunks(n, pulse_chan=None, pulse_amp=600, base=800, seed=0):
+    rng = np.random.default_rng(seed)
+    T = n * protowib.FRAMES_PER_SUPERCHUNK
+    adcs = (base + rng.normal(0, 3, size=(T, 256))).astype(np.uint16) & 0xFFF
+    if pulse_chan is not None:
+        adcs[40:52, pulse_chan] += pulse_amp
+    sc = protowib.empty_superchunks(n)
+    frames = protowib.superchunk_frames(sc)
+    protowib.set_adcs(frames, adcs.reshape(n, 12, 256))
+    protowib.fake_timestamps(sc, 50_000)
+    return sc, adcs
+
+
+def make_processor(**conf):
+    handler = WIBTPHandler(tp_sink=QueueSender(), tpset_sink=QueueSender(),
+                           tp_timeout=100_000, tpset_window_size=2_000)
+    proc = WIBFrameProcessor(tp_handler=handler,
+                             errored_frame_sink=QueueSender())
+    c = {"crate_id": 0, "slot_id": 0, "link_id": 0, "enable_tpg": True}
+    c.update(conf)
+    proc.conf(c)
+    proc.start()
+    return proc, handler
+
+
+class TestWIBTPHandler:
+    def test_add_and_window(self):
+        tp_q, tpset_q = QueueSender(), QueueSender()
+        h = WIBTPHandler(tp_sink=tp_q, tpset_sink=tpset_q, tp_timeout=100,
+                         tpset_window_size=50)
+        tps = make_tps(3)
+        tps["time_start"] = [120, 130, 210]
+        for tp in tps:
+            assert h.add_tp(tp, current_time=200)
+        # too-old TP rejected (hpp:49-57)
+        old = make_tps(1)
+        old["time_start"] = [50]
+        assert not h.add_tp(old[0], current_time=200)
+        # window [100,150) closes once current > 120+50+100
+        assert h.try_sending_tpsets(260) is None
+        tpset = h.try_sending_tpsets(271)
+        assert tpset is not None
+        assert tpset.start_time == 100 and tpset.end_time == 150
+        assert len(tpset.objects) == 2
+        assert len(h) == 1          # the 210 TP remains
+
+    def test_ordering(self):
+        h = WIBTPHandler(tp_timeout=1000, tpset_window_size=1000)
+        tps = make_tps(3)
+        tps["time_start"] = [300, 100, 200]
+        h.add_tps(tps, current_time=500)
+        s = h.try_sending_tpsets(100 + 1000 + 1000 + 1)
+        assert [int(t["time_start"]) for t in s.objects] == [100, 200, 300]
+
+
+class TestWIBFrameProcessor:
+    def test_collection_pulse_tp(self):
+        pulse_chan = int(protowib.COLLECTION_INDEX_TO_CHAN[20])
+        proc, handler = make_processor()
+        sc, _ = make_superchunks(16, pulse_chan=pulse_chan)
+        proc.process(sc)
+        assert proc.metrics.count("num_hits") >= 1
+        assert proc.metrics.count("num_tps_sent") >= 1
+        # offline channel mapping: register 20 -> offline offset table
+        top = proc.metrics.top_channels()[0][0]
+        assert top == proc.collection_offlines[20]
+
+    def test_induction_pulse_goes_to_induction_plane(self):
+        pulse_chan = int(protowib.INDUCTION_INDEX_TO_CHAN[33])
+        proc, handler = make_processor()
+        sc, _ = make_superchunks(16, pulse_chan=pulse_chan)
+        proc.process(sc)
+        top = proc.metrics.top_channels()[0][0]
+        assert top == proc.induction_offlines[33]
+
+    def test_timestamp_gap(self):
+        proc, _ = make_processor()
+        sc, _ = make_superchunks(4)
+        frames = protowib.superchunk_frames(sc)
+        ts = protowib.get_timestamp(frames[2])
+        protowib.set_timestamp(frames[2], ts + 300)
+        protowib.set_timestamp(frames[3], ts + 600)
+        proc.process(sc)
+        assert proc.metrics.count("num_ts_errors") >= 1
+
+    def test_frame_errors_forwarded(self):
+        proc, _ = make_processor()
+        sc, _ = make_superchunks(2)
+        protowib.fake_frame_errors(sc[0:1], 0b101)
+        proc.process(sc)
+        assert proc.metrics.count("num_frame_errors") == 12  # all frames of sc0
+        assert proc.metrics.count("num_frame_errors_bit0") == 12
+        assert proc.metrics.count("num_frame_errors_bit2") == 12
+        assert len(proc.errored_frame_sink) == 1
+
+    def test_tp_times_use_25_tick_clock(self):
+        pulse_chan = int(protowib.COLLECTION_INDEX_TO_CHAN[0])
+        proc, handler = make_processor()
+        sc, _ = make_superchunks(16, pulse_chan=pulse_chan, pulse_amp=800)
+        proc.process(sc)
+        # drain everything through the tpset path
+        tpset = handler.try_sending_tpsets(10**12)
+        tps = tpset.objects
+        assert len(tps) >= 1
+        tp = tps[0]
+        # pulse at ticks 40..51 -> begin = 50_000 + 25 * begin_tick
+        assert (int(tp["time_start"]) - 50_000) % 25 == 0
+        begin_tick = (int(tp["time_start"]) - 50_000) // 25
+        assert 38 <= begin_tick <= 46    # FIR group delay shifts it a bit
+        assert tp["adc_peak"] == tp["adc_integral"] // 20
