@@ -1,0 +1,241 @@
+"""Validation / emulation CLI.
+
+Covers the reference's documented tooling (docs/README.md:20-121):
+
+* ``tpg-emulator``     — wibeth_tpg_algorithms_emulator: replay a WIBEth
+  binary through a TPG algorithm/backend, with --save-adc-data /
+  --save-trigprim and a throughput report;
+* ``pattern-generator``— wibeth_tpg_pattern_generator: write pattern
+  binaries (golden/pulse/edge_*) onto an input file's timestamps;
+* ``frame-reader``     — wibeth_binary_frame_reader: dump frame headers/ADCs;
+* ``frame-modifier``   — wibeth_binary_frame_modifier: patch ADCs/headers;
+* ``compare-backends`` — compare_avx_vs_naive.py: cross-check hit lists
+  between backends (here: reference vs scan vs pallas);
+* ``make-zeros``       — generate the all-zeros asset file.
+
+Run: ``python -m fdreadoutlibs_tpu.cli <command> -h``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _load_wibeth(path):
+    from .formats import wibeth
+    from .stream.emulator import FileSourceBuffer
+    buf = FileSourceBuffer(wibeth.FRAME_SIZE)
+    return buf.read(path)
+
+
+def cmd_tpg_emulator(args) -> int:
+    from .formats import wibeth
+    from .models import run_model
+    from .ops import TPGConfig
+
+    frames = _load_wibeth(args.file)
+    if args.num_frames_to_read > 0:
+        frames = frames[: args.num_frames_to_read]
+    adcs = wibeth.get_adcs(frames).reshape(-1, wibeth.N_CHANNELS) \
+        .astype(np.int32)
+    ts0 = int(wibeth.get_timestamp(frames)[0])
+    cfg = TPGConfig.from_raw(algorithm=args.algorithm,
+                             threshold=args.threshold,
+                             rs_memory_factor=args.rs_memory_factor,
+                             rs_scale_factor=args.rs_scale_factor)
+    t_start = time.perf_counter()
+    n_runs = max(1, args.repeat)
+    for _ in range(n_runs):
+        hits, _ = run_model(adcs, cfg, backend=args.implementation)
+    wall = (time.perf_counter() - t_start) / n_runs
+    data_seconds = adcs.shape[0] * 32 / 62.5e6
+
+    if args.save_adc_data:
+        np.savetxt(args.save_adc_data, adcs, fmt="%d", delimiter=",")
+        print(f"ADC data -> {args.save_adc_data}")
+    if args.save_trigprim:
+        with open(args.save_trigprim, "w") as f:
+            f.write("channel,time_start,time_over_threshold,time_peak,"
+                    "adc_integral,adc_peak,type\n")
+            for h in hits:
+                t_begin = ts0 + 32 * (int(h["end_tick"]) - int(h["tover"]))
+                f.write(f"{int(h['channel'])},{t_begin},{32 * int(h['tover'])},"
+                        f"{t_begin + 32 * int(h['peak_time'])},"
+                        f"{int(h['charge'])},{int(h['peak_adc'])},1\n")
+        print(f"TPs -> {args.save_trigprim}")
+
+    print(json.dumps({
+        "frames": len(frames), "channels": wibeth.N_CHANNELS,
+        "algorithm": args.algorithm, "implementation": args.implementation,
+        "hits": len(hits), "wall_seconds": round(wall, 6),
+        "realtime_factor": round(data_seconds / wall, 3),
+    }))
+    return 0
+
+
+def cmd_pattern_generator(args) -> int:
+    from .stream.emulator import pattern_file
+    ts0 = 0x66583B8C7E967
+    if args.file:
+        from .formats import wibeth
+        frames = _load_wibeth(args.file)
+        ts0 = int(wibeth.get_timestamp(frames)[0])
+    out = args.output or f"patt_{args.pattern}_{args.time_tick_offset}" \
+        "_wibeth_output.bin"
+    pattern_file(out, args.pattern, n_frames=args.num_frames_to_read or 2,
+                 channel=args.input_channel, offset=args.time_tick_offset,
+                 first_timestamp=ts0)
+    print(f"pattern '{args.pattern}' -> {out}")
+    if args.save_trigprim:
+        ns = argparse.Namespace(
+            file=out, num_frames_to_read=0, algorithm="SimpleThreshold",
+            threshold=args.threshold, rs_memory_factor=0.8,
+            rs_scale_factor=2.0, implementation="reference", repeat=1,
+            save_adc_data=None,
+            save_trigprim=out.replace(".bin", "_tps.txt"))
+        return cmd_tpg_emulator(ns)
+    return 0
+
+
+def cmd_frame_reader(args) -> int:
+    from .formats import wibeth
+    frames = _load_wibeth(args.file)
+    n = min(len(frames), args.num_frames_to_read or len(frames))
+    for i in range(n):
+        f = frames[i:i + 1]
+        print(f"frame {i}: ts={int(wibeth.get_timestamp(f)[0])} "
+              f"seq={int(wibeth.get_header_field(f, 'seq_id')[0])} "
+              f"crate={int(wibeth.get_header_field(f, 'crate_id')[0])} "
+              f"slot={int(wibeth.get_header_field(f, 'slot_id')[0])} "
+              f"stream={int(wibeth.get_header_field(f, 'stream_id')[0])}")
+        if args.dump_adcs:
+            adcs = wibeth.get_adcs(f)[0]
+            for t in range(0, 64, args.adc_stride):
+                print(" ", " ".join(f"{v:5d}" for v in adcs[t]))
+    return 0
+
+
+def cmd_frame_modifier(args) -> int:
+    from .formats import wibeth
+    frames = _load_wibeth(args.file).copy()
+    if args.set_channel is not None:
+        adcs = wibeth.get_adcs(frames)
+        adcs[..., args.set_channel] = args.set_value
+        wibeth.set_adcs(frames, adcs)
+    if args.set_timestamp is not None:
+        wibeth.fake_timestamps(frames, args.set_timestamp)
+    out = args.output or args.file.replace(".bin", "_modified.bin")
+    frames.tofile(out)
+    print(f"modified {len(frames)} frames -> {out}")
+    return 0
+
+
+def cmd_compare_backends(args) -> int:
+    """compare_avx_vs_naive.py equivalent: assert hit-list equality."""
+    from .formats import wibeth
+    from .models import run_model
+    from .ops import TPGConfig
+    frames = _load_wibeth(args.file)
+    adcs = wibeth.get_adcs(frames).reshape(-1, wibeth.N_CHANNELS) \
+        .astype(np.int32)
+    cfg = TPGConfig.from_raw(algorithm=args.algorithm,
+                             threshold=args.threshold)
+    results = {}
+    for backend in args.backends:
+        hits, _ = run_model(adcs, cfg, backend=backend)
+        results[backend] = hits
+        print(f"{backend}: {len(hits)} hits")
+    base = args.backends[0]
+    ok = True
+    for other in args.backends[1:]:
+        same = np.array_equal(results[base], results[other])
+        print(f"{base} vs {other}: {'MATCH' if same else 'MISMATCH'}")
+        ok &= same
+    return 0 if ok else 1
+
+
+def cmd_make_zeros(args) -> int:
+    from .stream.emulator import all_zeros_wibeth_file
+    all_zeros_wibeth_file(args.output, n_frames=args.num_frames)
+    print(f"all-zeros file ({args.num_frames} frames) -> {args.output}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="fdreadoutlibs_tpu",
+                                description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    e = sub.add_parser("tpg-emulator", help="run TPG over a frame file")
+    e.add_argument("-f", "--file", required=True)
+    e.add_argument("-a", "--algorithm", default="SimpleThreshold",
+                   choices=["SimpleThreshold", "AbsRS", "StandardRS", "FIR"])
+    e.add_argument("-i", "--implementation", default="scan",
+                   choices=["reference", "scan", "pallas"])
+    e.add_argument("-n", "--num-frames-to-read", type=int, default=-1)
+    e.add_argument("-t", "--threshold", type=int, default=499)
+    e.add_argument("--rs-memory-factor", type=float, default=0.8)
+    e.add_argument("--rs-scale-factor", type=float, default=2.0)
+    e.add_argument("-d", "--repeat", type=int, default=1,
+                   help="repeat runs for timing")
+    e.add_argument("--save-adc-data", metavar="CSV")
+    e.add_argument("--save-trigprim", metavar="TXT")
+    e.set_defaults(fn=cmd_tpg_emulator)
+
+    g = sub.add_parser("pattern-generator", help="write pattern binaries")
+    g.add_argument("-f", "--file", help="input file providing timestamps")
+    g.add_argument("-p", "--pattern", default="golden",
+                   choices=["golden", "pulse", "edge_square", "edge_left",
+                            "edge_right"])
+    g.add_argument("-n", "--num-frames-to-read", type=int, default=2)
+    g.add_argument("-i", "--input-channel", type=int, default=0)
+    g.add_argument("-o", "--time-tick-offset", type=int, default=1)
+    g.add_argument("-t", "--threshold", type=int, default=499)
+    g.add_argument("--output")
+    g.add_argument("--save-trigprim", action="store_true")
+    g.set_defaults(fn=cmd_pattern_generator)
+
+    r = sub.add_parser("frame-reader", help="dump frame headers/ADCs")
+    r.add_argument("-f", "--file", required=True)
+    r.add_argument("-n", "--num-frames-to-read", type=int, default=4)
+    r.add_argument("--dump-adcs", action="store_true")
+    r.add_argument("--adc-stride", type=int, default=16)
+    r.set_defaults(fn=cmd_frame_reader)
+
+    m = sub.add_parser("frame-modifier", help="patch a frame file")
+    m.add_argument("-f", "--file", required=True)
+    m.add_argument("--set-channel", type=int)
+    m.add_argument("--set-value", type=int, default=0)
+    m.add_argument("--set-timestamp", type=int)
+    m.add_argument("--output")
+    m.set_defaults(fn=cmd_frame_modifier)
+
+    c = sub.add_parser("compare-backends",
+                       help="cross-check hit lists between backends")
+    c.add_argument("-f", "--file", required=True)
+    c.add_argument("-a", "--algorithm", default="SimpleThreshold")
+    c.add_argument("-t", "--threshold", type=int, default=499)
+    c.add_argument("-b", "--backends", nargs="+",
+                   default=["reference", "scan"])
+    c.set_defaults(fn=cmd_compare_backends)
+
+    z = sub.add_parser("make-zeros", help="generate the all-zeros asset")
+    z.add_argument("-o", "--output", default="wibeth_output_all_zeros.bin")
+    z.add_argument("-n", "--num-frames", type=int, default=32)
+    z.set_defaults(fn=cmd_make_zeros)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
