@@ -1,0 +1,177 @@
+"""ctypes bindings for the native C++ runtime pieces.
+
+The library is built on demand (``make -C fdreadoutlibs_tpu/native``) or at
+first import; absence of a toolchain degrades gracefully to the pure-Python
+implementations (``available()`` reports which path is active).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_DIR = Path(__file__).parent
+_LIB_PATH = _DIR / "libfdreadout_native.so"
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", str(_DIR)], check=True,
+                       capture_output=True, timeout=120)
+        return _LIB_PATH.exists()
+    except Exception:
+        return False
+
+
+def load():
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not _LIB_PATH.exists() and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:
+        return None
+    # latency buffer
+    lib.lb_create.restype = ctypes.c_void_p
+    lib.lb_create.argtypes = [ctypes.c_uint64, ctypes.c_uint64]
+    lib.lb_destroy.argtypes = [ctypes.c_void_p]
+    lib.lb_insert.restype = ctypes.c_uint64
+    lib.lb_insert.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                              ctypes.c_uint64]
+    lib.lb_occupancy.restype = ctypes.c_uint64
+    lib.lb_occupancy.argtypes = [ctypes.c_void_p]
+    lib.lb_bounds.restype = ctypes.c_int
+    lib.lb_bounds.argtypes = [ctypes.c_void_p,
+                              ctypes.POINTER(ctypes.c_uint64),
+                              ctypes.POINTER(ctypes.c_uint64)]
+    lib.lb_count_window.restype = ctypes.c_uint64
+    lib.lb_count_window.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
+                                    ctypes.c_uint64]
+    lib.lb_extract_window.restype = ctypes.c_uint64
+    lib.lb_extract_window.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
+                                      ctypes.c_uint64, ctypes.c_char_p,
+                                      ctypes.c_uint64]
+    lib.lb_pop_until.restype = ctypes.c_uint64
+    lib.lb_pop_until.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+    lib.lb_cleanup_max_ts_diff.restype = ctypes.c_uint64
+    lib.lb_cleanup_max_ts_diff.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+    # frame codec
+    for name, argtypes in [
+        ("wibeth_unpack", [ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p]),
+        ("wibeth_pack", [ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p]),
+        ("wibeth_timestamps", [ctypes.c_char_p, ctypes.c_uint64,
+                               ctypes.c_char_p]),
+        ("wibeth_fake_headers", [ctypes.c_char_p, ctypes.c_uint64,
+                                 ctypes.c_uint64, ctypes.c_uint64,
+                                 ctypes.c_uint64]),
+    ]:
+        fn = getattr(lib, name)
+        fn.restype = None
+        fn.argtypes = argtypes
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def _ptr(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.c_char_p)
+
+
+class NativeLatencyBuffer:
+    """Native ordered buffer over fixed-size structured records; the key is
+    the first 8 bytes (e.g. TP_DTYPE.time_start)."""
+
+    def __init__(self, dtype: np.dtype, capacity: int = 0):
+        lib = load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self.dtype = np.dtype(dtype)
+        assert self.dtype.itemsize >= 8
+        self._h = lib.lb_create(self.dtype.itemsize, capacity)
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.lb_destroy(self._h)
+            self._h = None
+
+    def insert(self, records: np.ndarray) -> int:
+        records = np.ascontiguousarray(records, dtype=self.dtype)
+        return int(self._lib.lb_insert(self._h, _ptr(records), len(records)))
+
+    def occupancy(self) -> int:
+        return int(self._lib.lb_occupancy(self._h))
+
+    def bounds(self):
+        lo, hi = ctypes.c_uint64(), ctypes.c_uint64()
+        if not self._lib.lb_bounds(self._h, ctypes.byref(lo),
+                                   ctypes.byref(hi)):
+            return None
+        return int(lo.value), int(hi.value)
+
+    def oldest_ts(self):
+        b = self.bounds()
+        return None if b is None else b[0]
+
+    def newest_ts(self):
+        b = self.bounds()
+        return None if b is None else b[1]
+
+    def extract_window(self, start: int, end: int) -> np.ndarray:
+        n = int(self._lib.lb_count_window(self._h, start, end))
+        out = np.zeros(n, dtype=self.dtype)
+        if n:
+            got = int(self._lib.lb_extract_window(self._h, start, end,
+                                                  _ptr(out), n))
+            out = out[:got]
+        return out
+
+    def pop_until(self, ts: int) -> int:
+        return int(self._lib.lb_pop_until(self._h, ts))
+
+    def cleanup_max_ts_diff(self, max_diff: int) -> int:
+        return int(self._lib.lb_cleanup_max_ts_diff(self._h, max_diff))
+
+
+def wibeth_unpack(frames: np.ndarray) -> np.ndarray:
+    """Native WIBEth unpack: (n, 7200) uint8 -> (n*64, 64) uint16."""
+    lib = load()
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    n = frames.shape[0]
+    out = np.empty((n * 64, 64), dtype=np.uint16)
+    lib.wibeth_unpack(_ptr(frames), n, _ptr(out))
+    return out
+
+
+def wibeth_pack(frames: np.ndarray, adcs: np.ndarray) -> None:
+    lib = load()
+    adcs = np.ascontiguousarray(adcs, dtype=np.uint16)
+    lib.wibeth_pack(_ptr(frames), frames.shape[0], _ptr(adcs))
+
+
+def wibeth_timestamps(frames: np.ndarray) -> np.ndarray:
+    lib = load()
+    n = frames.shape[0]
+    out = np.empty(n, dtype=np.uint64)
+    lib.wibeth_timestamps(_ptr(np.ascontiguousarray(frames)), n, _ptr(out))
+    return out
+
+
+def wibeth_fake_headers(frames: np.ndarray, first_ts: int, tick: int = 2048,
+                        first_seq: int = 0) -> None:
+    lib = load()
+    lib.wibeth_fake_headers(_ptr(frames), frames.shape[0], first_ts, tick,
+                            first_seq)

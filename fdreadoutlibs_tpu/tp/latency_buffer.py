@@ -109,3 +109,57 @@ class LatencyBuffer:
     def snapshot(self) -> np.ndarray:
         with self._lock:
             return self._consolidate().copy()
+
+
+class NativeLatencyBufferAdapter:
+    """Same interface as :class:`LatencyBuffer`, backed by the C++ ordered
+    buffer (fdreadoutlibs_tpu/native/latency_buffer.cpp)."""
+
+    def __init__(self, dtype, capacity: int | None = None, key: str = "time_start"):
+        from .. import native
+        self.key = key
+        self._buf = native.NativeLatencyBuffer(dtype, capacity or 0)
+        self.total_inserted = 0
+
+    def insert(self, batch: np.ndarray) -> int:
+        n = self._buf.insert(batch)
+        self.total_inserted += n
+        return n
+
+    def occupancy(self) -> int:
+        return self._buf.occupancy()
+
+    def oldest_ts(self):
+        return self._buf.oldest_ts()
+
+    def newest_ts(self):
+        return self._buf.newest_ts()
+
+    def extract_window(self, start_ts: int, end_ts: int) -> np.ndarray:
+        return self._buf.extract_window(int(start_ts), int(end_ts))
+
+    def pop_until(self, ts: int) -> int:
+        return self._buf.pop_until(int(ts))
+
+    def cleanup_max_ts_diff(self, max_ts_diff: int) -> int:
+        return self._buf.cleanup_max_ts_diff(int(max_ts_diff))
+
+    def snapshot(self) -> np.ndarray:
+        lo = self.oldest_ts()
+        if lo is None:
+            return np.zeros(0, dtype=self._buf.dtype)
+        return self.extract_window(lo, (1 << 63))
+
+
+def make_latency_buffer(dtype=None, capacity: int | None = None,
+                        prefer_native: bool = True):
+    """Factory: native C++ ordered buffer when available (and a dtype is
+    given), else the pure-Python sorted buffer."""
+    if prefer_native and dtype is not None:
+        try:
+            from .. import native
+            if native.available():
+                return NativeLatencyBufferAdapter(dtype, capacity)
+        except Exception:
+            pass
+    return LatencyBuffer(capacity=capacity)
