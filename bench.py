@@ -29,7 +29,7 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     C, T = 2560, 8192
-    TC, K = 512, 2
+    TC, K, UNROLL = 512, 2, 8
     SAMPLE_HZ = 62.5e6 / 32                     # 1.953125 MHz per channel
     cfg = TPGConfig(threshold=150)
 
@@ -47,7 +47,7 @@ def main():
         t0 = time.perf_counter()
         for _ in range(n):
             slots, nclose, s = process_window_pallas(packed, s, cfg, tc=TC,
-                                                     k_slots=K,
+                                                     k_slots=K, unroll=UNROLL,
                                                      interpret=not on_tpu)
         _ = float(jnp.sum(s[:, 0]))             # hard sync
         return time.perf_counter() - t0, (slots, nclose, s)

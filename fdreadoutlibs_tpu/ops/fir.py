@@ -30,7 +30,7 @@ from __future__ import annotations
 import math
 
 from .config import TPGConfig
-from .fixedpoint import mullo16, wrap_i16
+from .fixedpoint import mullo16_i16, wrap_i16
 from .step import frugal_update
 
 INT16_MAX = 32767
@@ -111,7 +111,7 @@ def tpg_tick_fir(st: dict, s_raw, cfg: TPGConfig, xp, taps: tuple):
     # dynamic threshold in sigma units
     if cfg.fir_avx_semantics:
         sigma_c = xp.minimum(sigma, (1 << 15) // (cfg.multiplier * 5))
-        thr = mullo16(mullo16(sigma_c, xp.int32(cfg.multiplier)),
+        thr = mullo16_i16(mullo16_i16(sigma_c, xp.int32(cfg.multiplier)),
                       xp.int32(cfg.threshold))
         is_over = filt > thr
     else:

@@ -41,6 +41,17 @@ def mullo16(a, b):
     return wrap_i16(wrap_i16(a) * wrap_i16(b))
 
 
+def mullo16_i16(a, b):
+    """mullo16 for inputs ALREADY in int16 range (skips the input wraps).
+
+    Every carried state value is stored wrapped, and pedestal-subtracted
+    14-bit samples are in range by construction, so the hot kernels use
+    this variant; semantics are identical where the precondition holds
+    (property-tested against mullo16).
+    """
+    return wrap_i16(a * b)
+
+
 def mulhrs16(a, b):
     """_mm256_mulhrs_epi16: round((a*b) / 2^15) computed as (((a*b)>>14)+1)>>1.
 
@@ -51,6 +62,11 @@ def mulhrs16(a, b):
     return wrap_i16(((prod >> 14) + 1) >> 1)
 
 
+def mulhrs16_i16(a, b):
+    """mulhrs16 for inputs already in int16 range."""
+    return wrap_i16(((a * b >> 14) + 1) >> 1)
+
+
 def div16_const(a, b: int):
     """_mm256_div_epi16(a, b) = mulhrs(a, 32768/b) — approximate division.
 
@@ -58,3 +74,8 @@ def div16_const(a, b: int):
     (e.g. div16_const(x, 10) uses multiplier 3276 = 32768//10).
     """
     return mulhrs16(a, 32768 // b)
+
+
+def div16_const_i16(a, b: int):
+    """div16_const for `a` already in int16 range."""
+    return mulhrs16_i16(a, 32768 // b)

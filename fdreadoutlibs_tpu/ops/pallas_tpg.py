@@ -122,7 +122,8 @@ def pack_adcs(adcs: np.ndarray) -> np.ndarray:
 # ---- the kernel ----------------------------------------------------------------
 
 def _tpg_kernel(adc_ref, state_ref, state_out_ref, slots_ref, nclose_ref,
-                *, cfg: TPGConfig, tc: int, k_slots: int, sub: int):
+                *, cfg: TPGConfig, tc: int, k_slots: int, sub: int,
+                unroll: int = 1):
     t_chunk = pl.program_id(1)
     n_chunks = pl.num_programs(1)
     keys = live_fields(cfg)
@@ -155,27 +156,28 @@ def _tpg_kernel(adc_ref, state_ref, state_out_ref, slots_ref, nclose_ref,
         slot_words = list(carry[nst:nst + k_slots])
         nclose = carry[nst + k_slots]
 
-        st, closed, rec = dispatch_tick(st, adc_ref[i], cfg, jnp)
+        for u in range(unroll):
+            tick_i = i * unroll + u
+            st, closed, rec = dispatch_tick(st, adc_ref[tick_i], cfg, jnp)
 
-        # pack the record into 3 int32 words; lanes not closed are ignored
-        tick = t_chunk * tc + i
-        w0 = (rec["charge"] << 16) | rec["tover"]
-        w1 = (rec["peak_adc"] << 16) | rec["peak_time"]
-        w2 = jnp.full(closed.shape, tick + 1, jnp.int32)
-        packed = jnp.stack([w0, w1, w2])          # (3, sub, 128)
+            # pack the record into 3 int32 words; unclosed lanes are ignored
+            tick = t_chunk * tc + tick_i
+            w0 = (rec["charge"] << 16) | rec["tover"]
+            w1 = (rec["peak_adc"] << 16) | rec["peak_time"]
+            w2 = jnp.full(closed.shape, tick + 1, jnp.int32)
+            packed = jnp.stack([w0, w1, w2])      # (3, sub, 128)
 
-        new_slots = []
-        for k in range(k_slots):
-            sel = closed & (nclose == k)
-            new_slots.append(jnp.where(sel[None], packed, slot_words[k]))
-        nclose = nclose + closed.astype(jnp.int32)
+            for k in range(k_slots):
+                sel = closed & (nclose == k)
+                slot_words[k] = jnp.where(sel[None], packed, slot_words[k])
+            nclose = nclose + closed.astype(jnp.int32)
 
         out = tuple(st[k] for k in keys)
         if is_fir:
             out += (st["fir_prev"],)
-        return out + tuple(new_slots) + (nclose,)
+        return out + tuple(slot_words) + (nclose,)
 
-    carry = jax.lax.fori_loop(0, tc, body, carry0)
+    carry = jax.lax.fori_loop(0, tc // unroll, body, carry0)
     for k in keys:
         state_out_ref[0, kidx[k]] = carry[keys.index(k)]
     if is_fir:
@@ -188,9 +190,11 @@ def _tpg_kernel(adc_ref, state_ref, state_out_ref, slots_ref, nclose_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "tc", "k_slots", "interpret"))
+                   static_argnames=("cfg", "tc", "k_slots", "interpret",
+                                    "unroll"))
 def process_window_pallas(adcs, state_stack, cfg: TPGConfig, tc: int = 256,
-                          k_slots: int = 4, interpret: bool = False):
+                          k_slots: int = 4, interpret: bool = False,
+                          unroll: int = 1):
     """Run the fused kernel over a (T, S, 128) int32 window.
 
     Args:
@@ -208,10 +212,10 @@ def process_window_pallas(adcs, state_stack, cfg: TPGConfig, tc: int = 256,
     T, S, _ = adcs.shape
     nb, kst, sub, _ = state_stack.shape
     assert T % tc == 0 and kst == KSTATE and nb * sub == S
-    assert sub % SUBLANES == 0
+    assert sub % SUBLANES == 0 and tc % unroll == 0
 
     kernel = functools.partial(_tpg_kernel, cfg=cfg, tc=tc, k_slots=k_slots,
-                               sub=sub)
+                               sub=sub, unroll=unroll)
     state_out, slots, nclose = pl.pallas_call(
         kernel,
         grid=(nb, T // tc),

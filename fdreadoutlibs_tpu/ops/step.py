@@ -14,7 +14,7 @@ points follow the AVX2 kernels via :mod:`fixedpoint`.
 from __future__ import annotations
 
 from .config import Algorithm, TPGConfig
-from .fixedpoint import div16_const, mullo16, wrap_i16
+from .fixedpoint import div16_const_i16, mullo16_i16, wrap_i16
 
 INT16_MAX = 32767
 
@@ -23,22 +23,23 @@ def frugal_update(m, s, acc, limit: int, xp, mask=None):
     """Frugal-streaming running-median update (UtilsAVX2.hpp:24-74 /
     ProcessNaive.hpp:21-38).  Returns (median, accumulator).
 
+    ``delta = clip(s - m, -1, 1)`` is exactly the reference's
+    (+1 if s>m, -1 if s<m, 0 if equal); after the +delta the accumulator is
+    in [-limit-1, limit+1], so the over-limit bump is also a clip pair.
     ``mask`` enables the conditional variant used for IQR quantiles
-    (wib/tpg/ProcessAVX2.hpp IQR section; ProcessNaiveFIR.hpp:94-97).
+    (wib/tpg/ProcessAVX2.hpp IQR section; wib2/tpg/ProcessNaive.hpp:94-98).
     """
     one = xp.int32(1)
     zero = xp.int32(0)
-    delta = xp.where(s > m, one, zero) - xp.where(s < m, one, zero)
+    delta = xp.clip(s - m, -1, 1)
     if mask is not None:
         delta = xp.where(mask, delta, zero)
     acc = acc + delta
-    hi = acc > limit
-    lo = acc < -limit
+    bump = xp.clip(acc - limit, 0, 1) + xp.clip(acc + limit, -1, 0)
     if mask is not None:
-        hi = hi & mask
-        lo = lo & mask
-    m = m + xp.where(hi, one, zero) - xp.where(lo, one, zero)
-    acc = xp.where(hi | lo, zero, acc)
+        bump = xp.where(mask, bump, zero)
+    m = m + bump
+    acc = xp.where(bump != 0, zero, acc)
     return m, acc
 
 
@@ -82,13 +83,16 @@ def tpg_tick(st: dict, s_raw, cfg: TPGConfig, xp):
             rs = _round_half_away(v, xp)
         else:
             # x10 integer fixed point with mulhrs division
-            # (ProcessAbsRSAVX2.hpp:137-144 / ProcessStandardRSAVX2.hpp:134-141)
-            first = mullo16(st["rs"], st["rs_memory_factor"])
+            # (ProcessAbsRSAVX2.hpp:137-144 / ProcessStandardRSAVX2.hpp:134-141).
+            # _i16 variants: all inputs are int16-range by construction
+            # (state stored wrapped; |s| <= 16383 for 14-bit streams).
+            first = mullo16_i16(st["rs"], st["rs_memory_factor"])
             if cfg.algorithm == Algorithm.ABS_RS:
-                second = mullo16(xp.abs(s), xp.int32(cfg.rs_scale_factor_x10))
+                second = mullo16_i16(xp.abs(s),
+                                     xp.int32(cfg.rs_scale_factor_x10))
             else:
                 second = s
-            rs = div16_const(wrap_i16(first + second), 10)
+            rs = div16_const_i16(wrap_i16(first + second), 10)
         # second frugal pedestal, on the RS waveform
         rs_ped, rs_acc = frugal_update(st["pedestals_rs"], rs, st["accum_rs"],
                                        cfg.accumulator_limit, xp)
