@@ -1,0 +1,191 @@
+"""Full-APA readout application.
+
+Composes every layer end-to-end, the way a DAQ application (fdreadoutmodules
+DataLinkHandler graph) wires the reference:
+
+  emulated WIBEth sources (40 links)
+    -> per-link preprocess (sequence/timestamp checks, vectorized)
+    -> one fused device SWTPG pass over all links (channels stacked on the
+       lane axis — the TPU replaces 40 per-link processor threads)
+    -> vectorized TP assembly per link
+    -> TP latency buffer (native C++ when available)
+    -> TPSet windowing with heartbeats/cutoff + windowed data requests
+
+Run:  python -m fdreadoutlibs_tpu.apps.apa_readout --seconds 0.1
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+from ..formats import wibeth
+from ..formats.trigprim import TP_DTYPE
+from ..ops import TPGConfig
+from ..ops.chanstate import init_chanstate, seed_chanstate
+from ..stream import WIBEthFrameProcessor
+from ..stream.transport import QueueSender
+from ..tp import TPRequestHandler
+from ..tp.latency_buffer import make_latency_buffer
+
+N_LINKS_PER_APA = 40
+
+
+class APAReadoutApp:
+    """40-link APA readout with a single fused device hot path."""
+
+    def __init__(self, n_links: int = N_LINKS_PER_APA,
+                 algorithm: str = "SimpleThreshold", threshold: int = 150,
+                 backend: str = "pallas", run_number: int = 1):
+        self.n_links = n_links
+        self.tp_q = QueueSender(capacity=1 << 16)
+        # one processor instance per link for header validation + metrics;
+        # the device hot path is shared (stacked channels) below
+        self.procs = []
+        for link in range(n_links):
+            p = WIBEthFrameProcessor(tp_sink=self.tp_q)
+            p.conf({"source_id": link, "crate_id": 1, "slot_id": link // 8,
+                    "link_id": link % 8, "enable_tpg": True,
+                    "tpg_algorithm": algorithm, "tpg_threshold": threshold,
+                    "tp_timeout": 100_000, "tpg_backend": backend,
+                    "tpg_pallas_interpret": False})
+            p.start()
+            self.procs.append(p)
+        self.cfg = self.procs[0].tpg_cfg
+        self.backend = backend
+
+        self.tpset_q = QueueSender(capacity=1 << 16)
+        self.handler = TPRequestHandler(
+            tpset_sink=self.tpset_q,
+            latency_buffer=make_latency_buffer(TP_DTYPE))
+        self.handler.conf({"tpset_transmission_rate_hz": 1000,
+                           "tpset_min_latency_ticks": 10 * 2048,
+                           "tardy_tp_quiet_time_at_start_sec": 0})
+        self.handler.start(run_number=run_number)
+
+        self._stack = None
+        self._first = True
+
+    # ---- the fused hot path over all links ------------------------------
+    def _device_pass(self, adcs_links: np.ndarray):
+        """adcs_links: (L, T, 64) -> list of per-link hit arrays."""
+        import jax.numpy as jnp
+        from ..ops.pallas_tpg import (decode_pallas_hits, pack_adcs,
+                                      pack_state, process_window_pallas,
+                                      unpack_state)
+        L, T, _ = adcs_links.shape
+        C = L * wibeth.N_CHANNELS
+        flat = adcs_links.transpose(1, 0, 2).reshape(T, C)
+        if self._stack is None:
+            state = seed_chanstate(init_chanstate(C), flat[0],
+                                   self.cfg.rs_memory_factor_x10)
+            self._stack = pack_state(state, C)
+        slots, nclose, self._stack = process_window_pallas(
+            jnp.asarray(pack_adcs(flat)), self._stack, self.cfg,
+            tc=min(T, 512), k_slots=4, unroll=8)
+        hits, dropped = decode_pallas_hits(slots, nclose, C)
+        per_link = []
+        for l in range(L):
+            lo, hi = l * 64, (l + 1) * 64
+            h = hits[(hits["channel"] >= lo) & (hits["channel"] < hi)].copy()
+            h["channel"] -= lo
+            per_link.append(h)
+        return per_link, dropped
+
+    def process_batch(self, frames_links: np.ndarray):
+        """frames_links: (L, N, 7200) one batch of N frames per link."""
+        L, N, _ = frames_links.shape
+        adcs = np.zeros((L, N * 64, 64), dtype=np.int32)
+        ts0 = np.zeros(L, dtype=np.int64)
+        for l in range(L):
+            p = self.procs[l]
+            frames = frames_links[l]
+            # preprocess: header validation (vectorized)
+            p.sequence_check(frames)
+            p.timestamp_check(frames)
+            ts0[l] = int(wibeth.get_timestamp(frames)[0])
+            if p._first_hit:
+                p._first_frame_setup(frames, wibeth.get_adcs(frames[:1])
+                                     .reshape(-1, 64)[0].astype(np.int32))
+            try:
+                from .. import native
+                if native.available():
+                    adcs[l] = native.wibeth_unpack(frames).astype(np.int32)
+                    continue
+            except Exception:
+                pass
+            adcs[l] = wibeth.get_adcs(frames).reshape(-1, 64)
+
+        per_link, dropped = self._device_pass(adcs)
+        for l in range(L):
+            p = self.procs[l]
+            p.metrics.inc("num_hits", len(per_link[l]))
+            p.process_swtpg_hits(per_link[l], int(ts0[l]))
+        # drain TPs into the latency buffer, emit TPSets
+        for batch in self.tp_q.drain():
+            self.handler.insert_tps(batch)
+        self.handler.send_tp_sets_once()
+        return dropped
+
+    def get_info(self) -> dict:
+        info = {"handler": self.handler.get_info(),
+                "tpsets_queued": len(self.tpset_q)}
+        info["total_tps_sent"] = sum(p.metrics.count("num_tps_sent")
+                                     for p in self.procs)
+        info["total_hits"] = sum(p.metrics.count("num_hits")
+                                 for p in self.procs)
+        info["ts_errors"] = sum(p.metrics.count("num_ts_errors")
+                                for p in self.procs)
+        return info
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--links", type=int, default=N_LINKS_PER_APA)
+    ap.add_argument("--frames-per-batch", type=int, default=8)
+    ap.add_argument("--batches", type=int, default=8)
+    ap.add_argument("--algorithm", default="SimpleThreshold")
+    ap.add_argument("--threshold", type=int, default=150)
+    ap.add_argument("--signal-rate", type=float, default=0.02,
+                    help="signals per channel per batch")
+    args = ap.parse_args(argv)
+
+    app = APAReadoutApp(n_links=args.links, algorithm=args.algorithm,
+                        threshold=args.threshold)
+    rng = np.random.default_rng(0)
+    ts = 0x1000000
+    t_wall = time.perf_counter()
+    data_seconds = 0.0
+    for b in range(args.batches):
+        L, N = args.links, args.frames_per_batch
+        frames = np.zeros((L, N, wibeth.FRAME_SIZE), dtype=np.uint8)
+        T = N * 64
+        adcs = (900 + rng.normal(0, 30, size=(L, N, 64, 64))).astype(np.uint16)
+        n_sig = rng.poisson(args.signal_rate * L * 64)
+        for _ in range(n_sig):
+            l, c = rng.integers(0, L), rng.integers(0, 64)
+            f, t = rng.integers(0, N), rng.integers(0, 50)
+            adcs[l, f, t:t + 8, c] += np.uint16(rng.integers(300, 3000))
+        for l in range(L):
+            wibeth.set_adcs(frames[l], adcs[l])
+            wibeth.fake_timestamps(frames[l], ts)
+            wibeth.fake_seq_ids(frames[l], b * N)
+            wibeth.fake_geoid(frames[l], 1, l // 8, l % 8)
+        app.process_batch(frames)
+        ts += N * 2048
+        data_seconds += T * 32 / 62.5e6
+    wall = time.perf_counter() - t_wall
+    info = app.get_info()
+    info["wall_seconds"] = round(wall, 3)
+    info["data_seconds"] = round(data_seconds, 4)
+    info["end_to_end_rtf"] = round(data_seconds / wall, 3)
+    print(json.dumps(info, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(main())

@@ -156,3 +156,24 @@ def superchunk_bytes_to_u32(superchunks: np.ndarray) -> np.ndarray:
 def selector_channels(selector: int) -> np.ndarray:
     """Frame channels covered by a register selector half (0 or 1)."""
     return np.arange(CHANNELS_PER_SELECTOR) + selector * CHANNELS_PER_SELECTOR
+
+
+# In-register channel permutation — identical to WIBEth (the AVX unpacker is
+# shared; wib2_test_bench.cxx:237 uses the same indices array).
+PERMUTATION = np.array([0, 1, 2, 3, 4, 5, 6, 7, 15, 8, 9, 10, 11, 12, 13, 14])
+
+
+def register_order_channels(selector: int) -> np.ndarray:
+    """Frame-channel index held by each reference register lane for a
+    selector half: lane 16*r + j of the 8-register MessageRegisters holds
+    frame channel selector*128 + 16*r + PERMUTATION[j]
+    (expand_wib2_adcs, FrameExpand.hpp:205)."""
+    regs = np.arange(CHANNELS_PER_SELECTOR) // 16
+    lanes = np.arange(CHANNELS_PER_SELECTOR) % 16
+    return selector * CHANNELS_PER_SELECTOR + regs * 16 + PERMUTATION[lanes]
+
+
+def to_register_order(adcs: np.ndarray, selector: int) -> np.ndarray:
+    """(..., 256) frame-order ADCs -> (..., 128) reference register layout
+    for the given selector half."""
+    return adcs[..., register_order_channels(selector)]

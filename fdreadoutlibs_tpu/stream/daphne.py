@@ -5,9 +5,16 @@ Equivalents of DAPHNEFrameProcessor / DAPHNEStreamFrameProcessor
 self-triggered stream has no fixed arrival rate so the continuity check is
 informational (cpp:54-59, emulator fakes +192 per superchunk with +16 per
 frame, cpp:39-47); the streaming variant checks a fixed +64-per-frame
-cadence.  No TPG in the reference; :class:`DAPHNEStreamFrameProcessor`
-optionally runs the SWTPG pipeline over the 4 streaming channels (a strict
-superset of reference behavior, off by default).
+cadence.
+
+The reference has NO PDS trigger-primitive generation; both processors here
+optionally produce PDS TPs (``enable_tpg``) — a strict superset:
+
+* streaming: the standard SWTPG core runs over the 4 continuous channels
+  (1 clock tick per sample);
+* self-triggered: each frame is an externally triggered 1024-sample
+  waveform; vectorized pulse analysis (baseline from the leading samples,
+  peak, integral and ToT above threshold) emits one TP per frame.
 """
 
 from __future__ import annotations
@@ -15,6 +22,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..formats import daphne
+from ..formats.trigprim import TP_DTYPE, TPAlgorithm, TPType
 from .errors import ErrorInterval
 from .processor import TaskRawDataProcessor
 
@@ -22,14 +30,60 @@ from .processor import TaskRawDataProcessor
 class DAPHNEFrameProcessor(TaskRawDataProcessor):
     """Self-triggered PDS superchunks (12 x 1816 B)."""
 
+    def __init__(self, error_registry=None, tp_sink=None):
+        super().__init__(error_registry)
+        self.tp_sink = tp_sink
+
     def conf(self, config: dict) -> None:
         super().conf(config)
         self.add_preprocess_task(self.timestamp_check)
+        self.tpg_threshold = config.get("tpg_threshold", 50)
+        self.baseline_samples = config.get("tpg_baseline_samples", 64)
+        self.det_id = config.get("det_id", 0)
+        if config.get("enable_tpg", False):
+            self.add_postprocess_task(self.find_pulses)
 
     def start(self, args=None) -> None:
         super().start(args)
         self.previous_ts = 0
         self._first_ts_fake = True
+
+    def find_pulses(self, superchunks: np.ndarray) -> None:
+        """Vectorized pulse analysis over every triggered waveform:
+        baseline = median of the leading samples; peak/integral/ToT above
+        baseline + threshold.  One TP (type kPDS) per frame with a pulse."""
+        frames = daphne.superchunk_frames(superchunks) \
+            .reshape(-1, daphne.FRAME_SIZE)
+        wfs = daphne.get_waveform(frames).astype(np.int32)   # (F, 1024)
+        ts = daphne.get_timestamp(frames).astype(np.int64)
+        channels = daphne.get_header_field(frames, "link_id")
+        baseline = np.median(wfs[:, : self.baseline_samples], axis=1) \
+            .astype(np.int32)
+        sig = wfs - baseline[:, None]
+        over = sig > self.tpg_threshold
+        has_pulse = over.any(axis=1)
+        if not has_pulse.any():
+            return
+        idx = np.nonzero(has_pulse)[0]
+        sig_h = sig[idx]
+        over_h = over[idx]
+        peak_pos = np.argmax(sig_h, axis=1)
+        tps = np.zeros(len(idx), dtype=TP_DTYPE)
+        first_over = np.argmax(over_h, axis=1)
+        tps["time_start"] = (ts[idx] + first_over).astype(np.uint64)
+        tps["time_peak"] = (ts[idx] + peak_pos).astype(np.uint64)
+        tps["time_over_threshold"] = over_h.sum(axis=1)
+        tps["channel"] = channels[idx]
+        tps["adc_integral"] = np.where(over_h, sig_h, 0).sum(axis=1)
+        tps["adc_peak"] = sig_h[np.arange(len(idx)), peak_pos]
+        tps["detid"] = self.det_id
+        tps["type"] = TPType.kPDS
+        tps["algorithm"] = TPAlgorithm.kSimpleThreshold
+        tps["version"] = 1
+        self.metrics.inc("num_hits", len(tps))
+        self.metrics.add_channel_tps(tps["channel"])
+        if self.tp_sink is not None and self.tp_sink.try_send(tps):
+            self.metrics.inc("num_tps_sent", len(tps))
 
     def timestamp_check(self, superchunks: np.ndarray) -> None:
         """cpp:36-71: emulator fakes +192/superchunk (offset 16/frame);
@@ -56,14 +110,63 @@ class DAPHNEFrameProcessor(TaskRawDataProcessor):
 class DAPHNEStreamFrameProcessor(TaskRawDataProcessor):
     """Streaming PDS superchunks (12 x 472 B, 4 ch x 64 samples each)."""
 
+    def __init__(self, error_registry=None, tp_sink=None):
+        super().__init__(error_registry)
+        self.tp_sink = tp_sink
+
     def conf(self, config: dict) -> None:
         super().conf(config)
         self.add_preprocess_task(self.timestamp_check)
+        if config.get("enable_tpg", False):
+            from ..ops import TPGConfig
+            self.tpg_cfg = TPGConfig.from_raw(
+                algorithm=config.get("tpg_algorithm", "SimpleThreshold"),
+                threshold=config.get("tpg_threshold", 50))
+            self.det_id = config.get("det_id", 0)
+            self.add_postprocess_task(self.find_hits)
 
     def start(self, args=None) -> None:
         super().start(args)
         self.previous_ts = 0
         self._first_ts_check = True
+        self._state = None
+
+    def find_hits(self, superchunks: np.ndarray) -> None:
+        """Standard SWTPG core over the 4 continuous channels — one clock
+        tick per sample (superset of the reference, which has no PDS TPG)."""
+        from ..ops.chanstate import init_chanstate, seed_chanstate
+        from ..ops.reference import process_window_reference
+        frames = daphne.superchunk_frames(superchunks, stream=True)
+        ts0 = int(daphne.stream_get_timestamp(
+            frames.reshape(-1, daphne.STREAM_FRAME_SIZE)[:1])[0])
+        adcs = daphne.stream_get_adcs(
+            frames.reshape(-1, daphne.STREAM_FRAME_SIZE)) \
+            .reshape(-1, daphne.STREAM_N_CHANNELS).astype(np.int32)
+        if self._state is None:
+            self._state = seed_chanstate(
+                init_chanstate(daphne.STREAM_N_CHANNELS), adcs[0],
+                self.tpg_cfg.rs_memory_factor_x10)
+        hits, self._state = process_window_reference(adcs, self._state,
+                                                     self.tpg_cfg)
+        self.metrics.inc("num_hits", len(hits))
+        if len(hits) == 0:
+            return
+        t_begin = np.int64(ts0) + hits["end_tick"].astype(np.int64) \
+            - hits["tover"].astype(np.int64)
+        tps = np.zeros(len(hits), dtype=TP_DTYPE)
+        tps["time_start"] = t_begin.astype(np.uint64)
+        tps["time_peak"] = (t_begin + hits["peak_time"]).astype(np.uint64)
+        tps["time_over_threshold"] = hits["tover"]
+        tps["channel"] = hits["channel"]
+        tps["adc_integral"] = hits["charge"]
+        tps["adc_peak"] = hits["peak_adc"]
+        tps["detid"] = self.det_id
+        tps["type"] = TPType.kPDS
+        tps["algorithm"] = TPAlgorithm.kSimpleThreshold
+        tps["version"] = 1
+        self.metrics.add_channel_tps(tps["channel"])
+        if self.tp_sink is not None and self.tp_sink.try_send(tps):
+            self.metrics.inc("num_tps_sent", len(tps))
 
     def timestamp_check(self, superchunks: np.ndarray) -> None:
         """DAPHNEStreamFrameProcessor.cpp:39-49: fixed +64/frame cadence."""

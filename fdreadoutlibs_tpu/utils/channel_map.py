@@ -111,6 +111,31 @@ def make_map(name: str, **kw) -> ChannelMap:
     return _REGISTRY[name](**kw)
 
 
+def register_map_via_expansion(ch_map: ChannelMap, crate: int, slot: int,
+                               stream: int, n_channels: int = 64,
+                               unpack=None, pack=None) -> np.ndarray:
+    """The reference's RegisterToChannelNumber trick as a pure computation
+    (src/wibeth/tpg/RegisterToChannelNumber.cpp:35-122): write each frame
+    channel's offline number (minus the minimum) as its ADC value, push the
+    frame through the *real* unpack, and read back where each channel
+    landed.  With this framework's natural-order unpack the result is the
+    direct offline map; pass pack/unpack callables to audit any other
+    layout (e.g. the register-order views).
+    Returns offline channel per unpacked position.
+    """
+    offline = ch_map.offline_channels(crate, slot, stream, n_channels)
+    min_ch = int(offline.min())
+    values = (offline - min_ch).astype(np.uint16)
+    if pack is None or unpack is None:
+        from ..formats import wibeth as _w
+        frames = _w.empty_frames(1)
+        _w.set_adcs(frames, np.broadcast_to(values, (1, 64, 64)).copy())
+        landed = _w.get_adcs(frames)[0, 0]
+    else:
+        landed = unpack(pack(values))
+    return np.asarray(landed, dtype=np.int64) + min_ch
+
+
 register_map("IdentityChannelMap", IdentityChannelMap)
 register_map("PermutedChannelMap", PermutedChannelMap)
 # Name-compatible aliases for configs written against detchannelmaps; the
