@@ -30,7 +30,7 @@ from __future__ import annotations
 import math
 
 from .config import TPGConfig
-from .fixedpoint import mullo16_i16, wrap_i16
+from .fixedpoint import I32Fx
 from .step import frugal_update
 
 INT16_MAX = 32767
@@ -73,61 +73,66 @@ def default_taps(cfg: TPGConfig) -> tuple:
 
 # ---- the FIR tick ---------------------------------------------------------------
 
-def tpg_tick_fir(st: dict, s_raw, cfg: TPGConfig, xp, taps: tuple):
+def tpg_tick_fir(st: dict, s_raw, cfg: TPGConfig, xp, taps: tuple, fx=None):
     """One tick of the FIR+IQR pipeline over (..., C) arrays.
 
-    ``st`` additionally carries ``fir_prev``: (NTAPS, ..., C) int32,
+    ``st`` additionally carries ``fir_prev``: (NTAPS, ..., C) integer,
     oldest-first.  Returns (new_st, closed, record) like tpg_tick.
     """
-    one = xp.int32(1)
-    zero = xp.int32(0)
+    fx = fx or I32Fx.make(xp)
+    one = fx.one
+    zero = fx.zero
     out = dict(st)
     limit = cfg.accumulator_limit
 
     # IQR quantiles: gated on the *pre-update* median (ProcessNaive.hpp:94-98)
     med0 = st["pedestals"]
     q25, a25 = frugal_update(st["quantile25"], s_raw, st["accum25"], limit,
-                             xp, mask=s_raw < med0)
+                             xp, mask=s_raw < med0, fx=fx)
     q75, a75 = frugal_update(st["quantile75"], s_raw, st["accum75"], limit,
-                             xp, mask=s_raw > med0)
-    med, acc = frugal_update(med0, s_raw, st["accum"], limit, xp)
+                             xp, mask=s_raw > med0, fx=fx)
+    med, acc = frugal_update(med0, s_raw, st["accum"], limit, xp, fx=fx)
     out["quantile25"], out["accum25"] = q25, a25
     out["quantile75"], out["accum75"] = q75, a75
     out["pedestals"], out["accum"] = med, acc
     sigma = q75 - q25
 
     s = s_raw - med
-    s = xp.minimum(s, cfg.adc_max)          # pre-filter clamp
+    s = fx.minimum(s, fx.dtype(cfg.adc_max))    # pre-filter clamp
 
-    # 8-tap FIR over the previous 8 samples (current sample enters next tick)
+    # 8-tap FIR over the previous 8 samples (current sample enters next tick).
+    # Per-op int16 wraps and a single wrap-at-end are congruent mod 2^16,
+    # so the int32 and native-int16 paths agree exactly.
     buf = st["fir_prev"]
-    filt32 = zero
+    filt_acc = zero
     for j, t in enumerate(taps):
         if t:
-            filt32 = filt32 + xp.int32(t) * buf[j]
-    filt = wrap_i16(filt32)
+            filt_acc = filt_acc + fx.dtype(t) * buf[j]
+    filt = fx.wrap(filt_acc)
     out["fir_prev"] = xp.concatenate([buf[1:], s[None]], axis=0)
 
     # dynamic threshold in sigma units
     if cfg.fir_avx_semantics:
-        sigma_c = xp.minimum(sigma, (1 << 15) // (cfg.multiplier * 5))
-        thr = mullo16_i16(mullo16_i16(sigma_c, xp.int32(cfg.multiplier)),
-                      xp.int32(cfg.threshold))
+        sigma_c = fx.minimum(sigma,
+                             fx.dtype((1 << 15) // (cfg.multiplier * 5)))
+        thr = fx.mullo(fx.mullo(sigma_c, fx.dtype(cfg.multiplier)),
+                       fx.dtype(cfg.threshold))
         is_over = filt > thr
     else:
-        is_over = filt > xp.int32(cfg.threshold) * sigma * \
-            xp.int32(cfg.multiplier)
+        # full-precision product (naive): widen before multiplying
+        is_over = fx.widen(filt) > (cfg.threshold * cfg.multiplier) * \
+            fx.widen(sigma)
 
     closed = (st["prev_was_over"] != 0) & ~is_over
     to_add = xp.where(is_over, filt >> cfg.tap_exponent, zero)
-    charge = xp.minimum(st["hit_charge"] + to_add, INT16_MAX)
+    charge = fx.add_clamp(st["hit_charge"], to_add, INT16_MAX)
     peak_upd = filt > st["hit_peak_adc"]
     if cfg.peak_gated:
         peak_upd = peak_upd & is_over
     peak_adc = xp.where(peak_upd, filt, st["hit_peak_adc"])
     peak_time = xp.where(peak_upd, st["hit_tover"], st["hit_peak_time"])
-    tover = xp.minimum(st["hit_tover"] + xp.where(is_over, one, zero),
-                       INT16_MAX)
+    tover = fx.add_clamp(st["hit_tover"], xp.where(is_over, one, zero),
+                         INT16_MAX)
 
     record = {"charge": charge, "tover": tover,
               "peak_adc": peak_adc, "peak_time": peak_time}

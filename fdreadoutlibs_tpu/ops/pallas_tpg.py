@@ -47,6 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .chanstate import FIELDS, NSTATE
 from .config import Algorithm, TPGConfig
+from .fixedpoint import I16Fx, I32Fx
 from .step import dispatch_tick
 
 LANES = 128
@@ -74,22 +75,31 @@ def live_fields(cfg: TPGConfig):
 
 # ---- layout helpers ------------------------------------------------------------
 
-def pad_sublanes(C: int) -> int:
-    """Channel count -> padded sublane-row count (multiple of 8 lanes rows)."""
+def pad_sublanes(C: int, granule: int = SUBLANES) -> int:
+    """Channel count -> padded sublane-row count (multiple of the tile
+    granule: 8 rows for int32, 16 for int16)."""
     S = -(-C // LANES)
-    return -(-S // SUBLANES) * SUBLANES
+    return -(-S // granule) * granule
 
 
-def pack_state(state: dict, n_channels: int, block_sublanes: int | None = None):
-    """ChanState dict of (C,) arrays -> (NB, KSTATE, SUB, 128) blocked stack."""
-    S = pad_sublanes(n_channels)
+def _granule(dtype) -> int:
+    return 16 if np.dtype(dtype).itemsize == 2 else SUBLANES
+
+
+def pack_state(state: dict, n_channels: int, block_sublanes: int | None = None,
+               dtype=np.int32):
+    """ChanState dict of (C,) arrays -> (NB, KSTATE, SUB, 128) blocked stack.
+
+    dtype=np.int16 selects the native-int16 compute mode (the kernel infers
+    the mode from the stack dtype; pack the ADCs with the same dtype)."""
+    S = pad_sublanes(n_channels, _granule(dtype))
     sub = block_sublanes or S
     nb = -(-S // sub)
-    out = np.zeros((nb, KSTATE, sub, LANES), dtype=np.int32)
+    out = np.zeros((nb, KSTATE, sub, LANES), dtype=dtype)
 
     def put(i, values):
-        v = np.zeros(nb * sub * LANES, dtype=np.int32)
-        v[:n_channels] = np.asarray(values, dtype=np.int32)
+        v = np.zeros(nb * sub * LANES, dtype=dtype)
+        v[:n_channels] = np.asarray(values).astype(dtype)
         out[:, i] = v.reshape(nb, sub, LANES)
 
     for i, k in enumerate(_STATE_KEYS):
@@ -102,7 +112,7 @@ def pack_state(state: dict, n_channels: int, block_sublanes: int | None = None):
 
 
 def unpack_state(stack, n_channels: int) -> dict:
-    arr = np.asarray(stack)
+    arr = np.asarray(stack).astype(np.int32)
     nb, _, sub, _ = arr.shape
     flat = arr.transpose(1, 0, 2, 3).reshape(KSTATE, nb * sub * LANES)
     st = {k: flat[i][:n_channels].copy() for i, k in enumerate(_STATE_KEYS)}
@@ -110,11 +120,11 @@ def unpack_state(stack, n_channels: int) -> dict:
     return st
 
 
-def pack_adcs(adcs: np.ndarray) -> np.ndarray:
+def pack_adcs(adcs: np.ndarray, dtype=np.int32) -> np.ndarray:
     """(T, C) -> (T, S, 128) with zero-padding of the channel axis."""
     T, C = adcs.shape
-    S = pad_sublanes(C)
-    out = np.zeros((T, S, LANES), dtype=np.int32)
+    S = pad_sublanes(C, _granule(dtype))
+    out = np.zeros((T, S, LANES), dtype=dtype)
     out.reshape(T, S * LANES)[:, :C] = adcs
     return out
 
@@ -128,6 +138,8 @@ def _tpg_kernel(adc_ref, state_ref, state_out_ref, slots_ref, nclose_ref,
     n_chunks = pl.num_programs(1)
     keys = live_fields(cfg)
     kidx = {k: _STATE_KEYS.index(k) for k in keys}
+    i16_mode = state_ref.dtype == jnp.int16
+    fx = (I16Fx if i16_mode else I32Fx).make(jnp)
 
     @pl.when(t_chunk == 0)
     def _():
@@ -158,12 +170,17 @@ def _tpg_kernel(adc_ref, state_ref, state_out_ref, slots_ref, nclose_ref,
 
         for u in range(unroll):
             tick_i = i * unroll + u
-            st, closed, rec = dispatch_tick(st, adc_ref[tick_i], cfg, jnp)
+            st, closed, rec = dispatch_tick(st, adc_ref[tick_i], cfg, jnp,
+                                            fx=fx)
 
             # pack the record into 3 int32 words; unclosed lanes are ignored
             tick = t_chunk * tc + tick_i
-            w0 = (rec["charge"] << 16) | rec["tover"]
-            w1 = (rec["peak_adc"] << 16) | rec["peak_time"]
+            charge32 = rec["charge"].astype(jnp.int32)
+            tover32 = rec["tover"].astype(jnp.int32)
+            peak32 = rec["peak_adc"].astype(jnp.int32)
+            ptime32 = rec["peak_time"].astype(jnp.int32)
+            w0 = (charge32 << 16) | tover32
+            w1 = (peak32 << 16) | ptime32
             w2 = jnp.full(closed.shape, tick + 1, jnp.int32)
             packed = jnp.stack([w0, w1, w2])      # (3, sub, 128)
 
@@ -211,8 +228,11 @@ def process_window_pallas(adcs, state_stack, cfg: TPGConfig, tc: int = 256,
     """
     T, S, _ = adcs.shape
     nb, kst, sub, _ = state_stack.shape
+    dtype = state_stack.dtype
     assert T % tc == 0 and kst == KSTATE and nb * sub == S
-    assert sub % SUBLANES == 0 and tc % unroll == 0
+    assert sub % _granule(dtype) == 0 and tc % unroll == 0
+    assert adcs.dtype == dtype, "ADC and state dtypes must match " \
+        "(pack_adcs/pack_state with the same dtype)"
 
     kernel = functools.partial(_tpg_kernel, cfg=cfg, tc=tc, k_slots=k_slots,
                                sub=sub, unroll=unroll)
@@ -230,7 +250,7 @@ def process_window_pallas(adcs, state_stack, cfg: TPGConfig, tc: int = 256,
             pl.BlockSpec((1, sub, LANES), lambda b, t: (b, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nb, KSTATE, sub, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nb, KSTATE, sub, LANES), dtype),
             jax.ShapeDtypeStruct((nb, k_slots, 3, sub, LANES), jnp.int32),
             jax.ShapeDtypeStruct((nb, sub, LANES), jnp.int32),
         ],

@@ -14,12 +14,12 @@ points follow the AVX2 kernels via :mod:`fixedpoint`.
 from __future__ import annotations
 
 from .config import Algorithm, TPGConfig
-from .fixedpoint import div16_const_i16, mullo16_i16, wrap_i16
+from .fixedpoint import I32Fx
 
 INT16_MAX = 32767
 
 
-def frugal_update(m, s, acc, limit: int, xp, mask=None):
+def frugal_update(m, s, acc, limit: int, xp, mask=None, fx=None):
     """Frugal-streaming running-median update (UtilsAVX2.hpp:24-74 /
     ProcessNaive.hpp:21-38).  Returns (median, accumulator).
 
@@ -29,17 +29,20 @@ def frugal_update(m, s, acc, limit: int, xp, mask=None):
     ``mask`` enables the conditional variant used for IQR quantiles
     (wib/tpg/ProcessAVX2.hpp IQR section; wib2/tpg/ProcessNaive.hpp:94-98).
     """
-    one = xp.int32(1)
-    zero = xp.int32(0)
-    delta = xp.clip(s - m, -1, 1)
+    # python-int literals keep the array dtype (int32 emulation and native
+    # int16 mode both flow through unchanged — numpy>=2 / jax weak typing);
+    # clips route through fx (Mosaic lacks int16 vector min/max)
+    clip = fx.clip if fx is not None else \
+        (lambda x, lo, hi: xp.clip(x, lo, hi))
+    delta = clip(s - m, -1, 1)
     if mask is not None:
-        delta = xp.where(mask, delta, zero)
+        delta = xp.where(mask, delta, 0)
     acc = acc + delta
-    bump = xp.clip(acc - limit, 0, 1) + xp.clip(acc + limit, -1, 0)
+    bump = clip(acc - limit, 0, 1) + clip(acc + limit, -1, 0)
     if mask is not None:
-        bump = xp.where(mask, bump, zero)
+        bump = xp.where(mask, bump, 0)
     m = m + bump
-    acc = xp.where(bump != 0, zero, acc)
+    acc = xp.where(bump != 0, 0, acc)
     return m, acc
 
 
@@ -48,24 +51,29 @@ def _round_half_away(v, xp):
     return xp.trunc(v + xp.copysign(0.5, v)).astype(xp.int32)
 
 
-def tpg_tick(st: dict, s_raw, cfg: TPGConfig, xp):
+def tpg_tick(st: dict, s_raw, cfg: TPGConfig, xp, fx=None):
     """One time tick of the threshold/RS SWTPG pipeline.
 
-    st: dict with ChanState core fields as (..., C) int32 arrays (plus
-    ``rs_memory_factor``).  s_raw: (..., C) int32 raw ADC sample.
+    st: dict with ChanState core fields as (..., C) integer arrays (plus
+    ``rs_memory_factor``).  s_raw: (..., C) raw ADC sample.
+
+    ``fx`` selects the fixed-point backend (I32Fx emulated wrap — default —
+    or I16Fx native int16; see fixedpoint.py); both are bit-identical for
+    in-range inputs and tested so.
 
     Returns (new_st, closed, record) where ``closed`` is the per-channel
     "hit ended this tick" mask (the AVX ``left`` mask,
     ProcessAVX2.hpp:100-102) and ``record`` is a dict of the post-update
     charge/tover/peak_adc/peak_time values to be emitted for closed lanes.
     """
-    one = xp.int32(1)
-    zero = xp.int32(0)
+    fx = fx or I32Fx.make(xp)
+    one = fx.one
+    zero = fx.zero
     out = dict(st)
 
     # -- pedestal (frugal streaming) ------------------------------------
     ped, acc = frugal_update(st["pedestals"], s_raw, st["accum"],
-                             cfg.accumulator_limit, xp)
+                             cfg.accumulator_limit, xp, fx=fx)
     out["pedestals"], out["accum"] = ped, acc
     s = s_raw - ped
 
@@ -80,25 +88,25 @@ def tpg_tick(st: dict, s_raw, cfg: TPGConfig, xp):
                 v = v + xp.abs(s).astype(xp.float32) / 2.0
             else:
                 v = v + s.astype(xp.float32)
-            rs = _round_half_away(v, xp)
+            rs = _round_half_away(v, xp).astype(fx.dtype)
         else:
             # x10 integer fixed point with mulhrs division
             # (ProcessAbsRSAVX2.hpp:137-144 / ProcessStandardRSAVX2.hpp:134-141).
-            # _i16 variants: all inputs are int16-range by construction
-            # (state stored wrapped; |s| <= 16383 for 14-bit streams).
-            first = mullo16_i16(st["rs"], st["rs_memory_factor"])
+            # Inputs are int16-range by construction (state stored wrapped;
+            # |s| <= 16383 for 14-bit streams), so fx.mullo skips input wraps.
+            first = fx.mullo(st["rs"], st["rs_memory_factor"])
             if cfg.algorithm == Algorithm.ABS_RS:
-                second = mullo16_i16(xp.abs(s),
-                                     xp.int32(cfg.rs_scale_factor_x10))
+                second = fx.mullo(xp.abs(s),
+                                  fx.dtype(cfg.rs_scale_factor_x10))
             else:
                 second = s
-            rs = div16_const_i16(wrap_i16(first + second), 10)
+            rs = fx.div10(fx.wrap(first + second))
         # second frugal pedestal, on the RS waveform
         rs_ped, rs_acc = frugal_update(st["pedestals_rs"], rs, st["accum_rs"],
-                                       cfg.accumulator_limit, xp)
+                                       cfg.accumulator_limit, xp, fx=fx)
         out["pedestals_rs"], out["accum_rs"] = rs_ped, rs_acc
         # state stores the post-subtraction RS (ProcessAbsRSAVX2.hpp:159,318)
-        x = wrap_i16(rs - rs_ped)
+        x = fx.sub16(rs, rs_ped)
         out["rs"] = x
     else:
         raise ValueError(f"tpg_tick does not handle {cfg.algorithm}; "
@@ -109,10 +117,10 @@ def tpg_tick(st: dict, s_raw, cfg: TPGConfig, xp):
     closed = (st["prev_was_over"] != 0) & ~is_over
 
     # charge accumulates the *pedestal-subtracted ADC* (not the filtered
-    # value) in every algorithm of this family; int32 accumulate + clamp
+    # value) in every algorithm of this family; widening accumulate + clamp
     # reproduces the naive "simulated saturated add" (ProcessNaive.hpp:96-99).
-    charge = xp.minimum(st["hit_charge"] + xp.where(is_over, s, zero),
-                        INT16_MAX)
+    charge = fx.add_clamp(st["hit_charge"], xp.where(is_over, s, zero),
+                          INT16_MAX)
     peak_upd = s > st["hit_peak_adc"]
     if cfg.peak_gated:
         peak_upd = peak_upd & is_over
@@ -120,8 +128,8 @@ def tpg_tick(st: dict, s_raw, cfg: TPGConfig, xp):
     # peak_time records tover *before* this tick's increment
     # (ProcessAVX2.hpp:134-140, ProcessNaive.hpp:100-105)
     peak_time = xp.where(peak_upd, st["hit_tover"], st["hit_peak_time"])
-    tover = xp.minimum(st["hit_tover"] + xp.where(is_over, one, zero),
-                       INT16_MAX)
+    tover = fx.add_clamp(st["hit_tover"], xp.where(is_over, one, zero),
+                         INT16_MAX)
 
     record = {"charge": charge, "tover": tover,
               "peak_adc": peak_adc, "peak_time": peak_time}
@@ -135,11 +143,12 @@ def tpg_tick(st: dict, s_raw, cfg: TPGConfig, xp):
     return out, closed, record
 
 
-def dispatch_tick(st: dict, s_raw, cfg: TPGConfig, xp):
+def dispatch_tick(st: dict, s_raw, cfg: TPGConfig, xp, fx=None):
     """Algorithm dispatch: threshold/RS families via tpg_tick, FIR family
     via fir.tpg_tick_fir (the reference's function-pointer dispatch,
     WIBEthFrameProcessor.cpp:182-197)."""
     if cfg.algorithm == Algorithm.FIR:
         from .fir import default_taps, tpg_tick_fir
-        return tpg_tick_fir(st, s_raw, cfg, xp, cfg.taps or default_taps(cfg))
-    return tpg_tick(st, s_raw, cfg, xp)
+        return tpg_tick_fir(st, s_raw, cfg, xp,
+                            cfg.taps or default_taps(cfg), fx=fx)
+    return tpg_tick(st, s_raw, cfg, xp, fx=fx)
