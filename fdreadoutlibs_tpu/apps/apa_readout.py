@@ -83,9 +83,11 @@ class APAReadoutApp:
             state = seed_chanstate(init_chanstate(C), flat[0],
                                    self.cfg.rs_memory_factor_x10)
             self._stack = pack_state(state, C)
+        from ..ops.pallas_tpg import auto_tc
+        tc = auto_tc(T)
         slots, nclose, self._stack = process_window_pallas(
             jnp.asarray(pack_adcs(flat)), self._stack, self.cfg,
-            tc=min(T, 512), k_slots=4, unroll=8)
+            tc=tc, k_slots=4, unroll=8 if tc % 8 == 0 else 1)
         hits, dropped = decode_pallas_hits(slots, nclose, C)
         per_link = []
         for l in range(L):

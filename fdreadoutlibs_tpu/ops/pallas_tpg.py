@@ -120,6 +120,14 @@ def unpack_state(stack, n_channels: int) -> dict:
     return st
 
 
+def auto_tc(T: int, cap: int = 512) -> int:
+    """Largest divisor of T not exceeding the VMEM-safe chunk cap."""
+    for tc in range(min(T, cap), 0, -1):
+        if T % tc == 0:
+            return tc
+    return T
+
+
 def pack_adcs(adcs: np.ndarray, dtype=np.int32) -> np.ndarray:
     """(T, C) -> (T, S, 128) with zero-padding of the channel axis."""
     T, C = adcs.shape

@@ -215,10 +215,13 @@ class WIBEthFrameProcessor(TaskRawDataProcessor):
             C = adcs.shape[1]
             if self._pallas_stack is None:
                 self._pallas_stack = pack_state(self._state, C)
+            from ..ops.pallas_tpg import auto_tc
+            tc = auto_tc(adcs.shape[0])
+            unroll = 8 if (not self._interpret and tc % 8 == 0) else 1
             slots, nclose, self._pallas_stack = process_window_pallas(
                 jnp.asarray(pack_adcs(adcs)), self._pallas_stack,
-                self.tpg_cfg, tc=adcs.shape[0], k_slots=self.k_slots,
-                interpret=self._interpret)
+                self.tpg_cfg, tc=tc, k_slots=self.k_slots,
+                unroll=unroll, interpret=self._interpret)
             hits, dropped = decode_pallas_hits(slots, nclose, C)
             if dropped:
                 self.metrics.inc("num_hits_dropped", dropped)
