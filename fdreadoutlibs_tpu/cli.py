@@ -166,6 +166,33 @@ def cmd_make_zeros(args) -> int:
     return 0
 
 
+def cmd_tde_file_creator(args) -> int:
+    """Port of test/apps/tde_file_creator.cxx: shuffled TDE16 frames
+    (batches x 12 AMCs x 64 channels) exercising out-of-order, per-channel
+    timestamp handling."""
+    from .formats import tde
+    rng = np.random.default_rng(args.seed)
+    all_frames = []
+    for batch in range(args.num_batches):
+        frames = tde.empty_frames(12 * 64)
+        i = 0
+        for amc in range(12):
+            for ch in range(64):
+                f = frames[i:i + 1]
+                tde.set_timestamp(f, batch)
+                tde.set_daq_header_field(f, "slot_id", amc)
+                tde.set_daq_header_field(f, "stream_id", ch)
+                tde.set_channel(f, ch)
+                tde.set_adc_sample(f, batch, 0)
+                i += 1
+        rng.shuffle(frames, axis=0)
+        all_frames.append(frames)
+    out = np.concatenate(all_frames)
+    out.tofile(args.output)
+    print(f"{len(out)} shuffled TDE frames -> {args.output}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="fdreadoutlibs_tpu",
                                 description=__doc__,
@@ -229,6 +256,13 @@ def build_parser() -> argparse.ArgumentParser:
     z.add_argument("-o", "--output", default="wibeth_output_all_zeros.bin")
     z.add_argument("-n", "--num-frames", type=int, default=32)
     z.set_defaults(fn=cmd_make_zeros)
+
+    t = sub.add_parser("tde-file-creator",
+                       help="write shuffled TDE frames (tde_file_creator)")
+    t.add_argument("-o", "--output", default="frames.bin")
+    t.add_argument("-n", "--num-batches", type=int, default=5)
+    t.add_argument("--seed", type=int, default=0)
+    t.set_defaults(fn=cmd_tde_file_creator)
     return p
 
 

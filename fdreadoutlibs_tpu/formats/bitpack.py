@@ -69,6 +69,22 @@ def pack_14bit(adcs: np.ndarray, bits: int = 14, n_words: int | None = None) -> 
     return out[..., :W].astype(np.uint32)
 
 
+def dump_registers(adcs, per_register: int = 16, fmt: str = "dec") -> str:
+    """Debug printer for unpacked values in 16-lane register groups — the
+    print256_as16 / print256_as16_dec equivalents (src/*/tpg/FrameExpand.cpp).
+    """
+    adcs = np.asarray(adcs).reshape(-1)
+    lines = []
+    for r in range(0, len(adcs), per_register):
+        group = adcs[r:r + per_register]
+        if fmt == "hex":
+            body = " ".join(f"{int(v) & 0xFFFF:04x}" for v in group)
+        else:
+            body = " ".join(f"{int(v):6d}" for v in group)
+        lines.append(f"reg {r // per_register:3d}: {body}")
+    return "\n".join(lines)
+
+
 def unpack_14bit_jnp(words_u32, n_channels: int, bits: int = 14, dtype=jnp.int32):
     """Unpack little-endian `bits`-bit ADCs from uint32 words (jnp, device).
 

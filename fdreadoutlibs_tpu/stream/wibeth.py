@@ -70,6 +70,8 @@ class WIBEthFrameProcessor(TaskRawDataProcessor):
         self.k_slots = config.get("tpg_k_slots", 8)
         self._interpret = bool(config.get("tpg_pallas_interpret", False))
 
+        self.error_counter_threshold = config.get("error_counter_threshold",
+                                                  1000)
         self.add_preprocess_task(self.sequence_check)
         self.add_preprocess_task(self.timestamp_check)
         if config.get("enable_tpg", False):
@@ -89,6 +91,19 @@ class WIBEthFrameProcessor(TaskRawDataProcessor):
         self._state = None
         self._pallas_stack = None
         self.det_id = 0
+        self._ts_problem_reported = False
+        self._seq_problem_reported = False
+
+    def _escalate(self, counter: str, flag: str, what: str) -> None:
+        """Log-once 'Data Integrity ERROR' after the error-counter threshold
+        (WIBEthFrameProcessor.cpp:344-350, 395-401)."""
+        if (self.metrics.count(counter) > self.error_counter_threshold
+                and not getattr(self, flag)):
+            from ..utils.logging import log
+            log.error("*** Data Integrity ERROR *** %s continuity is "
+                      "completely broken! Something is wrong with the FE "
+                      "source or with the configuration!", what)
+            setattr(self, flag, True)
 
     # ------------------------------------------------ preprocess: seq check
     def sequence_check(self, frames: np.ndarray) -> None:
@@ -119,6 +134,8 @@ class WIBEthFrameProcessor(TaskRawDataProcessor):
                 self.error_registry.add_error(
                     "SEQUENCE_ID_JUMP",
                     ErrorInterval(int(expected[i]), int(seq[i])))
+            self._escalate("num_seq_id_errors", "_seq_problem_reported",
+                           "Sequence ID")
         self.previous_seq_id = int(seq[-1])
 
     # ------------------------------------------ preprocess: timestamp check
@@ -144,6 +161,8 @@ class WIBEthFrameProcessor(TaskRawDataProcessor):
                 self.error_registry.add_error(
                     "MISSING_FRAMES",
                     ErrorInterval(int(prev[i] + tick), int(ts[i])))
+            self._escalate("num_ts_errors", "_ts_problem_reported",
+                           "Timestamp")
         self.previous_ts = int(ts[-1])
         self.last_processed_daq_ts = int(ts[-1])
 
