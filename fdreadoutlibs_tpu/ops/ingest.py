@@ -1,0 +1,113 @@
+"""Fused device ingest: packed frame words -> unpack -> SWTPG, one jit.
+
+Production streaming ships the *raw packed ADC region* to the device
+(1.75 bytes/sample for 14-bit WIBEth — the minimum possible host->HBM
+traffic; SURVEY.md §7 hard part (d)) and runs the 14-bit unpack, the
+lane-layout reshape and the fused Pallas TPG kernel inside a single jitted
+call.  The host never touches ADC values: its only per-batch work is a
+uint32 view of the frame bytes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..formats import wibeth
+from .config import TPGConfig
+from .pallas_tpg import LANES, pad_sublanes, process_window_pallas
+
+
+def host_words(frames: np.ndarray) -> np.ndarray:
+    """(N, 7200) uint8 frames -> (N, 64, 28) uint32 ADC words (a view-level
+    reshape; no decoding on host)."""
+    return wibeth.frames_bytes_to_u32(frames)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tc", "k_slots",
+                                             "unroll", "n_channels",
+                                             "interpret"))
+def process_packed_frames(words, state_stack, cfg: TPGConfig,
+                          n_channels: int, tc: int = 512, k_slots: int = 2,
+                          unroll: int = 8, interpret: bool = False):
+    """words: (L, T, 28) uint32 packed rows for L links of 64 channels.
+
+    Returns (slots, nclose, new_state) like process_window_pallas, with
+    channels stacked link-major on the lane axis (channel = link*64 + c).
+    """
+    L, T, _ = words.shape
+    adcs = wibeth.unpack_frames_jnp(words)               # (L, T, 64) int32
+    flat = adcs.transpose(1, 0, 2).reshape(T, L * wibeth.N_CHANNELS)
+    S = pad_sublanes(n_channels)
+    padded = jnp.zeros((T, S * LANES), jnp.int32)
+    padded = padded.at[:, : L * wibeth.N_CHANNELS].set(flat)
+    packed = padded.reshape(T, S, LANES)
+    return process_window_pallas(packed, state_stack, cfg, tc=tc,
+                                 k_slots=k_slots, unroll=unroll,
+                                 interpret=interpret)
+
+
+class StreamingIngest:
+    """Double-buffered streaming driver: enqueue the next batch while the
+    device processes the current one (jax dispatch is asynchronous, so the
+    host-side framing of batch k+1 overlaps device compute of batch k)."""
+
+    def __init__(self, cfg: TPGConfig, n_links: int, tc: int = 512,
+                 k_slots: int = 4, unroll: int = 8, interpret: bool = False):
+        self.cfg = cfg
+        self.n_links = n_links
+        self.n_channels = n_links * wibeth.N_CHANNELS
+        self.tc = tc
+        self.k_slots = k_slots
+        self.unroll = unroll
+        self.interpret = interpret
+        self.stack = None
+        self._pending = None          # (slots, nclose, tick_offset)
+        self.tick_offset = 0
+
+    def _ensure_state(self, words0: np.ndarray) -> None:
+        from .chanstate import init_chanstate, seed_chanstate
+        from .pallas_tpg import pack_state
+        first = np.asarray(wibeth.unpack_frames_jnp(
+            jnp.asarray(words0[:, :1])))[:, 0].reshape(-1)
+        state = seed_chanstate(init_chanstate(self.n_channels), first,
+                               self.cfg.rs_memory_factor_x10)
+        self.stack = pack_state(state, self.n_channels)
+
+    def submit(self, frames_links: np.ndarray):
+        """frames_links: (L, N, 7200) uint8.  Returns the decoded hits of
+        the PREVIOUS batch (pipelined), or None on the first call."""
+        L, N, _ = frames_links.shape
+        T = N * wibeth.N_TIME_SAMPLES
+        words = host_words(frames_links.reshape(-1, wibeth.FRAME_SIZE)) \
+            .reshape(L, T, 28)
+        if self.stack is None:
+            self._ensure_state(words)
+        out = None
+        if self._pending is not None:
+            out = self._collect()
+        from .pallas_tpg import auto_tc
+        tc = auto_tc(T, cap=self.tc)
+        slots, nclose, self.stack = process_packed_frames(
+            jnp.asarray(words), self.stack, self.cfg, self.n_channels,
+            tc=tc, k_slots=self.k_slots,
+            unroll=self.unroll if tc % self.unroll == 0 else 1,
+            interpret=self.interpret)
+        self._pending = (slots, nclose, self.tick_offset)
+        self.tick_offset += T
+        return out
+
+    def _collect(self):
+        from .pallas_tpg import decode_pallas_hits
+        slots, nclose, tick_offset = self._pending
+        hits, dropped = decode_pallas_hits(slots, nclose, self.n_channels,
+                                           tick_offset=tick_offset)
+        self._pending = None
+        return hits, dropped
+
+    def flush(self):
+        """Collect the final in-flight batch."""
+        return self._collect() if self._pending is not None else None
