@@ -5,13 +5,15 @@ DataLinkHandler graph) wires the reference:
 
   emulated WIBEth sources (40 links)
     -> per-link preprocess (sequence/timestamp checks, vectorized)
-    -> one fused device SWTPG pass over all links (channels stacked on the
-       lane axis — the TPU replaces 40 per-link processor threads)
+    -> raw payloads into per-link readout buffers (trigger data requests)
+    -> one fused device ingest over all links: packed bytes -> on-device
+       unpack -> SWTPG (channels stacked on the lane axis — the TPU
+       replaces 40 per-link processor threads)
     -> vectorized TP assembly per link
     -> TP latency buffer (native C++ when available)
     -> TPSet windowing with heartbeats/cutoff + windowed data requests
 
-Run:  python -m fdreadoutlibs_tpu.apps.apa_readout --seconds 0.1
+Run:  python -m fdreadoutlibs_tpu.apps.apa_readout --batches 8
 """
 
 from __future__ import annotations
@@ -66,28 +68,38 @@ class APAReadoutApp:
                            "tardy_tp_quiet_time_at_start_sec": 0})
         self.handler.start(run_number=run_number)
 
+        # raw-payload buffers for trigger data requests (one per link)
+        from ..formats.adapters import get_adapter
+        from ..tp.readout_buffer import ReadoutRequestHandler
+        self.readout = [ReadoutRequestHandler(get_adapter("wibeth"),
+                                              capacity=4096)
+                        for _ in range(n_links)]
+
         self._stack = None
         self._first = True
 
     # ---- the fused hot path over all links ------------------------------
-    def _device_pass(self, adcs_links: np.ndarray):
-        """adcs_links: (L, T, 64) -> list of per-link hit arrays."""
+    def _device_pass(self, frames_links: np.ndarray):
+        """frames_links: (L, N, 7200) -> per-link hit arrays (fused device
+        ingest: packed bytes -> on-device unpack -> Pallas TPG)."""
         import jax.numpy as jnp
-        from ..ops.pallas_tpg import (decode_pallas_hits, pack_adcs,
-                                      pack_state, process_window_pallas,
-                                      unpack_state)
-        L, T, _ = adcs_links.shape
+        from ..ops.ingest import host_words, process_packed_frames
+        from ..ops.pallas_tpg import (auto_tc, decode_pallas_hits, pack_state)
+        L, N, _ = frames_links.shape
+        T = N * wibeth.N_TIME_SAMPLES
         C = L * wibeth.N_CHANNELS
-        flat = adcs_links.transpose(1, 0, 2).reshape(T, C)
+        words = host_words(frames_links.reshape(-1, wibeth.FRAME_SIZE)) \
+            .reshape(L, T, 28)
         if self._stack is None:
-            state = seed_chanstate(init_chanstate(C), flat[0],
+            first = np.asarray(wibeth.unpack_frames_jnp(
+                jnp.asarray(words[:, :1])))[:, 0].reshape(-1)
+            state = seed_chanstate(init_chanstate(C), first,
                                    self.cfg.rs_memory_factor_x10)
             self._stack = pack_state(state, C)
-        from ..ops.pallas_tpg import auto_tc
         tc = auto_tc(T)
-        slots, nclose, self._stack = process_window_pallas(
-            jnp.asarray(pack_adcs(flat)), self._stack, self.cfg,
-            tc=tc, k_slots=4, unroll=8 if tc % 8 == 0 else 1)
+        slots, nclose, self._stack = process_packed_frames(
+            jnp.asarray(words), self._stack, self.cfg, C, tc=tc, k_slots=4,
+            unroll=8 if tc % 8 == 0 else 1)
         hits, dropped = decode_pallas_hits(slots, nclose, C)
         per_link = []
         for l in range(L):
@@ -100,7 +112,6 @@ class APAReadoutApp:
     def process_batch(self, frames_links: np.ndarray):
         """frames_links: (L, N, 7200) one batch of N frames per link."""
         L, N, _ = frames_links.shape
-        adcs = np.zeros((L, N * 64, 64), dtype=np.int32)
         ts0 = np.zeros(L, dtype=np.int64)
         for l in range(L):
             p = self.procs[l]
@@ -112,16 +123,11 @@ class APAReadoutApp:
             if p._first_hit:
                 p._first_frame_setup(frames, wibeth.get_adcs(frames[:1])
                                      .reshape(-1, 64)[0].astype(np.int32))
-            try:
-                from .. import native
-                if native.available():
-                    adcs[l] = native.wibeth_unpack(frames).astype(np.int32)
-                    continue
-            except Exception:
-                pass
-            adcs[l] = wibeth.get_adcs(frames).reshape(-1, 64)
+            # raw payloads stay available for trigger data requests
+            self.readout[l].insert_payloads(frames)
+            self.readout[l].cleanup(max_occupancy=2048)
 
-        per_link, dropped = self._device_pass(adcs)
+        per_link, dropped = self._device_pass(frames_links)
         for l in range(L):
             p = self.procs[l]
             p.metrics.inc("num_hits", len(per_link[l]))
@@ -132,9 +138,14 @@ class APAReadoutApp:
         self.handler.send_tp_sets_once()
         return dropped
 
+    def request_raw(self, link: int, start_ts: int, end_ts: int):
+        """Serve a trigger data request for raw frames on one link."""
+        return self.readout[link].request(start_ts, end_ts)
+
     def get_info(self) -> dict:
         info = {"handler": self.handler.get_info(),
-                "tpsets_queued": len(self.tpset_q)}
+                "tpsets_queued": len(self.tpset_q),
+                "raw_buffered": sum(r.occupancy() for r in self.readout)}
         info["total_tps_sent"] = sum(p.metrics.count("num_tps_sent")
                                      for p in self.procs)
         info["total_hits"] = sum(p.metrics.count("num_hits")
