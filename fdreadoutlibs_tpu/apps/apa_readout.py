@@ -26,7 +26,7 @@ import numpy as np
 
 from ..formats import wibeth
 from ..formats.trigprim import TP_DTYPE
-from ..ops import TPGConfig
+
 from ..ops.chanstate import init_chanstate, seed_chanstate
 from ..stream import WIBEthFrameProcessor
 from ..stream.transport import QueueSender

@@ -8,7 +8,7 @@ implementations (``available()`` reports which path is active).
 from __future__ import annotations
 
 import ctypes
-import os
+
 import subprocess
 from pathlib import Path
 

@@ -12,7 +12,7 @@ portable multi-chip scan path plus the link-stacking helpers.
 
 from __future__ import annotations
 
-import functools
+
 from typing import Optional
 
 import jax

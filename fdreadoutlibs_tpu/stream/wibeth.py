@@ -17,9 +17,9 @@ from ..formats import wibeth
 from ..formats.trigprim import TP_DTYPE, TPAlgorithm, TPType
 from ..ops import TPGConfig, Algorithm
 from ..ops.chanstate import init_chanstate, seed_chanstate
-from ..ops.hits import concat_hits, decode_dense
+from ..ops.hits import decode_dense
 from ..utils.channel_map import make_map
-from .errors import ErrorInterval, LinkMisconfiguration, TPTooLong
+from .errors import ErrorInterval
 from .processor import TaskRawDataProcessor
 from .transport import Sender
 

@@ -16,7 +16,7 @@ import numpy as np
 
 from ..formats.adapters import TypeAdapter
 from ..utils.metrics import MetricsCollector
-from .latency_buffer import LatencyBuffer, make_latency_buffer
+from .latency_buffer import make_latency_buffer
 
 
 def payload_record_dtype(payload_size: int) -> np.dtype:
