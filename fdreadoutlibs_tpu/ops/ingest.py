@@ -50,6 +50,27 @@ def process_packed_frames(words, state_stack, cfg: TPGConfig,
                                  interpret=interpret)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "tc", "k_slots",
+                                             "unroll", "n_channels",
+                                             "interpret"))
+def process_packed_wib2(words, state_stack, cfg: TPGConfig,
+                        n_channels: int, tc: int = 512, k_slots: int = 4,
+                        unroll: int = 8, interpret: bool = False):
+    """WIB2 fused ingest: words (L, T, 112) uint32 packed rows (each WIB2
+    frame is ONE tick of 256 channels); channel = link*256 + c."""
+    from ..formats import wib2
+    L, T, _ = words.shape
+    adcs = wib2.unpack_frames_jnp(words)                 # (L, T, 256)
+    flat = adcs.transpose(1, 0, 2).reshape(T, L * wib2.N_CHANNELS)
+    S = pad_sublanes(n_channels)
+    padded = jnp.zeros((T, S * LANES), jnp.int32)
+    padded = padded.at[:, : L * wib2.N_CHANNELS].set(flat)
+    packed = padded.reshape(T, S, LANES)
+    return process_window_pallas(packed, state_stack, cfg, tc=tc,
+                                 k_slots=k_slots, unroll=unroll,
+                                 interpret=interpret)
+
+
 class StreamingIngest:
     """Double-buffered streaming driver: enqueue the next batch while the
     device processes the current one (jax dispatch is asynchronous, so the

@@ -72,3 +72,33 @@ class TestStreamingIngest:
         assert out is not None                      # second: batch 0's hits
         assert ing.flush() is not None              # batch 1's hits
         assert ing.flush() is None
+
+
+class TestWIB2Ingest:
+    def test_fused_wib2_matches_oracle(self):
+        import jax.numpy as jnp
+        from fdreadoutlibs_tpu.formats import wib2
+        from fdreadoutlibs_tpu.ops.chanstate import (init_chanstate,
+                                                     seed_chanstate)
+        from fdreadoutlibs_tpu.ops.ingest import process_packed_wib2
+        from fdreadoutlibs_tpu.ops.pallas_tpg import (decode_pallas_hits,
+                                                      pack_state)
+        rng = np.random.default_rng(1)
+        L, T = 2, 48
+        adcs = (800 + rng.normal(0, 20, size=(L, T, 256))).astype(np.uint16)
+        adcs[1, 20:28, 100] += 900
+        frames = wib2.empty_frames(L * T).reshape(L, T, wib2.FRAME_SIZE)
+        for l in range(L):
+            wib2.set_adcs(frames[l], adcs[l])
+        words = np.ascontiguousarray(wib2.adc_region_u32(frames))
+        C = L * 256
+        cfg = TPGConfig(threshold=120)
+        stream = adcs.transpose(1, 0, 2).reshape(T, C).astype(np.int32)
+        stack = pack_state(seed_chanstate(init_chanstate(C), stream[0], 8), C)
+        slots, nclose, _ = process_packed_wib2(
+            jnp.asarray(words), stack, cfg, C, tc=48, unroll=1,
+            interpret=True)
+        got, dropped = decode_pallas_hits(slots, nclose, C)
+        ref, _ = run_reference(stream, cfg, window=T)
+        assert dropped == 0 and len(ref) > 0
+        np.testing.assert_array_equal(got, ref)
