@@ -28,8 +28,9 @@ def main():
         decode_pallas_hits, pack_adcs, pack_state, process_window_pallas)
 
     on_tpu = jax.default_backend() == "tpu"
-    C, T = 2560, 8192
-    TC, K, UNROLL = 512, 2, 8
+    C = 2560
+    T = 8192 if on_tpu else 512      # interpret mode is a smoke test only
+    TC, K, UNROLL = (1024 if on_tpu else 512), 2, 8
     SAMPLE_HZ = 62.5e6 / 32                     # 1.953125 MHz per channel
     cfg = TPGConfig(threshold=150)
 
@@ -46,23 +47,33 @@ def main():
     def chain(n, s):
         t0 = time.perf_counter()
         for _ in range(n):
-            slots, nclose, s = process_window_pallas(packed, s, cfg, tc=TC,
-                                                     k_slots=K, unroll=UNROLL,
-                                                     interpret=not on_tpu)
+            slots, nclose, s = process_window_pallas(
+                packed, s, cfg, tc=TC, k_slots=K, unroll=UNROLL,
+                vmem_limit_mb=64 if on_tpu else None,
+                interpret=not on_tpu)
         _ = float(jnp.sum(s[:, 0]))             # hard sync
         return time.perf_counter() - t0, (slots, nclose, s)
 
     # warm up / compile, and sanity-check the hit path
     _, (slots, nclose, _) = chain(1, state0)
     hits, _ = decode_pallas_hits(slots, nclose, C)
-    assert len(hits) > 50, f"hit path produced only {len(hits)} hits"
+    min_hits = 50 if on_tpu else 3
+    assert len(hits) > min_hits, f"hit path produced only {len(hits)} hits"
 
     if on_tpu:
+        # slope timing with positive-slope filtering: the tunnel's per-sync
+        # latency is large and variable enough to occasionally invert a
+        # single (short, long) pair
         per_call = []
-        for _ in range(5):
-            t_a, _ = chain(4, state0)
-            t_b, _ = chain(44, state0)
-            per_call.append((t_b - t_a) / 40)
+        for _ in range(10):
+            t_a, _ = chain(8, state0)
+            t_b, _ = chain(88, state0)
+            slope = (t_b - t_a) / 80
+            if slope > 0:
+                per_call.append(slope)
+            if len(per_call) >= 5:
+                break
+        assert per_call, "all timing trials inverted; tunnel too unstable"
         dt = float(np.median(per_call))
     else:  # interpret mode is not a performance path; time one call
         dt, _ = chain(1, state0)

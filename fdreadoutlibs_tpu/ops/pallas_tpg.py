@@ -216,10 +216,10 @@ def _tpg_kernel(adc_ref, state_ref, state_out_ref, slots_ref, nclose_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "tc", "k_slots", "interpret",
-                                    "unroll"))
+                                    "unroll", "vmem_limit_mb"))
 def process_window_pallas(adcs, state_stack, cfg: TPGConfig, tc: int = 256,
                           k_slots: int = 4, interpret: bool = False,
-                          unroll: int = 1):
+                          unroll: int = 1, vmem_limit_mb: int | None = None):
     """Run the fused kernel over a (T, S, 128) int32 window.
 
     Args:
@@ -244,8 +244,14 @@ def process_window_pallas(adcs, state_stack, cfg: TPGConfig, tc: int = 256,
 
     kernel = functools.partial(_tpg_kernel, cfg=cfg, tc=tc, k_slots=k_slots,
                                sub=sub, unroll=unroll)
+    compiler_params = None
+    if vmem_limit_mb is not None and not interpret:
+        from jax.experimental.pallas import tpu as pltpu
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_mb * 1024 * 1024)
     state_out, slots, nclose = pl.pallas_call(
         kernel,
+        compiler_params=compiler_params,
         grid=(nb, T // tc),
         in_specs=[
             pl.BlockSpec((tc, sub, LANES), lambda b, t: (t, b, 0)),

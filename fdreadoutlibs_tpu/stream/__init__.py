@@ -19,6 +19,7 @@ from .transport import Sender, QueueSender, CallbackSender  # noqa: F401
 from .processor import TaskRawDataProcessor  # noqa: F401
 from .wibeth import WIBEthFrameProcessor  # noqa: F401
 from .wib2 import WIB2FrameProcessor  # noqa: F401
+from .protowib import WIBFrameProcessor  # noqa: F401
 from .daphne import DAPHNEFrameProcessor, DAPHNEStreamFrameProcessor  # noqa: F401
 from .tde import TDEFrameProcessor  # noqa: F401
 from .ssp import SSPFrameProcessor, SWTriggerPrimitiveProcessor  # noqa: F401
