@@ -71,3 +71,21 @@ def test_state_carries_across_sharded_steps():
         first = (h_ref["end_tick"] < 128).sum()
         assert np.asarray(n1)[l] == first
         assert np.asarray(n2)[l] == len(h_ref) - first
+
+
+@pytest.mark.parametrize("alg", ["AbsRS", "FIR"])
+def test_sharded_other_algorithms(alg):
+    """RS/FIR state (incl. the FIR ring buffer) shards correctly."""
+    from fdreadoutlibs_tpu.ops.config import Algorithm
+    mesh = make_link_mesh(4)
+    cfg = TPGConfig(algorithm=Algorithm(alg) if alg != "FIR"
+                    else Algorithm.FIR,
+                    threshold=150 if alg != "FIR" else 5)
+    pipe = APAPipeline(4, cfg, mesh=mesh)
+    words, all_adcs = make_words(4, n_frames=2, seed=11)
+    hits, n_hits, total = pipe.process(words)
+    n_hits = np.asarray(n_hits)
+    for l in range(4):
+        h_ref, _ = run_reference(all_adcs[l], cfg, window=128)
+        assert n_hits[l] == len(h_ref), f"link {l}"
+    assert total == int(n_hits.sum())

@@ -100,3 +100,15 @@ def test_pallas_slot_overflow_counts():
         hc = h_ref[h_ref["channel"] == c]
         kept.append(hc[np.argsort(hc["end_tick"])][:k])
     np.testing.assert_array_equal(h_pal, concat_hits(kept))
+
+
+def test_pallas_mixed_memory_factor():
+    """Per-channel RS memory factors (threshold-on-collection mixing,
+    WIBEthFrameProcessor.cpp:441-450) through the Pallas kernel."""
+    adcs = random_stream(128, 32, seed=51, n_signals=15)
+    rmf = np.where(np.arange(32) % 2 == 0, 0, 8)   # even channels memoryless
+    cfg = TPGConfig(algorithm=Algorithm.ABS_RS, threshold=150)
+    h_ref, _ = run_reference(adcs, cfg, rs_memory_factor=rmf, window=128)
+    h_pal, _, dropped = run_pallas(adcs, cfg, rs_memory_factor=rmf)
+    assert dropped == 0 and len(h_ref) > 0
+    np.testing.assert_array_equal(h_pal, h_ref)
