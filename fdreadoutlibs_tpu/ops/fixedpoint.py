@@ -22,8 +22,15 @@ INT16_MIN = -32768
 
 
 def wrap_i16(x):
-    """Reinterpret an int32 value as wrapped int16 (two's complement)."""
-    return ((x + 32768) & 0xFFFF) - 32768
+    """Reinterpret an int32 value as wrapped int16 (two's complement).
+
+    (x << 16) >> 16 — two ops instead of add/mask/sub; left shift wraps
+    mod 2^32 and the arithmetic right shift sign-extends the low 16 bits
+    (property-tested over the full int32 domain vs the masked form).
+    """
+    if isinstance(x, int):
+        return ((x + 32768) & 0xFFFF) - 32768
+    return (x << 16) >> 16
 
 
 def sat_i16(x):
