@@ -103,6 +103,8 @@ def run_model(adcs: np.ndarray, cfg: TPGConfig, backend: str = "scan",
             w = min(512, T - t0)
             slots, nclose, stack = process_window_pallas(
                 jnp.asarray(packed[t0:t0 + w]), stack, cfg, tc=w, k_slots=8,
+                unroll=8 if (not interpret and w % 8 == 0) else 1,
+                vmem_limit_mb=None if interpret else 64,
                 interpret=interpret)
             h, _ = decode_pallas_hits(slots, nclose, C, tick_offset=t0)
             parts.append(h)
