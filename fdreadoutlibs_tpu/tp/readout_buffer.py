@@ -61,6 +61,19 @@ class ReadoutRequestHandler:
         recs = self.buffer.extract_window(max(0, start_ts - span + 1), end_ts)
         return recs["payload"]
 
+    def request_fragment(self, start_ts: int, end_ts: int, *,
+                         run_number: int = 0, trigger_number: int = 0,
+                         source_id: int = 0, sequence_number: int = 0):
+        """Serve a DataRequest as a daqdataformats-style Fragment (payloads
+        + FragmentHeader with the requested window)."""
+        from ..formats.fragment import build_fragment
+        payloads = self.request(start_ts, end_ts)
+        return build_fragment(
+            payloads, run_number=run_number, trigger_number=trigger_number,
+            window_begin=start_ts, window_end=end_ts, source_id=source_id,
+            fragment_type=self.adapter.fragment_type,
+            sequence_number=sequence_number)
+
     def cleanup(self, max_ts_diff: Optional[int] = None,
                 max_occupancy: Optional[int] = None) -> int:
         dropped = 0

@@ -84,3 +84,21 @@ class TestTDETPG:
         proc.process(frames)
         assert proc.metrics.count("num_incomplete_tpg_batches") == 1
         assert len(sink) == 0
+
+
+class TestFragments:
+    def test_request_fragment(self):
+        from fdreadoutlibs_tpu.formats.fragment import Fragment
+        h = ReadoutRequestHandler(get_adapter("wibeth"), prefer_native=False)
+        frames = wibeth.empty_frames(4)
+        wibeth.fake_timestamps(frames, 10_000)
+        h.insert_payloads(frames)
+        frag = h.request_fragment(12_100, 16_145, run_number=7,
+                                  trigger_number=42, source_id=3)
+        assert isinstance(frag, Fragment)
+        assert len(frag) == 3
+        assert frag.header.run_number == 7
+        assert frag.header.trigger_number == 42
+        assert frag.header.window_begin == 12_100
+        assert frag.header.fragment_type == "kWIBEth"
+        assert frag.size_bytes == 3 * 7200
