@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..formats import wibeth
 from ..ops import TPGConfig
@@ -70,7 +70,7 @@ def make_apa_step(mesh: Mesh, cfg: TPGConfig, max_hits_per_link: int = 512):
         _local, mesh=mesh,
         in_specs=(P("link"), state_spec),
         out_specs=(P("link"), P("link"), P(), state_spec),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(step)
 
