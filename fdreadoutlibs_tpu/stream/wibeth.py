@@ -198,18 +198,51 @@ class WIBEthFrameProcessor(TaskRawDataProcessor):
         self._first_hit = False
 
     def find_hits(self, frames: np.ndarray) -> None:
-        """Unpack + SWTPG over the batch (cpp:411-476)."""
+        """Unpack + SWTPG over the batch (cpp:411-476).
+
+        The pallas backend takes the fused-ingest path: only the packed
+        ADC bytes go to the device and the 14-bit unpack happens there;
+        the host never decodes ADC values."""
         if frames.shape[0] == 0:
             return
         timestamp = int(wibeth.get_timestamp(frames)[0])
-        adcs = wibeth.get_adcs(frames).reshape(-1, wibeth.N_CHANNELS) \
-            .astype(np.int32)
-        if self._first_hit:
-            self._first_frame_setup(frames, adcs[0])
-
-        hits = self._run_backend(adcs)
+        if self.backend == "pallas":
+            words = wibeth.frames_bytes_to_u32(frames)
+            if self._first_hit:
+                first = wibeth.get_adcs(frames[:1]) \
+                    .reshape(-1, wibeth.N_CHANNELS)[0].astype(np.int32)
+                self._first_frame_setup(frames, first)
+            hits = self._run_pallas_packed(words)
+        else:
+            adcs = wibeth.get_adcs(frames).reshape(-1, wibeth.N_CHANNELS) \
+                .astype(np.int32)
+            if self._first_hit:
+                self._first_frame_setup(frames, adcs[0])
+            hits = self._run_backend(adcs)
         self.metrics.inc("num_hits", len(hits))
         self.process_swtpg_hits(hits, timestamp)
+
+    def _run_pallas_packed(self, words: np.ndarray):
+        """Fused device ingest for one link: (N, 64, 28) packed words."""
+        import jax.numpy as jnp
+        from ..ops.ingest import process_packed_frames
+        from ..ops.pallas_tpg import (auto_tc, decode_pallas_hits,
+                                      pack_state, unpack_state)
+        C = wibeth.N_CHANNELS
+        T = words.shape[0] * wibeth.N_TIME_SAMPLES
+        if self._pallas_stack is None:
+            self._pallas_stack = pack_state(self._state, C)
+        tc = auto_tc(T)
+        slots, nclose, self._pallas_stack = process_packed_frames(
+            jnp.asarray(words.reshape(1, T, 28)), self._pallas_stack,
+            self.tpg_cfg, C, tc=tc, k_slots=self.k_slots,
+            unroll=8 if (not self._interpret and tc % 8 == 0) else 1,
+            interpret=self._interpret)
+        hits, dropped = decode_pallas_hits(slots, nclose, C)
+        if dropped:
+            self.metrics.inc("num_hits_dropped", dropped)
+        self._state.update(unpack_state(self._pallas_stack, C))
+        return hits
 
     def _run_backend(self, adcs: np.ndarray):
         if self.backend == "reference":
