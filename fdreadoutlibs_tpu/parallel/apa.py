@@ -29,7 +29,56 @@ from ..ops.scan import STATE_KEYS, compact_hits_device, process_window_scan
 N_CH = wibeth.N_CHANNELS
 
 
-def make_apa_step(mesh: Mesh, cfg: TPGConfig, max_hits_per_link: int = 512):
+def _stack_from_state(st: dict, C: int):
+    """jnp equivalent of pallas_tpg.pack_state for one shard: state dict of
+    (C,) arrays -> (1, KSTATE, S, 128) int32."""
+    from ..ops.chanstate import FIELDS
+    from ..ops.pallas_tpg import KSTATE, LANES, N_FIR_TAPS, pad_sublanes
+    S = pad_sublanes(C)
+    pad = S * LANES - C
+    rows = [st[k] for k in FIELDS] + [st["rs_memory_factor"]]
+    rows += [st["fir_prev"][j] for j in range(N_FIR_TAPS)]
+    stack = jnp.stack([jnp.pad(r, (0, pad)) for r in rows])
+    return stack.reshape(1, KSTATE, S, LANES)
+
+
+def _state_from_stack(stack, C: int) -> dict:
+    from ..ops.chanstate import FIELDS
+    from ..ops.pallas_tpg import KSTATE, N_FIR_TAPS
+    flat = stack.reshape(KSTATE, -1)[:, :C]
+    st = {k: flat[i] for i, k in enumerate(FIELDS)}
+    st["rs_memory_factor"] = flat[len(FIELDS)]
+    st["fir_prev"] = flat[len(FIELDS) + 1: len(FIELDS) + 1 + N_FIR_TAPS]
+    return st
+
+
+def _compact_link_slots(w0, w1, w2, max_hits: int):
+    """Device-side decode of one link's K-slot records -> (max_hits, 6)
+    hits [channel, end_tick, charge, tover, peak_adc, peak_time] in
+    (end_tick, channel) order, plus the valid count."""
+    K, C = w2.shape
+    valid = (w2 != 0).reshape(-1)
+    chan = jnp.tile(jnp.arange(C, dtype=jnp.int32), (K, 1)).reshape(-1)
+    end = (w2 - 1).reshape(-1)
+    fields = jnp.stack([
+        chan, end, w0.reshape(-1) >> 16, w0.reshape(-1) & 0xFFFF,
+        w1.reshape(-1) >> 16, w1.reshape(-1) & 0xFFFF], axis=-1)
+    # order by (end_tick, channel); invalid entries sort last
+    key = jnp.where(valid, end * jnp.int32(C) + chan, jnp.iinfo(jnp.int32).max)
+    order = jnp.argsort(key)
+    fields = fields[order]
+    valid_sorted = valid[order]
+    n = jnp.sum(valid_sorted.astype(jnp.int32))
+    out = jnp.zeros((max_hits, 6), jnp.int32)
+    take = min(max_hits, K * C)
+    out = out.at[:take].set(jnp.where(valid_sorted[:take, None],
+                                      fields[:take], 0))
+    return out, jnp.minimum(n, max_hits)
+
+
+def make_apa_step(mesh: Mesh, cfg: TPGConfig, max_hits_per_link: int = 512,
+                  backend: str = "scan", k_slots: int = 8,
+                  interpret: bool = False):
     """Build the jitted multi-chip step.
 
     step(words (L, T, 28) uint32, state {k: (L, 64) int32}) ->
@@ -37,8 +86,43 @@ def make_apa_step(mesh: Mesh, cfg: TPGConfig, max_hits_per_link: int = 512):
        new_state)
 
     Links shard over the mesh 'link' axis; the only collective is the psum
-    for the monitoring total.
+    for the monitoring total.  backend="pallas" runs the production fused
+    kernel per shard (each device's links stack on its lane axis);
+    backend="scan" is the portable XLA path.
     """
+
+    def _local_pallas(words, state):
+        from ..ops.pallas_tpg import (LANES, auto_tc, pad_sublanes,
+                                      process_window_pallas)
+        Lloc, T, _ = words.shape
+        C = Lloc * N_CH
+        adcs = wibeth.unpack_frames_jnp(words)
+        flat = adcs.transpose(1, 0, 2).reshape(T, C)
+        st = {k: (state[k].transpose(1, 0, 2).reshape(-1, C)
+                  if k == "fir_prev" else state[k].reshape(C))
+              for k in STATE_KEYS}
+        S = pad_sublanes(C)
+        padded = jnp.zeros((T, S * LANES), jnp.int32)
+        padded = padded.at[:, :C].set(flat)
+        tc = auto_tc(T)
+        slots, nclose, stack = process_window_pallas(
+            padded.reshape(T, S, LANES), _stack_from_state(st, C), cfg,
+            tc=tc, k_slots=k_slots,
+            unroll=8 if (not interpret and tc % 8 == 0) else 1,
+            interpret=interpret)
+        # per-link device-side decode: slots (1, K, 3, S, 128)
+        w = slots.reshape(k_slots, 3, S * LANES)[:, :, :C] \
+            .reshape(k_slots, 3, Lloc, N_CH).transpose(2, 0, 1, 3)
+        hits, n_hits = jax.vmap(
+            lambda lw: _compact_link_slots(lw[:, 0], lw[:, 1], lw[:, 2],
+                                           max_hits_per_link))(w)
+        total = jax.lax.psum(jnp.sum(n_hits), "link")
+        new_st = _state_from_stack(stack, C)
+        new_state = {k: (new_st[k].reshape(-1, Lloc, N_CH).transpose(1, 0, 2)
+                         if k == "fir_prev"
+                         else new_st[k].reshape(Lloc, N_CH))
+                     for k in STATE_KEYS}
+        return hits, n_hits, total, new_state
 
     def _local(words, state):
         # words: (Lloc, T, 28); state values: (Lloc, 64)
@@ -66,8 +150,9 @@ def make_apa_step(mesh: Mesh, cfg: TPGConfig, max_hits_per_link: int = 512):
         return hits, n_hits, total, new_state
 
     state_spec = {k: P("link") for k in STATE_KEYS}
+    local = _local_pallas if backend == "pallas" else _local
     step = shard_map(
-        _local, mesh=mesh,
+        local, mesh=mesh,
         in_specs=(P("link"), state_spec),
         out_specs=(P("link"), P("link"), P(), state_spec),
         check_vma=False,
@@ -80,14 +165,16 @@ class APAPipeline:
     batches; the host feeds packed frame batches per link."""
 
     def __init__(self, n_links: int, cfg: TPGConfig,
-                 mesh: Optional[Mesh] = None, max_hits_per_link: int = 512):
+                 mesh: Optional[Mesh] = None, max_hits_per_link: int = 512,
+                 backend: str = "scan", interpret: bool = False):
         from .mesh import make_link_mesh
         self.mesh = mesh or make_link_mesh()
         self.n_links = n_links
         assert n_links % self.mesh.devices.size == 0, \
             "links must divide evenly over devices"
         self.cfg = cfg
-        self.step = make_apa_step(self.mesh, cfg, max_hits_per_link)
+        self.step = make_apa_step(self.mesh, cfg, max_hits_per_link,
+                                  backend=backend, interpret=interpret)
         self.state = None
 
     def init_state(self, first_samples: np.ndarray,

@@ -89,3 +89,27 @@ def test_sharded_other_algorithms(alg):
         h_ref, _ = run_reference(all_adcs[l], cfg, window=128)
         assert n_hits[l] == len(h_ref), f"link {l}"
     assert total == int(n_hits.sum())
+
+
+@pytest.mark.parametrize("n_devices", [1, 4])
+def test_sharded_pallas_backend(n_devices):
+    """Production backend: the fused Pallas kernel runs per shard inside
+    shard_map with device-side slot decoding."""
+    mesh = make_link_mesh(n_devices)
+    n_links = 4
+    cfg = TPGConfig(threshold=120)
+    pipe = APAPipeline(n_links, cfg, mesh=mesh, backend="pallas",
+                       interpret=True)
+    words, all_adcs = make_words(n_links, n_frames=2)
+    hits, n_hits, total = pipe.process(words)
+    hits = np.asarray(hits)
+    n_hits = np.asarray(n_hits)
+    for l in range(n_links):
+        h_ref, _ = run_reference(all_adcs[l], cfg, window=128)
+        assert n_hits[l] == len(h_ref), f"link {l}"
+        got = hits[l][: n_hits[l]]
+        np.testing.assert_array_equal(got[:, 0], h_ref["channel"])
+        np.testing.assert_array_equal(got[:, 1], h_ref["end_tick"])
+        np.testing.assert_array_equal(got[:, 2], h_ref["charge"])
+        np.testing.assert_array_equal(got[:, 5], h_ref["peak_time"])
+    assert total == int(n_hits.sum())
