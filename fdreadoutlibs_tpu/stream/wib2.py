@@ -100,14 +100,42 @@ class WIB2FrameProcessor(WIBEthFrameProcessor):
             return
         frames = wib2.superchunk_frames(superchunks)
         timestamp = int(wib2.get_timestamp(frames[0, :1])[0])
-        # (N, 12, 256): each frame is ONE tick of 256 channels
-        adcs = wib2.get_adcs(frames).reshape(-1, self.N_CHANNELS) \
-            .astype(np.int32)
         if self._first_hit:
-            self._first_frame_setup(superchunks, adcs[0])
-        hits = self._run_backend(adcs)
+            first = wib2.get_adcs(frames[:1, 0]).reshape(-1).astype(np.int32)
+            self._first_frame_setup(superchunks, first)
+        if self.backend == "pallas":
+            hits = self._run_pallas_packed_wib2(frames)
+        else:
+            # (N, 12, 256): each frame is ONE tick of 256 channels
+            adcs = wib2.get_adcs(frames).reshape(-1, self.N_CHANNELS) \
+                .astype(np.int32)
+            hits = self._run_backend(adcs)
         self.metrics.inc("num_hits", len(hits))
         self.process_swtpg_hits(hits, timestamp)
+
+    def _run_pallas_packed_wib2(self, frames: np.ndarray):
+        """Fused device ingest: packed 112-word rows, unpack on device."""
+        import jax.numpy as jnp
+        from ..ops.ingest import process_packed_wib2
+        from ..ops.pallas_tpg import (auto_tc, decode_pallas_hits,
+                                      pack_state, unpack_state)
+        C = self.N_CHANNELS
+        words = np.ascontiguousarray(wib2.adc_region_u32(frames)) \
+            .reshape(1, -1, wib2.ADC_WORDS)
+        T = words.shape[1]
+        if self._pallas_stack is None:
+            self._pallas_stack = pack_state(self._state, C)
+        tc = auto_tc(T)
+        slots, nclose, self._pallas_stack = process_packed_wib2(
+            jnp.asarray(words), self._pallas_stack, self.tpg_cfg, C, tc=tc,
+            k_slots=self.k_slots,
+            unroll=8 if (not self._interpret and tc % 8 == 0) else 1,
+            interpret=self._interpret)
+        hits, dropped = decode_pallas_hits(slots, nclose, C)
+        if dropped:
+            self.metrics.inc("num_hits_dropped", dropped)
+        self._state.update(unpack_state(self._pallas_stack, C))
+        return hits
 
     # ------------------------------------------------------- TP assembly
     def process_swtpg_hits(self, hits: np.ndarray, timestamp: int) -> None:

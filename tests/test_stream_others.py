@@ -82,6 +82,18 @@ class TestWIB2Processor:
         proc.process(sc)
         assert proc.metrics.count("num_ts_errors") == 0
 
+    def test_backend_pallas_matches_reference(self):
+        """WIB2 pallas backend takes the fused byte-ingest path."""
+        proc_p, sink_p = self.make(tpg_backend="pallas",
+                                   tpg_pallas_interpret=True)
+        proc_r, sink_r = self.make(tpg_backend="reference")
+        sc, _ = self.golden_superchunks(n=8, channel=200)
+        proc_p.process(sc.copy())
+        proc_r.process(sc.copy())
+        got = np.concatenate(sink_p.drain())
+        ref = np.concatenate(sink_r.drain())
+        np.testing.assert_array_equal(got, ref)
+
 
 class TestDAPHNEProcessors:
     def test_selftriggered_records_ts(self):
