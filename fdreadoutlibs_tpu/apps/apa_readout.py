@@ -76,7 +76,7 @@ class APAReadoutApp:
                         for _ in range(n_links)]
 
         self._stack = None
-        self._first = True
+
 
     # ---- the fused hot path over all links ------------------------------
     def _device_pass(self, frames_links: np.ndarray):

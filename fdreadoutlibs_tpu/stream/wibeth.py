@@ -259,26 +259,8 @@ class WIBEthFrameProcessor(TaskRawDataProcessor):
             self._state.update({k: np.asarray(v)
                                 for k, v in new_state.items()})
             return decode_dense(closed, records)
-        if self.backend == "pallas":
-            import jax.numpy as jnp
-            from ..ops.pallas_tpg import (decode_pallas_hits, pack_adcs,
-                                          pack_state, process_window_pallas,
-                                          unpack_state)
-            C = adcs.shape[1]
-            if self._pallas_stack is None:
-                self._pallas_stack = pack_state(self._state, C)
-            from ..ops.pallas_tpg import auto_tc
-            tc = auto_tc(adcs.shape[0])
-            unroll = 8 if (not self._interpret and tc % 8 == 0) else 1
-            slots, nclose, self._pallas_stack = process_window_pallas(
-                jnp.asarray(pack_adcs(adcs)), self._pallas_stack,
-                self.tpg_cfg, tc=tc, k_slots=self.k_slots,
-                unroll=unroll, interpret=self._interpret)
-            hits, dropped = decode_pallas_hits(slots, nclose, C)
-            if dropped:
-                self.metrics.inc("num_hits_dropped", dropped)
-            self._state.update(unpack_state(self._pallas_stack, C))
-            return hits
+        # ("pallas" never reaches here: find_hits routes it through the
+        # fused byte-ingest paths in this class / WIB2FrameProcessor)
         raise ValueError(f"unknown tpg_backend {self.backend!r}")
 
     # ------------------------------------------------------- TP assembly
