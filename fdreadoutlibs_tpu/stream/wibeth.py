@@ -66,7 +66,12 @@ class WIBEthFrameProcessor(TaskRawDataProcessor):
                 "tpg_frugal_streaming_accumulator_limit", 10),
         )
         self.tp_algo = _ALGO_ENUM[self.tpg_cfg.algorithm]
-        self.backend = config.get("tpg_backend", "scan")
+        self.backend = config.get("tpg_backend", "auto")
+        if self.backend == "auto":
+            # production kernel on TPU; portable XLA scan elsewhere
+            import jax
+            self.backend = "pallas" if jax.default_backend() == "tpu" \
+                else "scan"
         self.k_slots = config.get("tpg_k_slots", 8)
         self._interpret = bool(config.get("tpg_pallas_interpret", False))
 

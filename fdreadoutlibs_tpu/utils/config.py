@@ -36,7 +36,7 @@ class RawDataProcessorConf:
     error_counter_threshold: int = 100
     error_reset_freq: int = 10_000
     # TPU-framework extensions
-    tpg_backend: str = "pallas"         # reference | scan | pallas
+    tpg_backend: str = "auto"           # auto | reference | scan | pallas
     tpg_k_slots: int = 8
     tpg_pallas_interpret: bool = False
 
