@@ -50,6 +50,29 @@ def checkpoint_processor(proc, path) -> Path:
     return save_state(path, state, **meta)
 
 
+def save_sharded_state(path, state: dict) -> None:
+    """Checkpoint a *sharded* state pytree (e.g. APAPipeline.state) with
+    orbax — each device writes its shard; restore re-shards onto the
+    current mesh.  Completes the checkpoint story for multi-chip runs
+    (the reference has no checkpointing at all, let alone distributed)."""
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(str(Path(path).absolute()), state)
+    ckptr.wait_until_finished()
+
+
+def load_sharded_state(path, like: dict) -> dict:
+    """Restore a sharded state pytree; ``like`` provides shapes/shardings
+    (e.g. a freshly initialized APAPipeline.state)."""
+    import jax
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    targets = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
+        like)
+    return ckptr.restore(str(Path(path).absolute()), targets)
+
+
 def restore_processor(proc, path) -> None:
     """Restore a checkpoint into a conf()'d + start()'d processor."""
     state, meta = load_state(path)

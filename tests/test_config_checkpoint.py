@@ -84,3 +84,33 @@ class TestCheckpointResume:
         np.testing.assert_array_equal(tps_resumed, tps_cont)
         assert p2.metrics.count("num_ts_errors") == 0
         assert p2.metrics.count("num_seq_id_errors") == 0
+
+
+class TestShardedCheckpoint:
+    def test_apa_state_roundtrip(self, tmp_path):
+        """Sharded multi-chip state checkpoints and resumes bit-exactly."""
+        import numpy as np
+        from fdreadoutlibs_tpu.ops import TPGConfig
+        from fdreadoutlibs_tpu.parallel import APAPipeline, make_link_mesh
+        from fdreadoutlibs_tpu.utils.checkpoint import (load_sharded_state,
+                                                        save_sharded_state)
+        from tests.test_parallel import make_words
+
+        mesh = make_link_mesh(4)
+        cfg = TPGConfig(threshold=120)
+        words, _ = make_words(4, n_frames=2, seed=21)
+
+        pipe = APAPipeline(4, cfg, mesh=mesh)
+        pipe.process(words)
+        save_sharded_state(tmp_path / "apa_state", pipe.state)
+        _, n_cont, _ = pipe.process(words)       # continuous run, step 2
+
+        pipe2 = APAPipeline(4, cfg, mesh=mesh)
+        pipe2.process(words)                     # builds state structure
+        pipe2.state = load_sharded_state(tmp_path / "apa_state", pipe2.state)
+        _, n_res, _ = pipe2.process(words)       # resumed step 2
+        np.testing.assert_array_equal(np.asarray(n_res), np.asarray(n_cont))
+        for k in pipe.state:
+            np.testing.assert_array_equal(np.asarray(pipe2.state[k]),
+                                          np.asarray(pipe.state[k]),
+                                          err_msg=k)
