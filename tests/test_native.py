@@ -88,3 +88,42 @@ class TestNativeLatencyBuffer:
         tpset = h.send_tp_sets_once()
         assert tpset is not None
         np.testing.assert_array_equal(tpset.objects["time_start"], [1000, 1050])
+
+
+class TestConcurrency:
+    def test_concurrent_insert_extract(self):
+        """The ordered buffer is shared between the ingest thread and the
+        TPSet sender thread in deployment; hammer it from both sides."""
+        import threading
+        buf = make_latency_buffer(TP_DTYPE, prefer_native=True)
+        errors = []
+
+        def inserter(tid):
+            try:
+                rng = np.random.default_rng(tid)
+                for i in range(50):
+                    tps = make_tps(100)
+                    tps["time_start"] = rng.integers(0, 1_000_000, size=100)
+                    buf.insert(tps)
+            except Exception as e:   # pragma: no cover
+                errors.append(e)
+
+        def extractor():
+            try:
+                for _ in range(100):
+                    w = buf.extract_window(100_000, 900_000)
+                    if len(w) > 1:
+                        assert (np.diff(w["time_start"].astype(np.int64))
+                                >= 0).all()
+                    buf.pop_until(50_000)
+            except Exception as e:   # pragma: no cover
+                errors.append(e)
+
+        threads = [threading.Thread(target=inserter, args=(t,))
+                   for t in range(3)] + [threading.Thread(target=extractor)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors
+        assert buf.occupancy() <= 3 * 50 * 100
