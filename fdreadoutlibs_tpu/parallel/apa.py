@@ -206,6 +206,6 @@ class APAPipeline:
                 for w in words])
             self.init_state(adcs0)
         sharding = NamedSharding(self.mesh, P("link"))
-        words = jax.device_put(jnp.asarray(words), sharding)
+        words = jax.device_put(np.ascontiguousarray(words), sharding)
         hits, n_hits, total, self.state = self.step(words, self.state)
         return hits, n_hits, int(total)

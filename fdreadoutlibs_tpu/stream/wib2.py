@@ -125,7 +125,7 @@ class WIB2FrameProcessor(WIBEthFrameProcessor):
         T = words.shape[1]
         if self._pallas_stack is None:
             self._pallas_stack = pack_state(self._state, C)
-        tc = auto_tc(T)
+        tc = auto_tc(T, cap=512 if self._interpret else 1024)
         slots, nclose, self._pallas_stack = process_packed_wib2(
             jnp.asarray(words), self._pallas_stack, self.tpg_cfg, C, tc=tc,
             k_slots=self.k_slots,

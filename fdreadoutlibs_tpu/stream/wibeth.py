@@ -237,7 +237,7 @@ class WIBEthFrameProcessor(TaskRawDataProcessor):
         T = words.shape[0] * wibeth.N_TIME_SAMPLES
         if self._pallas_stack is None:
             self._pallas_stack = pack_state(self._state, C)
-        tc = auto_tc(T)
+        tc = auto_tc(T, cap=512 if self._interpret else 1024)
         slots, nclose, self._pallas_stack = process_packed_frames(
             jnp.asarray(words.reshape(1, T, 28)), self._pallas_stack,
             self.tpg_cfg, C, tc=tc, k_slots=self.k_slots,
