@@ -159,6 +159,28 @@ def cmd_compare_backends(args) -> int:
     return 0 if ok else 1
 
 
+def cmd_compare_tp_files(args) -> int:
+    """compare_avx_vs_naive.py file mode: diff two saved TP text files."""
+    import csv
+
+    def load(path):
+        with open(path) as f:
+            return sorted(tuple(int(v) for v in row.values() if v != "")
+                          for row in csv.DictReader(f))
+
+    a, b = load(args.files[0]), load(args.files[1])
+    only_a = [r for r in a if r not in set(b)]
+    only_b = [r for r in b if r not in set(a)]
+    print(f"{args.files[0]}: {len(a)} TPs; {args.files[1]}: {len(b)} TPs")
+    for r in only_a[:10]:
+        print(f"  only in {args.files[0]}: {r}")
+    for r in only_b[:10]:
+        print(f"  only in {args.files[1]}: {r}")
+    ok = not only_a and not only_b
+    print("MATCH" if ok else f"MISMATCH ({len(only_a)}+{len(only_b)} diffs)")
+    return 0 if ok else 1
+
+
 def cmd_make_zeros(args) -> int:
     from .stream.emulator import all_zeros_wibeth_file
     all_zeros_wibeth_file(args.output, n_frames=args.num_frames)
@@ -251,6 +273,11 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("-b", "--backends", nargs="+",
                    default=["reference", "scan"])
     c.set_defaults(fn=cmd_compare_backends)
+
+    cf = sub.add_parser("compare-tp-files",
+                        help="diff two saved TP text files")
+    cf.add_argument("files", nargs=2)
+    cf.set_defaults(fn=cmd_compare_tp_files)
 
     z = sub.add_parser("make-zeros", help="generate the all-zeros asset")
     z.add_argument("-o", "--output", default="wibeth_output_all_zeros.bin")
