@@ -154,16 +154,10 @@ class WIBFrameProcessor(TaskRawDataProcessor):
             self.tp_handler.try_sending_tpsets(current)
 
     def _run(self, adcs, state, cfg):
-        if self.backend == "reference":
-            from ..ops.reference import process_window_reference
-            return process_window_reference(adcs, state, cfg)
-        import jax.numpy as jnp
-        from ..ops.hits import decode_dense
-        from ..ops.scan import process_window_scan, state_to_jnp
-        closed, records, new_state = process_window_scan(
-            jnp.asarray(adcs), state_to_jnp(state), cfg)
-        state.update({k: np.asarray(v) for k, v in new_state.items()})
-        return decode_dense(closed, records), state
+        """Run one plane's stream through the selected backend
+        (reference | scan | pallas) with carried state."""
+        from ..models import run_model
+        return run_model(adcs, cfg, backend=self.backend, state=state)
 
     def _emit_tps(self, hits: np.ndarray, offlines: np.ndarray,
                   timestamp: int, current_time: int) -> None:

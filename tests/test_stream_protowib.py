@@ -120,3 +120,19 @@ class TestWIBFrameProcessor:
         begin_tick = (int(tp["time_start"]) - 50_000) // 25
         assert 38 <= begin_tick <= 46    # FIR group delay shifts it a bit
         assert tp["adc_peak"] == tp["adc_integral"] // 20
+
+
+def test_backend_equivalence_protowib():
+    """reference/scan/pallas backends agree through the WIB processor."""
+    pulse_chan = int(protowib.COLLECTION_INDEX_TO_CHAN[10])
+    results = {}
+    for backend in ("reference", "scan", "pallas"):
+        proc, handler = make_processor(tpg_backend=backend)
+        sc, _ = make_superchunks(16, pulse_chan=pulse_chan, pulse_amp=700)
+        proc.process(sc)
+        tpset = handler.try_sending_tpsets(10**12)
+        results[backend] = tpset.objects if tpset else []
+    np.testing.assert_array_equal(np.array(list(results["scan"])),
+                                  np.array(list(results["reference"])))
+    np.testing.assert_array_equal(np.array(list(results["pallas"])),
+                                  np.array(list(results["reference"])))
