@@ -123,6 +123,7 @@ class DAPHNEStreamFrameProcessor(TaskRawDataProcessor):
                 algorithm=config.get("tpg_algorithm", "SimpleThreshold"),
                 threshold=config.get("tpg_threshold", 50))
             self.det_id = config.get("det_id", 0)
+            self.backend = config.get("tpg_backend", "reference")
             self.add_postprocess_task(self.find_hits)
 
     def start(self, args=None) -> None:
@@ -134,8 +135,8 @@ class DAPHNEStreamFrameProcessor(TaskRawDataProcessor):
     def find_hits(self, superchunks: np.ndarray) -> None:
         """Standard SWTPG core over the 4 continuous channels — one clock
         tick per sample (superset of the reference, which has no PDS TPG)."""
+        from ..models import run_model
         from ..ops.chanstate import init_chanstate, seed_chanstate
-        from ..ops.reference import process_window_reference
         frames = daphne.superchunk_frames(superchunks, stream=True)
         ts0 = int(daphne.stream_get_timestamp(
             frames.reshape(-1, daphne.STREAM_FRAME_SIZE)[:1])[0])
@@ -146,8 +147,9 @@ class DAPHNEStreamFrameProcessor(TaskRawDataProcessor):
             self._state = seed_chanstate(
                 init_chanstate(daphne.STREAM_N_CHANNELS), adcs[0],
                 self.tpg_cfg.rs_memory_factor_x10)
-        hits, self._state = process_window_reference(adcs, self._state,
-                                                     self.tpg_cfg)
+        hits, self._state = run_model(adcs, self.tpg_cfg,
+                                      backend=self.backend,
+                                      state=self._state)
         self.metrics.inc("num_hits", len(hits))
         if len(hits) == 0:
             return

@@ -38,6 +38,7 @@ class TDEFrameProcessor(TaskRawDataProcessor):
                 algorithm=config.get("tpg_algorithm", "SimpleThreshold"),
                 threshold=config.get("tpg_threshold", 500))
             self.det_id = config.get("det_id", 0)
+            self.backend = config.get("tpg_backend", "reference")
             self.add_postprocess_task(self.find_hits)
 
     def start(self, args=None) -> None:
@@ -51,7 +52,6 @@ class TDEFrameProcessor(TaskRawDataProcessor):
         cf. test/apps/tde_file_creator.cxx writing 64-channel batches);
         frames are ordered by (timestamp, channel) first."""
         from ..ops.chanstate import init_chanstate, seed_chanstate
-        from ..ops.reference import process_window_reference
         if frames.shape[0] == 0:
             return
         order = tde.sort_key(frames)
@@ -72,8 +72,10 @@ class TDEFrameProcessor(TaskRawDataProcessor):
         if self._state is None:
             self._state = seed_chanstate(init_chanstate(C), adcs[0],
                                          self.tpg_cfg.rs_memory_factor_x10)
-        hits, self._state = process_window_reference(adcs, self._state,
-                                                     self.tpg_cfg)
+        from ..models import run_model
+        hits, self._state = run_model(adcs, self.tpg_cfg,
+                                      backend=self.backend,
+                                      state=self._state)
         self.metrics.inc("num_hits", len(hits))
         if len(hits) == 0:
             return
