@@ -111,3 +111,15 @@ class TestCLI:
         frames = np.fromfile(out, dtype=np.uint8).reshape(-1, 7200)
         assert (wibeth.get_adcs(frames)[..., 9] == 777).all()
         assert (wibeth.get_adcs(frames)[..., 8] == 0).all()
+
+
+class TestCompareTpFiles:
+    def test_match_and_mismatch(self, tmp_path, capsys):
+        a = tmp_path / "a.txt"
+        b = tmp_path / "b.txt"
+        hdr = "channel,time_start,time_over_threshold,time_peak,adc_integral,adc_peak,type\n"
+        a.write_text(hdr + "1,100,32,110,500,250,1\n2,200,64,220,900,400,1\n")
+        b.write_text(hdr + "2,200,64,220,900,400,1\n1,100,32,110,500,250,1\n")
+        assert cli_main(["compare-tp-files", str(a), str(b)]) == 0
+        b.write_text(hdr + "1,100,32,110,500,250,1\n")
+        assert cli_main(["compare-tp-files", str(a), str(b)]) == 1
