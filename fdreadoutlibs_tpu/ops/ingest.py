@@ -74,13 +74,30 @@ def process_packed_wib2(words, state_stack, cfg: TPGConfig,
 class StreamingIngest:
     """Double-buffered streaming driver: enqueue the next batch while the
     device processes the current one (jax dispatch is asynchronous, so the
-    host-side framing of batch k+1 overlaps device compute of batch k)."""
+    host-side framing of batch k+1 overlaps device compute of batch k).
+
+    format="wibeth" (64 ch x 64 ticks per frame) or "wib2" (256 ch x 1 tick
+    per frame; feed superchunk frames flattened per link).
+    """
 
     def __init__(self, cfg: TPGConfig, n_links: int, tc: int = 512,
-                 k_slots: int = 4, unroll: int = 8, interpret: bool = False):
+                 k_slots: int = 4, unroll: int = 8, interpret: bool = False,
+                 format: str = "wibeth"):
+        from ..formats import wib2
         self.cfg = cfg
         self.n_links = n_links
-        self.n_channels = n_links * wibeth.N_CHANNELS
+        self.format = format
+        if format == "wibeth":
+            self._ch_per_link = wibeth.N_CHANNELS
+            self._fn = process_packed_frames
+            self._unpack = wibeth.unpack_frames_jnp
+        elif format == "wib2":
+            self._ch_per_link = wib2.N_CHANNELS
+            self._fn = process_packed_wib2
+            self._unpack = wib2.unpack_frames_jnp
+        else:
+            raise ValueError(f"unknown format {format!r}")
+        self.n_channels = n_links * self._ch_per_link
         self.tc = tc
         self.k_slots = k_slots
         self.unroll = unroll
@@ -92,19 +109,15 @@ class StreamingIngest:
     def _ensure_state(self, words0: np.ndarray) -> None:
         from .chanstate import init_chanstate, seed_chanstate
         from .pallas_tpg import pack_state
-        first = np.asarray(wibeth.unpack_frames_jnp(
+        first = np.asarray(self._unpack(
             jnp.asarray(words0[:, :1])))[:, 0].reshape(-1)
         state = seed_chanstate(init_chanstate(self.n_channels), first,
                                self.cfg.rs_memory_factor_x10)
         self.stack = pack_state(state, self.n_channels)
 
-    def submit(self, frames_links: np.ndarray):
-        """frames_links: (L, N, 7200) uint8.  Returns the decoded hits of
-        the PREVIOUS batch (pipelined), or None on the first call."""
-        L, N, _ = frames_links.shape
-        T = N * wibeth.N_TIME_SAMPLES
-        words = host_words(frames_links.reshape(-1, wibeth.FRAME_SIZE)) \
-            .reshape(L, T, 28)
+    def submit_words(self, words: np.ndarray):
+        """words: (L, T, W) uint32 packed rows (W=28 wibeth, 112 wib2)."""
+        L, T, _ = words.shape
         if self.stack is None:
             self._ensure_state(words)
         out = None
@@ -112,7 +125,7 @@ class StreamingIngest:
             out = self._collect()
         from .pallas_tpg import auto_tc
         tc = auto_tc(T, cap=self.tc)
-        slots, nclose, self.stack = process_packed_frames(
+        slots, nclose, self.stack = self._fn(
             jnp.asarray(words), self.stack, self.cfg, self.n_channels,
             tc=tc, k_slots=self.k_slots,
             unroll=self.unroll if tc % self.unroll == 0 else 1,
@@ -120,6 +133,21 @@ class StreamingIngest:
         self._pending = (slots, nclose, self.tick_offset)
         self.tick_offset += T
         return out
+
+    def submit(self, frames_links: np.ndarray):
+        """frames_links: (L, N, frame_size) uint8.  Returns the decoded
+        hits of the PREVIOUS batch (pipelined), or None on the first call."""
+        from ..formats import wib2
+        L, N, _ = frames_links.shape
+        if self.format == "wibeth":
+            T = N * wibeth.N_TIME_SAMPLES
+            words = host_words(frames_links.reshape(-1, wibeth.FRAME_SIZE)) \
+                .reshape(L, T, 28)
+        else:
+            words = np.ascontiguousarray(wib2.adc_region_u32(
+                frames_links.reshape(-1, wib2.FRAME_SIZE))) \
+                .reshape(L, N, wib2.ADC_WORDS)
+        return self.submit_words(words)
 
     def _collect(self):
         from .pallas_tpg import decode_pallas_hits

@@ -102,3 +102,25 @@ class TestWIB2Ingest:
         ref, _ = run_reference(stream, cfg, window=T)
         assert dropped == 0 and len(ref) > 0
         np.testing.assert_array_equal(got, ref)
+
+
+def test_streaming_ingest_wib2_format():
+    """StreamingIngest with format='wib2': 256-channel frames, 1 tick each."""
+    import jax.numpy as jnp
+    from fdreadoutlibs_tpu.formats import wib2
+    rng = np.random.default_rng(9)
+    L, N = 2, 48          # 48 one-tick frames per link
+    adcs = (800 + rng.normal(0, 20, size=(L, N, 256))).astype(np.uint16)
+    adcs[0, 20:28, 77] += 900
+    frames = wib2.empty_frames(L * N).reshape(L, N, wib2.FRAME_SIZE)
+    for l in range(L):
+        wib2.set_adcs(frames[l], adcs[l])
+    cfg = TPGConfig(threshold=120)
+    ing = StreamingIngest(cfg, n_links=L, tc=48, k_slots=8,
+                          interpret=True, format="wib2")
+    assert ing.submit(frames) is None
+    hits, dropped = ing.flush()
+    assert dropped == 0
+    stream = adcs.transpose(1, 0, 2).reshape(N, L * 256).astype(np.int32)
+    ref, _ = run_reference(stream, cfg, window=N)
+    np.testing.assert_array_equal(hits, ref)
