@@ -61,8 +61,17 @@ class TPGConfig:
                  rs_memory_factor: float = 0.8, rs_scale_factor: float = 2.0,
                  frugal_streaming_accumulator_limit: int = 10, **kw) -> "TPGConfig":
         """Build from reference-style raw config values (conf() scaling)."""
+        try:
+            alg = Algorithm(algorithm)
+        except ValueError:
+            # the reference throws TPGAlgorithmInexistent
+            # (WIBEthFrameProcessor.cpp:195-197)
+            from ..stream.errors import TPGAlgorithmInexistent
+            raise TPGAlgorithmInexistent(
+                f"unknown TPG algorithm {algorithm!r} "
+                f"(available: {[a.value for a in Algorithm]})") from None
         return TPGConfig(
-            algorithm=Algorithm(algorithm),
+            algorithm=alg,
             threshold=int(threshold),
             accumulator_limit=int(frugal_streaming_accumulator_limit),
             rs_memory_factor_x10=int(10 * rs_memory_factor),

@@ -172,6 +172,8 @@ class DAPHNEStreamFrameProcessor(TaskRawDataProcessor):
 
     def timestamp_check(self, superchunks: np.ndarray) -> None:
         """DAPHNEStreamFrameProcessor.cpp:39-49: fixed +64/frame cadence."""
+        if superchunks.shape[0] == 0:
+            return
         tick = daphne.STREAM_EXPECTED_TICK_DIFFERENCE
         per_chunk = tick * daphne.STREAM_FRAMES_PER_SUPERCHUNK
         if self.emulator_mode:

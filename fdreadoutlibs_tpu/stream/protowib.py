@@ -78,6 +78,8 @@ class WIBFrameProcessor(TaskRawDataProcessor):
 
     # ------------------------------------------------------------ checks
     def timestamp_check(self, superchunks: np.ndarray) -> None:
+        if superchunks.shape[0] == 0:
+            return
         tick = protowib.SUPERCHUNK_TICK_DIFFERENCE     # 300
         frames = protowib.superchunk_frames(superchunks)
         if self.emulator_mode:

@@ -43,6 +43,8 @@ class WIB2FrameProcessor(WIBEthFrameProcessor):
     # ---------------------------------------------------------- preprocess
     def timestamp_check(self, superchunks: np.ndarray) -> None:
         """Superchunk-level timestamp continuity (cpp:289-340)."""
+        if superchunks.shape[0] == 0:
+            return
         tick = wib2.SUPERCHUNK_TICK_DIFFERENCE
         frames = wib2.superchunk_frames(superchunks)
         if self.emulator_mode:

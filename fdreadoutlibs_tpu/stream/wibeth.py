@@ -115,6 +115,8 @@ class WIBEthFrameProcessor(TaskRawDataProcessor):
         """12-bit sequence-id continuity (WIBEthFrameProcessor.cpp:299-353),
         vectorized over the batch (including the batch boundary)."""
         n = frames.shape[0]
+        if n == 0:
+            return
         if self.emulator_mode:
             wibeth.fake_geoid(frames, self.crate_no, self.slot_no,
                               self.stream_id)
@@ -147,6 +149,8 @@ class WIBEthFrameProcessor(TaskRawDataProcessor):
     def timestamp_check(self, frames: np.ndarray) -> None:
         """Expected per-frame tick difference = 2048
         (WIBEthFrameProcessor.cpp:360-405)."""
+        if frames.shape[0] == 0:
+            return
         tick = wibeth.EXPECTED_TICK_DIFFERENCE
         if self.emulator_mode:
             first = (self.previous_ts + tick) if not self._first_ts_check else \

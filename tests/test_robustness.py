@@ -1,0 +1,63 @@
+"""Negative-path and lifecycle robustness tests."""
+
+import numpy as np
+import pytest
+
+from fdreadoutlibs_tpu.formats import wibeth
+from fdreadoutlibs_tpu.ops import TPGConfig
+from fdreadoutlibs_tpu.stream import WIBEthFrameProcessor
+from fdreadoutlibs_tpu.stream.errors import TPGAlgorithmInexistent
+from fdreadoutlibs_tpu.utils.channel_map import make_map
+
+
+def test_process_before_start_raises():
+    proc = WIBEthFrameProcessor()
+    proc.conf({})
+    with pytest.raises(RuntimeError):
+        proc.process(wibeth.empty_frames(1))
+
+
+def test_unknown_algorithm_raises_reference_error():
+    """TPGAlgorithmInexistent, like WIBEthFrameProcessor.cpp:195-197."""
+    with pytest.raises(TPGAlgorithmInexistent):
+        TPGConfig.from_raw(algorithm="NoSuchThing")
+    proc = WIBEthFrameProcessor()
+    with pytest.raises(TPGAlgorithmInexistent):
+        proc.conf({"tpg_algorithm": "NoSuchThing"})
+
+
+def test_unknown_channel_map_raises():
+    with pytest.raises(KeyError):
+        make_map("NoSuchMap")
+
+
+def test_stop_and_restart_resets_state():
+    from fdreadoutlibs_tpu.ops import patterns
+    from fdreadoutlibs_tpu.stream.transport import QueueSender
+    sink = QueueSender()
+    proc = WIBEthFrameProcessor(tp_sink=sink)
+    proc.conf({"crate_id": 1, "slot_id": 2, "link_id": 3, "enable_tpg": True,
+               "tpg_threshold": 499, "tpg_backend": "reference",
+               "tp_timeout": 100_000})
+    frames, _ = patterns.pattern_frames("golden", first_timestamp=1000,
+                                        crate_id=1, slot_id=2, stream_id=3,
+                                        n_frames=2)
+    wibeth.fake_seq_ids(frames, 0)
+    proc.start()
+    proc.process(frames.copy())
+    first_run = np.concatenate(sink.drain())
+    proc.stop()
+    # state is re-seeded at start (the reference resets at start(), cpp:112-143)
+    proc.start()
+    proc.process(frames.copy())
+    second_run = np.concatenate(sink.drain())
+    np.testing.assert_array_equal(first_run, second_run)
+
+
+def test_empty_batch_is_harmless():
+    proc = WIBEthFrameProcessor()
+    proc.conf({"enable_tpg": True, "tpg_backend": "reference",
+               "tpg_threshold": 499})
+    proc.start()
+    proc.process(wibeth.empty_frames(0))
+    assert proc.metrics.count("num_hits") == 0
