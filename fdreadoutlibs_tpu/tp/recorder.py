@@ -1,0 +1,67 @@
+"""Fragment recording: persist data-request responses.
+
+The DAQ's dataflow tier writes Fragments into run files (dfmodules/HDF5
+upstream of the reference).  This recorder closes the request->record loop
+inside the framework: fragments append to a simple self-describing
+directory store (one npz per fragment + a JSONL index), and can be read
+back as Fragment objects for offline checks.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from ..formats.fragment import Fragment, FragmentHeader
+
+
+class FragmentRecorder:
+    """Append-only fragment store for a run."""
+
+    def __init__(self, directory, run_number: int = 0):
+        self.dir = Path(directory)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.run_number = run_number
+        self._index = self.dir / "index.jsonl"
+        self._n = sum(1 for _ in open(self._index)) \
+            if self._index.exists() else 0
+
+    def write(self, fragment: Fragment) -> Path:
+        name = f"run{self.run_number:06d}_frag{self._n:08d}.npz"
+        path = self.dir / name
+        np.savez_compressed(path, payloads=fragment.payloads)
+        meta = {k: getattr(fragment.header, k)
+                for k in ("run_number", "trigger_number", "trigger_timestamp",
+                          "window_begin", "window_end", "source_id",
+                          "fragment_type", "sequence_number", "detector_id",
+                          "error_bits", "version")}
+        meta["file"] = name
+        meta["n_payloads"] = len(fragment)
+        meta["size_bytes"] = fragment.size_bytes
+        with open(self._index, "a") as f:
+            f.write(json.dumps(meta) + "\n")
+        self._n += 1
+        return path
+
+    def __len__(self) -> int:
+        return self._n
+
+    def read(self, index: int) -> Fragment:
+        with open(self._index) as f:
+            for i, line in enumerate(f):
+                if i == index:
+                    meta = json.loads(line)
+                    break
+            else:
+                raise IndexError(index)
+        payloads = np.load(self.dir / meta["file"])["payloads"]
+        hdr = FragmentHeader(**{k: v for k, v in meta.items()
+                                if k in FragmentHeader.__dataclass_fields__})
+        return Fragment(hdr, payloads)
+
+    def index(self) -> list[dict]:
+        if not self._index.exists():
+            return []
+        return [json.loads(line) for line in open(self._index)]

@@ -102,3 +102,31 @@ class TestFragments:
         assert frag.header.window_begin == 12_100
         assert frag.header.fragment_type == "kWIBEth"
         assert frag.size_bytes == 3 * 7200
+
+
+class TestFragmentRecorder:
+    def test_write_read_roundtrip(self, tmp_path):
+        from fdreadoutlibs_tpu.tp.recorder import FragmentRecorder
+        h = ReadoutRequestHandler(get_adapter("wibeth"), prefer_native=False)
+        frames = wibeth.empty_frames(6)
+        wibeth.fake_timestamps(frames, 10_000)
+        h.insert_payloads(frames)
+        rec = FragmentRecorder(tmp_path / "run", run_number=12)
+        frag = h.request_fragment(10_000, 10_000 + 3 * 2048, run_number=12,
+                                  trigger_number=1, source_id=4)
+        rec.write(frag)
+        frag2 = h.request_fragment(10_000 + 3 * 2048, 10_000 + 6 * 2048,
+                                   run_number=12, trigger_number=2,
+                                   source_id=4, sequence_number=1)
+        rec.write(frag2)
+        assert len(rec) == 2
+        back = rec.read(0)
+        assert back.header.trigger_number == 1
+        assert back.header.fragment_type == "kWIBEth"
+        np.testing.assert_array_equal(back.payloads, frag.payloads)
+        idx = rec.index()
+        assert idx[1]["trigger_number"] == 2
+        assert idx[1]["n_payloads"] == len(frag2)
+        # a new recorder instance resumes the index
+        rec2 = FragmentRecorder(tmp_path / "run", run_number=12)
+        assert len(rec2) == 2
