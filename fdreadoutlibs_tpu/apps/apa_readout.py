@@ -43,6 +43,7 @@ class APAReadoutApp:
                  algorithm: str = "SimpleThreshold", threshold: int = 150,
                  backend: str = "pallas", run_number: int = 1):
         self.n_links = n_links
+        self.run_number = run_number
         self.tp_q = QueueSender(capacity=1 << 16)
         # one processor instance per link for header validation + metrics;
         # the device hot path is shared (stacked channels) below
@@ -141,6 +142,18 @@ class APAReadoutApp:
     def request_raw(self, link: int, start_ts: int, end_ts: int):
         """Serve a trigger data request for raw frames on one link."""
         return self.readout[link].request(start_ts, end_ts)
+
+    def record_fragment(self, link: int, start_ts: int, end_ts: int,
+                        recorder, trigger_number: int = 0,
+                        sequence_number: int = 0):
+        """Serve a data request as a Fragment and persist it (the dataflow
+        tier's job upstream of the reference; tp/recorder.py)."""
+        frag = self.readout[link].request_fragment(
+            start_ts, end_ts, run_number=self.run_number,
+            trigger_number=trigger_number, source_id=link,
+            sequence_number=sequence_number)
+        recorder.write(frag)
+        return frag
 
     def get_info(self) -> dict:
         info = {"handler": self.handler.get_info(),

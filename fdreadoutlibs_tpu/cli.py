@@ -188,6 +188,34 @@ def cmd_make_zeros(args) -> int:
     return 0
 
 
+def cmd_fragment_dump(args) -> int:
+    """Inspect a FragmentRecorder store: list the index, or extract one
+    fragment's raw payloads to a frame binary (replayable through
+    frame-reader / tpg-emulator)."""
+    from .tp.recorder import FragmentRecorder
+    rec = FragmentRecorder(args.store)
+    if args.index < 0:
+        for i, meta in enumerate(rec.index()):
+            print(json.dumps({"i": i, **meta}))
+        return 0
+    try:
+        frag = rec.read(args.index)
+    except IndexError:
+        print(f"error: fragment index {args.index} out of range "
+              f"(store has {len(rec)})", file=sys.stderr)
+        return 2
+    if args.output:
+        frag.payloads.tofile(args.output)
+        print(f"fragment {args.index}: {len(frag)} payloads "
+              f"({frag.size_bytes} B) -> {args.output}")
+    else:
+        print(json.dumps({k: getattr(frag.header, k) for k in
+                          ("run_number", "trigger_number", "window_begin",
+                           "window_end", "source_id", "fragment_type")},
+                         default=str))
+    return 0
+
+
 def cmd_tde_file_creator(args) -> int:
     """Port of test/apps/tde_file_creator.cxx: shuffled TDE16 frames
     (batches x 12 AMCs x 64 channels) exercising out-of-order, per-channel
@@ -278,6 +306,15 @@ def build_parser() -> argparse.ArgumentParser:
                         help="diff two saved TP text files")
     cf.add_argument("files", nargs=2)
     cf.set_defaults(fn=cmd_compare_tp_files)
+
+    fd = sub.add_parser("fragment-dump",
+                        help="list / extract recorded Fragments")
+    fd.add_argument("store", help="FragmentRecorder directory")
+    fd.add_argument("-i", "--index", type=int, default=-1,
+                    help="fragment index (default: list all)")
+    fd.add_argument("-o", "--output", default=None,
+                    help="write payloads to this frame binary")
+    fd.set_defaults(fn=cmd_fragment_dump)
 
     z = sub.add_parser("make-zeros", help="generate the all-zeros asset")
     z.add_argument("-o", "--output", default="wibeth_output_all_zeros.bin")

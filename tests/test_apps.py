@@ -47,3 +47,29 @@ def test_apa_readout_end_to_end(interpret_ingest):
     tps = app.handler.buffer.snapshot()
     assert len(tps) == 1
     assert tps["time_start"][0] == 100_000 + 2048 + 32 * 10
+
+def test_apa_record_fragment_and_cli_dump(interpret_ingest, tmp_path, capsys):
+    from fdreadoutlibs_tpu.apps.apa_readout import APAReadoutApp
+    from fdreadoutlibs_tpu.tp.recorder import FragmentRecorder
+    from fdreadoutlibs_tpu.cli import main as cli_main
+    app = APAReadoutApp(n_links=2, threshold=499, run_number=33)
+    frames = np.zeros((2, 2, wibeth.FRAME_SIZE), np.uint8)
+    for l in range(2):
+        wibeth.fake_timestamps(frames[l], 100_000)
+        wibeth.fake_seq_ids(frames[l], 0)
+        wibeth.fake_geoid(frames[l], 1, l // 8, l % 8)
+    app.process_batch(frames)
+    rec = FragmentRecorder(tmp_path / "store", run_number=33)
+    frag = app.record_fragment(1, 100_000, 100_000 + 2 * 2048, rec,
+                               trigger_number=5)
+    assert len(frag) == 2 and frag.header.run_number == 33
+    assert len(rec) == 1
+    # CLI: list then extract payloads back to a frame binary
+    cli_main(["fragment-dump", str(tmp_path / "store")])
+    listing = capsys.readouterr().out.strip().splitlines()
+    assert len(listing) == 1 and '"trigger_number": 5' in listing[0]
+    out = tmp_path / "frag.bin"
+    cli_main(["fragment-dump", str(tmp_path / "store"), "-i", "0",
+              "-o", str(out)])
+    back = np.fromfile(out, np.uint8).reshape(-1, wibeth.FRAME_SIZE)
+    np.testing.assert_array_equal(back, frag.payloads)
