@@ -130,6 +130,25 @@ def stream_set_adcs(frames: np.ndarray, adcs: np.ndarray) -> None:
                                                  n_words=STREAM_ADC_WORDS)
 
 
+def stream_frames_bytes_to_u32(frames_u8: np.ndarray) -> np.ndarray:
+    """Host helper: (..., 472) uint8 stream frames -> (..., 112) uint32 ADC
+    words (a view-level reshape; no decoding on host)."""
+    return np.ascontiguousarray(_stream_adc_region(frames_u8))
+
+
+def stream_unpack_frames_jnp(words_u32, dtype=None):
+    """Device unpack: (..., 112) uint32 -> (..., 64 samples, 4 channels).
+
+    Static shifts only (see bitpack.unpack_14bit_jnp) so XLA lowers it to
+    plain vector ops and fuses it into the downstream TPG kernel.
+    """
+    import jax.numpy as jnp
+    from .bitpack import unpack_14bit_jnp
+    flat = unpack_14bit_jnp(words_u32, STREAM_N_CHANNELS * STREAM_N_SAMPLES,
+                            ADC_BITS, dtype=dtype or jnp.int32)
+    return flat.reshape(*flat.shape[:-1], STREAM_N_SAMPLES, STREAM_N_CHANNELS)
+
+
 # ---- superchunks + adapter duck interface --------------------------------------
 
 def superchunk_frames(superchunks: np.ndarray, stream: bool = False) -> np.ndarray:

@@ -71,22 +71,47 @@ def process_packed_wib2(words, state_stack, cfg: TPGConfig,
                                  interpret=interpret)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "tc", "k_slots",
+                                             "unroll", "n_channels",
+                                             "interpret"))
+def process_packed_daphne(words, state_stack, cfg: TPGConfig,
+                          n_channels: int, tc: int = 512, k_slots: int = 4,
+                          unroll: int = 8, interpret: bool = False):
+    """DAPHNE-stream fused ingest: words (L, N, 112) uint32 packed rows —
+    each stream frame is 64 ticks of 4 channels; channel = link*4 + c."""
+    from ..formats import daphne
+    L, N, _ = words.shape
+    adcs = daphne.stream_unpack_frames_jnp(words)      # (L, N, 64, 4)
+    T = N * daphne.STREAM_N_SAMPLES
+    flat = adcs.reshape(L, T, daphne.STREAM_N_CHANNELS) \
+        .transpose(1, 0, 2).reshape(T, L * daphne.STREAM_N_CHANNELS)
+    S = pad_sublanes(n_channels)
+    padded = jnp.zeros((T, S * LANES), jnp.int32)
+    padded = padded.at[:, : L * daphne.STREAM_N_CHANNELS].set(flat)
+    packed = padded.reshape(T, S, LANES)
+    return process_window_pallas(packed, state_stack, cfg, tc=tc,
+                                 k_slots=k_slots, unroll=unroll,
+                                 interpret=interpret)
+
+
 class StreamingIngest:
     """Double-buffered streaming driver: enqueue the next batch while the
     device processes the current one (jax dispatch is asynchronous, so the
     host-side framing of batch k+1 overlaps device compute of batch k).
 
-    format="wibeth" (64 ch x 64 ticks per frame) or "wib2" (256 ch x 1 tick
-    per frame; feed superchunk frames flattened per link).
+    format="wibeth" (64 ch x 64 ticks per frame), "wib2" (256 ch x 1 tick
+    per frame; feed superchunk frames flattened per link) or
+    "daphne_stream" (4 ch x 64 ticks per frame).
     """
 
     def __init__(self, cfg: TPGConfig, n_links: int, tc: int = 512,
                  k_slots: int = 4, unroll: int = 8, interpret: bool = False,
                  format: str = "wibeth"):
-        from ..formats import wib2
+        from ..formats import daphne, wib2
         self.cfg = cfg
         self.n_links = n_links
         self.format = format
+        self._ticks_per_row = 1            # ticks per packed word row
         if format == "wibeth":
             self._ch_per_link = wibeth.N_CHANNELS
             self._fn = process_packed_frames
@@ -95,6 +120,13 @@ class StreamingIngest:
             self._ch_per_link = wib2.N_CHANNELS
             self._fn = process_packed_wib2
             self._unpack = wib2.unpack_frames_jnp
+        elif format == "daphne_stream":
+            self._ch_per_link = daphne.STREAM_N_CHANNELS
+            self._fn = process_packed_daphne
+            self._ticks_per_row = daphne.STREAM_N_SAMPLES
+            # tick-major flat view so row 0 of the result is tick 0
+            self._unpack = lambda w: daphne.stream_unpack_frames_jnp(w) \
+                .reshape(w.shape[0], -1, daphne.STREAM_N_CHANNELS)
         else:
             raise ValueError(f"unknown format {format!r}")
         self.n_channels = n_links * self._ch_per_link
@@ -116,8 +148,10 @@ class StreamingIngest:
         self.stack = pack_state(state, self.n_channels)
 
     def submit_words(self, words: np.ndarray):
-        """words: (L, T, W) uint32 packed rows (W=28 wibeth, 112 wib2)."""
-        L, T, _ = words.shape
+        """words: (L, rows, W) uint32 packed rows (W=28 wibeth,
+        112 wib2/daphne_stream)."""
+        L, rows, _ = words.shape
+        T = rows * self._ticks_per_row
         if self.stack is None:
             self._ensure_state(words)
         out = None
@@ -137,16 +171,20 @@ class StreamingIngest:
     def submit(self, frames_links: np.ndarray):
         """frames_links: (L, N, frame_size) uint8.  Returns the decoded
         hits of the PREVIOUS batch (pipelined), or None on the first call."""
-        from ..formats import wib2
+        from ..formats import daphne, wib2
         L, N, _ = frames_links.shape
         if self.format == "wibeth":
             T = N * wibeth.N_TIME_SAMPLES
             words = host_words(frames_links.reshape(-1, wibeth.FRAME_SIZE)) \
                 .reshape(L, T, 28)
-        else:
+        elif self.format == "wib2":
             words = np.ascontiguousarray(wib2.adc_region_u32(
                 frames_links.reshape(-1, wib2.FRAME_SIZE))) \
                 .reshape(L, N, wib2.ADC_WORDS)
+        else:
+            words = daphne.stream_frames_bytes_to_u32(
+                frames_links.reshape(-1, daphne.STREAM_FRAME_SIZE)) \
+                .reshape(L, N, daphne.STREAM_ADC_WORDS)
         return self.submit_words(words)
 
     def _collect(self):

@@ -124,6 +124,8 @@ class DAPHNEStreamFrameProcessor(TaskRawDataProcessor):
                 threshold=config.get("tpg_threshold", 50))
             self.det_id = config.get("det_id", 0)
             self.backend = config.get("tpg_backend", "reference")
+            self._interpret = config.get("tpg_pallas_interpret", False)
+            self.k_slots = config.get("tpg_pallas_k_slots", 4)
             self.add_postprocess_task(self.find_hits)
 
     def start(self, args=None) -> None:
@@ -131,25 +133,31 @@ class DAPHNEStreamFrameProcessor(TaskRawDataProcessor):
         self.previous_ts = 0
         self._first_ts_check = True
         self._state = None
+        self._pallas_stack = None
 
     def find_hits(self, superchunks: np.ndarray) -> None:
         """Standard SWTPG core over the 4 continuous channels — one clock
-        tick per sample (superset of the reference, which has no PDS TPG)."""
-        from ..models import run_model
-        from ..ops.chanstate import init_chanstate, seed_chanstate
-        frames = daphne.superchunk_frames(superchunks, stream=True)
-        ts0 = int(daphne.stream_get_timestamp(
-            frames.reshape(-1, daphne.STREAM_FRAME_SIZE)[:1])[0])
-        adcs = daphne.stream_get_adcs(
-            frames.reshape(-1, daphne.STREAM_FRAME_SIZE)) \
-            .reshape(-1, daphne.STREAM_N_CHANNELS).astype(np.int32)
-        if self._state is None:
-            self._state = seed_chanstate(
-                init_chanstate(daphne.STREAM_N_CHANNELS), adcs[0],
-                self.tpg_cfg.rs_memory_factor_x10)
-        hits, self._state = run_model(adcs, self.tpg_cfg,
-                                      backend=self.backend,
-                                      state=self._state)
+        tick per sample (superset of the reference, which has no PDS TPG).
+        backend="pallas" takes the fused-ingest path: the packed 14-bit ADC
+        region ships to the device and unpack+TPG run in one jit
+        (ops/ingest.py:process_packed_daphne)."""
+        flat = daphne.superchunk_frames(superchunks, stream=True) \
+            .reshape(-1, daphne.STREAM_FRAME_SIZE)
+        ts0 = int(daphne.stream_get_timestamp(flat[:1])[0])
+        if self.backend == "pallas":
+            hits = self._run_pallas_packed(flat)
+        else:
+            from ..models import run_model
+            from ..ops.chanstate import init_chanstate, seed_chanstate
+            adcs = daphne.stream_get_adcs(flat) \
+                .reshape(-1, daphne.STREAM_N_CHANNELS).astype(np.int32)
+            if self._state is None:
+                self._state = seed_chanstate(
+                    init_chanstate(daphne.STREAM_N_CHANNELS), adcs[0],
+                    self.tpg_cfg.rs_memory_factor_x10)
+            hits, self._state = run_model(adcs, self.tpg_cfg,
+                                          backend=self.backend,
+                                          state=self._state)
         self.metrics.inc("num_hits", len(hits))
         if len(hits) == 0:
             return
@@ -169,6 +177,33 @@ class DAPHNEStreamFrameProcessor(TaskRawDataProcessor):
         self.metrics.add_channel_tps(tps["channel"])
         if self.tp_sink is not None and self.tp_sink.try_send(tps):
             self.metrics.inc("num_tps_sent", len(tps))
+
+    def _run_pallas_packed(self, flat_frames: np.ndarray):
+        """Fused device ingest for one PDS link: (N, 472 B) stream frames."""
+        import jax.numpy as jnp
+        from ..ops.chanstate import init_chanstate, seed_chanstate
+        from ..ops.ingest import process_packed_daphne
+        from ..ops.pallas_tpg import (auto_tc, decode_pallas_hits, pack_state)
+        C = daphne.STREAM_N_CHANNELS
+        N = flat_frames.shape[0]
+        T = N * daphne.STREAM_N_SAMPLES
+        if self._pallas_stack is None:
+            first = daphne.stream_get_adcs(flat_frames[:1])[0, 0] \
+                .astype(np.int32)
+            state = seed_chanstate(init_chanstate(C), first,
+                                   self.tpg_cfg.rs_memory_factor_x10)
+            self._pallas_stack = pack_state(state, C)
+        words = daphne.stream_frames_bytes_to_u32(flat_frames)[None]
+        tc = auto_tc(T, cap=512 if self._interpret else 1024)
+        slots, nclose, self._pallas_stack = process_packed_daphne(
+            jnp.asarray(words), self._pallas_stack, self.tpg_cfg, C,
+            tc=tc, k_slots=self.k_slots,
+            unroll=8 if (not self._interpret and tc % 8 == 0) else 1,
+            interpret=self._interpret)
+        hits, dropped = decode_pallas_hits(slots, nclose, C)
+        if dropped:
+            self.metrics.inc("num_hits_dropped", dropped)
+        return hits
 
     def timestamp_check(self, superchunks: np.ndarray) -> None:
         """DAPHNEStreamFrameProcessor.cpp:39-49: fixed +64/frame cadence."""

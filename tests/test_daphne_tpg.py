@@ -109,3 +109,90 @@ class TestRegisterParityExtras:
         out = register_map_via_expansion(cmap, crate=1, slot=2, stream=3)
         np.testing.assert_array_equal(
             out, cmap.offline_channels(1, 2, 3, 64))
+
+
+class TestDaphneFusedIngest:
+    def test_device_unpack_matches_numpy(self):
+        import jax.numpy as jnp
+        rng = np.random.default_rng(3)
+        frames = daphne.stream_empty_frames(6)
+        adcs = rng.integers(0, 1 << 14, size=(6, 64, 4), dtype=np.uint16)
+        daphne.stream_set_adcs(frames, adcs)
+        words = daphne.stream_frames_bytes_to_u32(frames)
+        dev = np.asarray(daphne.stream_unpack_frames_jnp(jnp.asarray(words)))
+        np.testing.assert_array_equal(dev, adcs.astype(np.int32))
+        np.testing.assert_array_equal(daphne.stream_get_adcs(frames), adcs)
+
+    def test_pallas_backend_matches_reference(self):
+        """Packed-pallas DAPHNE stream path emits the same TPs as the
+        reference backend across batches (state carried in both)."""
+        rng = np.random.default_rng(7)
+        batches = []
+        ts = 40_000
+        for b in range(3):
+            sc = daphne.empty_superchunks(1, stream=True)
+            frames = daphne.superchunk_frames(sc, stream=True) \
+                .reshape(-1, daphne.STREAM_FRAME_SIZE)
+            adcs = (800 + rng.normal(0, 10, (12, 64, 4))).astype(np.uint16)
+            if b in (0, 2):
+                f, t, c = rng.integers(2, 11), rng.integers(0, 50), b % 4
+                adcs[f, t:t + 9, c] += np.array(
+                    [500, 502, 504, 505, 506, 505, 504, 502, 500], np.uint16)
+            daphne.stream_set_adcs(frames, adcs)
+            daphne.fake_timestamps(sc, ts, offset=64, stream=True)
+            batches.append(sc)
+            ts += 12 * 64
+
+        outs = {}
+        for backend in ("reference", "pallas"):
+            sink = QueueSender()
+            proc = DAPHNEStreamFrameProcessor(tp_sink=sink)
+            proc.conf({"enable_tpg": True, "tpg_threshold": 150,
+                       "tpg_backend": backend, "tpg_pallas_interpret": True})
+            proc.start()
+            for sc in batches:
+                proc.process(sc.copy())
+            outs[backend] = np.concatenate(sink.drain()) if len(sink) \
+                else np.zeros(0, dtype="V1")
+        ref, pal = outs["reference"], outs["pallas"]
+        assert len(ref) >= 2
+        order = lambda t: np.argsort(t["time_start"], kind="stable")
+        np.testing.assert_array_equal(ref[order(ref)], pal[order(pal)])
+
+    def test_streaming_ingest_daphne_format(self):
+        """StreamingIngest(format='daphne_stream') over 2 links matches the
+        reference oracle on the stacked channel set."""
+        from fdreadoutlibs_tpu.ops import TPGConfig
+        from fdreadoutlibs_tpu.ops.chanstate import (init_chanstate,
+                                                     seed_chanstate)
+        from fdreadoutlibs_tpu.ops.ingest import StreamingIngest
+        from fdreadoutlibs_tpu.ops.reference import process_window_reference
+        from fdreadoutlibs_tpu.ops.hits import sort_hits
+        rng = np.random.default_rng(11)
+        cfg = TPGConfig(threshold=120)
+        L, NB, NF = 2, 3, 4           # links, batches, frames/batch
+        ing = StreamingIngest(cfg, n_links=L, interpret=True,
+                              format="daphne_stream", k_slots=4)
+        all_adcs = []
+        got = []
+        for b in range(NB):
+            frames = np.zeros((L, NF, daphne.STREAM_FRAME_SIZE), np.uint8)
+            adcs = (800 + rng.normal(0, 8, (L, NF, 64, 4))).astype(np.uint16)
+            adcs[b % L, 1, 5:13, 3] += 400
+            for l in range(L):
+                daphne.stream_set_adcs(frames[l], adcs[l])
+            all_adcs.append(adcs)
+            out = ing.submit(frames)
+            if out is not None:
+                got.append(out[0])
+        got.append(ing.flush()[0])
+        hits = sort_hits(np.concatenate(got))
+
+        # oracle over the stacked stream: channel = link*4 + c
+        stacked = np.concatenate(
+            [a.transpose(1, 2, 0, 3).reshape(NF * 64, L * 4)
+             for a in all_adcs]).astype(np.int32)
+        state = seed_chanstate(init_chanstate(L * 4), stacked[0],
+                               cfg.rs_memory_factor_x10)
+        ref_hits, _ = process_window_reference(stacked, state, cfg)
+        np.testing.assert_array_equal(hits, sort_hits(ref_hits))
