@@ -29,10 +29,11 @@ def host_words(frames: np.ndarray) -> np.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tc", "k_slots",
                                              "unroll", "n_channels",
-                                             "interpret"))
+                                             "interpret", "vmem_limit_mb"))
 def process_packed_frames(words, state_stack, cfg: TPGConfig,
                           n_channels: int, tc: int = 512, k_slots: int = 2,
-                          unroll: int = 8, interpret: bool = False):
+                          unroll: int = 8, interpret: bool = False,
+                          vmem_limit_mb: int | None = None):
     """words: (L, T, 28) uint32 packed rows for L links of 64 channels.
 
     Returns (slots, nclose, new_state) like process_window_pallas, with
@@ -47,15 +48,17 @@ def process_packed_frames(words, state_stack, cfg: TPGConfig,
     packed = padded.reshape(T, S, LANES)
     return process_window_pallas(packed, state_stack, cfg, tc=tc,
                                  k_slots=k_slots, unroll=unroll,
-                                 interpret=interpret)
+                                 interpret=interpret,
+                                 vmem_limit_mb=vmem_limit_mb)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tc", "k_slots",
                                              "unroll", "n_channels",
-                                             "interpret"))
+                                             "interpret", "vmem_limit_mb"))
 def process_packed_wib2(words, state_stack, cfg: TPGConfig,
                         n_channels: int, tc: int = 512, k_slots: int = 4,
-                        unroll: int = 8, interpret: bool = False):
+                        unroll: int = 8, interpret: bool = False,
+                        vmem_limit_mb: int | None = None):
     """WIB2 fused ingest: words (L, T, 112) uint32 packed rows (each WIB2
     frame is ONE tick of 256 channels); channel = link*256 + c."""
     from ..formats import wib2
@@ -68,15 +71,17 @@ def process_packed_wib2(words, state_stack, cfg: TPGConfig,
     packed = padded.reshape(T, S, LANES)
     return process_window_pallas(packed, state_stack, cfg, tc=tc,
                                  k_slots=k_slots, unroll=unroll,
-                                 interpret=interpret)
+                                 interpret=interpret,
+                                 vmem_limit_mb=vmem_limit_mb)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tc", "k_slots",
                                              "unroll", "n_channels",
-                                             "interpret"))
+                                             "interpret", "vmem_limit_mb"))
 def process_packed_daphne(words, state_stack, cfg: TPGConfig,
                           n_channels: int, tc: int = 512, k_slots: int = 4,
-                          unroll: int = 8, interpret: bool = False):
+                          unroll: int = 8, interpret: bool = False,
+                          vmem_limit_mb: int | None = None):
     """DAPHNE-stream fused ingest: words (L, N, 112) uint32 packed rows —
     each stream frame is 64 ticks of 4 channels; channel = link*4 + c."""
     from ..formats import daphne
@@ -91,7 +96,8 @@ def process_packed_daphne(words, state_stack, cfg: TPGConfig,
     packed = padded.reshape(T, S, LANES)
     return process_window_pallas(packed, state_stack, cfg, tc=tc,
                                  k_slots=k_slots, unroll=unroll,
-                                 interpret=interpret)
+                                 interpret=interpret,
+                                 vmem_limit_mb=vmem_limit_mb)
 
 
 class StreamingIngest:
