@@ -137,11 +137,28 @@ def pack_adcs(adcs: np.ndarray, dtype=np.int32) -> np.ndarray:
     return out
 
 
+def pack_adcs_time2(adcs: np.ndarray) -> np.ndarray:
+    """(T, C) -> (T//2, S, 128) int32 with two consecutive time samples per
+    word (t0 | t1<<16) — halves the ADC HBM traffic into the kernel.
+
+    Values must be < 32768 (true for all 14-bit streams); the kernel
+    recovers t1 with an arithmetic >>16 and t0 with a sign-extending
+    (<<16)>>16, so the samples round-trip exactly.
+    """
+    packed = pack_adcs(adcs, np.int32)              # (T, S, 128)
+    return packed[0::2] | (packed[1::2] << 16)
+
+
+def pack_time2_jnp(adcs):
+    """Device variant: (T, S, 128) int32 -> (T//2, S, 128) time-paired."""
+    return adcs[0::2] | (adcs[1::2] << 16)
+
+
 # ---- the kernel ----------------------------------------------------------------
 
 def _tpg_kernel(adc_ref, state_ref, state_out_ref, slots_ref, nclose_ref,
                 *, cfg: TPGConfig, tc: int, k_slots: int, sub: int,
-                unroll: int = 1):
+                unroll: int = 1, time2: bool = False):
     t_chunk = pl.program_id(1)
     n_chunks = pl.num_programs(1)
     keys = live_fields(cfg)
@@ -176,10 +193,21 @@ def _tpg_kernel(adc_ref, state_ref, state_out_ref, slots_ref, nclose_ref,
         slot_words = list(carry[nst:nst + k_slots])
         nclose = carry[nst + k_slots]
 
+        if time2:
+            # adc_ref holds time-paired words: tick 2j in the low half,
+            # tick 2j+1 in the high half (pack_adcs_time2)
+            word0 = None
         for u in range(unroll):
             tick_i = i * unroll + u
-            st, closed, rec = dispatch_tick(st, adc_ref[tick_i], cfg, jnp,
-                                            fx=fx)
+            if time2:
+                if u % 2 == 0:
+                    word0 = adc_ref[(i * unroll + u) // 2]
+                    s_raw = (word0 << 16) >> 16
+                else:
+                    s_raw = word0 >> 16
+            else:
+                s_raw = adc_ref[tick_i]
+            st, closed, rec = dispatch_tick(st, s_raw, cfg, jnp, fx=fx)
 
             # pack the record into 3 int32 words; unclosed lanes are ignored
             tick = t_chunk * tc + tick_i
@@ -216,14 +244,18 @@ def _tpg_kernel(adc_ref, state_ref, state_out_ref, slots_ref, nclose_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "tc", "k_slots", "interpret",
-                                    "unroll", "vmem_limit_mb"))
+                                    "unroll", "vmem_limit_mb", "time_packed"))
 def process_window_pallas(adcs, state_stack, cfg: TPGConfig, tc: int = 256,
                           k_slots: int = 4, interpret: bool = False,
-                          unroll: int = 1, vmem_limit_mb: int | None = None):
+                          unroll: int = 1, vmem_limit_mb: int | None = None,
+                          time_packed: bool = False):
     """Run the fused kernel over a (T, S, 128) int32 window.
 
     Args:
-      adcs: (T, S, 128) int32, T divisible by tc.
+      adcs: (T, S, 128) int32, T divisible by tc — or, with
+        time_packed=True, (T//2, S, 128) time-paired words from
+        pack_adcs_time2/pack_time2_jnp (halved ADC HBM traffic; requires
+        int32 state, even unroll, samples < 32768).
       state_stack: (NB, KSTATE, SUB, 128) int32; SUB (from pack_state)
         selects the channel-block width, NB * SUB == S.
       tc: ticks per pipelined grid chunk.
@@ -234,16 +266,22 @@ def process_window_pallas(adcs, state_stack, cfg: TPGConfig, tc: int = 256,
     new_state).  nclose is the per-channel number of hits that closed this
     window (may exceed k_slots, indicating drops).
     """
-    T, S, _ = adcs.shape
+    rows, S, _ = adcs.shape
+    T = rows * 2 if time_packed else rows
     nb, kst, sub, _ = state_stack.shape
     dtype = state_stack.dtype
     assert T % tc == 0 and kst == KSTATE and nb * sub == S
     assert sub % _granule(dtype) == 0 and tc % unroll == 0
-    assert adcs.dtype == dtype, "ADC and state dtypes must match " \
-        "(pack_adcs/pack_state with the same dtype)"
+    if time_packed:
+        assert dtype == jnp.int32 and unroll % 2 == 0 and tc % 2 == 0, \
+            "time_packed needs int32 state and even unroll/tc"
+        assert adcs.dtype == jnp.int32
+    else:
+        assert adcs.dtype == dtype, "ADC and state dtypes must match " \
+            "(pack_adcs/pack_state with the same dtype)"
 
     kernel = functools.partial(_tpg_kernel, cfg=cfg, tc=tc, k_slots=k_slots,
-                               sub=sub, unroll=unroll)
+                               sub=sub, unroll=unroll, time2=time_packed)
     compiler_params = None
     if vmem_limit_mb is not None and not interpret:
         from jax.experimental.pallas import tpu as pltpu
@@ -254,7 +292,8 @@ def process_window_pallas(adcs, state_stack, cfg: TPGConfig, tc: int = 256,
         compiler_params=compiler_params,
         grid=(nb, T // tc),
         in_specs=[
-            pl.BlockSpec((tc, sub, LANES), lambda b, t: (t, b, 0)),
+            pl.BlockSpec((tc // 2 if time_packed else tc, sub, LANES),
+                         lambda b, t: (t, b, 0)),
             pl.BlockSpec((1, KSTATE, sub, LANES), lambda b, t: (b, 0, 0, 0)),
         ],
         out_specs=[

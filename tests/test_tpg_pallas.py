@@ -112,3 +112,38 @@ def test_pallas_mixed_memory_factor():
     h_pal, _, dropped = run_pallas(adcs, cfg, rs_memory_factor=rmf)
     assert dropped == 0 and len(h_ref) > 0
     np.testing.assert_array_equal(h_pal, h_ref)
+
+
+def test_time_packed_matches_unpacked():
+    """time_packed=True (two samples per int32 word, halved ADC HBM traffic)
+    is bit-exact vs the plain layout for every algorithm family.  Measured
+    ~15% SLOWER on v5e-lite (issue-bound kernel, BENCH_NOTES.md) — kept as
+    an opt-in knob for HBM-contended multi-stream deployments."""
+    import jax.numpy as jnp
+    from fdreadoutlibs_tpu.ops.config import Algorithm
+    from fdreadoutlibs_tpu.ops.pallas_tpg import (decode_pallas_hits,
+                                                  pack_adcs, pack_adcs_time2,
+                                                  pack_state,
+                                                  process_window_pallas)
+    rng = np.random.default_rng(21)
+    C, T = 200, 128
+    for alg in Algorithm:
+        cfg = TPGConfig(algorithm=alg,
+                        threshold=60 if alg == Algorithm.FIR else 150)
+        adcs = (800 + rng.normal(0, 25, (T, C))).astype(np.int32)
+        for _ in range(20):
+            c, t = rng.integers(0, C), rng.integers(0, T - 10)
+            adcs[t:t + 9, c] += rng.integers(300, 1500)
+        st = seed_chanstate(init_chanstate(C), adcs[0],
+                            cfg.rs_memory_factor_x10)
+        stack = pack_state(st, C)
+        a = process_window_pallas(jnp.asarray(pack_adcs(adcs)), stack, cfg,
+                                  tc=64, k_slots=8, interpret=True, unroll=1)
+        b = process_window_pallas(jnp.asarray(pack_adcs_time2(adcs)), stack,
+                                  cfg, tc=64, k_slots=8, interpret=True,
+                                  unroll=2, time_packed=True)
+        ha, da = decode_pallas_hits(a[0], a[1], C)
+        hb, db = decode_pallas_hits(b[0], b[1], C)
+        np.testing.assert_array_equal(ha, hb)
+        assert da == db
+        np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
