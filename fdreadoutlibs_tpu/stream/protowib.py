@@ -54,7 +54,8 @@ class WIBFrameProcessor(TaskRawDataProcessor):
         self.ind_threshold = config.get("tpg_induction_threshold", 5)
         self.min_collection_offline = config.get("min_collection_offline", 9472)
         self.min_induction_offline = config.get("min_induction_offline", 7680)
-        self.error_forward_limit = config.get("errored_frame_forward_limit", 16)
+        self.error_counter_threshold = config.get("error_counter_threshold",
+                                                  100)
 
         self.add_preprocess_task(self.timestamp_check)
         self.add_preprocess_task(self.frame_error_check)
@@ -67,6 +68,8 @@ class WIBFrameProcessor(TaskRawDataProcessor):
         self.previous_ts = 0
         self._first_ts_check = True
         self._first_hit = True
+        self._frames_processed = 0
+        self._error_occurrence = np.zeros(16, dtype=np.int64)
         self._coll_state = None
         self._ind_state = None
         coll_off, ind_off = protowib.register_offline_channels(
@@ -103,21 +106,48 @@ class WIBFrameProcessor(TaskRawDataProcessor):
         self.last_processed_daq_ts = int(ts[-1])
 
     def frame_error_check(self, superchunks: np.ndarray) -> None:
-        """16 WIB error bits per frame; errored frames forwarded to the
-        errored_frames sink, rate-limited (hpp:399-438)."""
-        frames = protowib.superchunk_frames(superchunks)
-        errs = protowib.get_wib_errors(frames.reshape(-1, protowib.FRAME_SIZE))
+        """16 WIB error bits per frame (hpp:399-438).  num_frame_errors
+        counts set bits (m_frame_error_count += popcount, hpp:415-417).
+        Errored-frame forwarding is gated by per-bit occurrence counters:
+        each bit may forward frames while its counter < threshold, with a
+        leaky decay of 1 per bit every 10000 frames processed
+        (hpp:406-410, 419-432)."""
+        flat = protowib.superchunk_frames(superchunks) \
+            .reshape(-1, protowib.FRAME_SIZE)
+        errs = protowib.get_wib_errors(flat)
+        n = len(flat)
+        f0 = self._frames_processed
+        self._frames_processed = f0 + n
         bad = np.nonzero(errs != 0)[0]
+        next_decay = -(-f0 // 10000) * 10000       # first g >= f0, g%10000==0
         if len(bad):
-            self.metrics.inc("num_frame_errors", len(bad))
+            bits_matrix = (errs[bad, None] >> np.arange(16)) & 1
+            self.metrics.inc("num_frame_errors", int(bits_matrix.sum()))
             for bit in range(16):
-                n_bit = int(((errs[bad] >> bit) & 1).sum())
+                n_bit = int(bits_matrix[:, bit].sum())
                 if n_bit:
                     self.metrics.inc(f"num_frame_errors_bit{bit}", n_bit)
-            if self.errored_frame_sink is not None:
-                flat = frames.reshape(-1, protowib.FRAME_SIZE)
-                self.errored_frame_sink.try_send(
-                    flat[bad[: self.error_forward_limit]].copy())
+            forward = []
+            for pos, i in enumerate(bad):
+                g = f0 + int(i)
+                while next_decay <= g:
+                    np.maximum(self._error_occurrence - 1, 0,
+                               out=self._error_occurrence)
+                    next_decay += 10000
+                pushed = False
+                for j in np.nonzero(bits_matrix[pos])[0]:
+                    if self._error_occurrence[j] < self.error_counter_threshold:
+                        self._error_occurrence[j] += 1
+                        pushed = True
+                if pushed:
+                    forward.append(i)
+            if forward and self.errored_frame_sink is not None:
+                self.errored_frame_sink.try_send(flat[forward].copy())
+        # decay points in the tail of the batch still apply
+        while next_decay < f0 + n:
+            np.maximum(self._error_occurrence - 1, 0,
+                       out=self._error_occurrence)
+            next_decay += 10000
 
     # --------------------------------------------------------------- TPG
     def _seed(self, adcs0: np.ndarray) -> None:

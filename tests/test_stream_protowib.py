@@ -100,10 +100,35 @@ class TestWIBFrameProcessor:
         sc, _ = make_superchunks(2)
         protowib.fake_frame_errors(sc[0:1], 0b101)
         proc.process(sc)
-        assert proc.metrics.count("num_frame_errors") == 12  # all frames of sc0
+        # popcount semantics: 12 frames x 2 set bits (hpp:415-417)
+        assert proc.metrics.count("num_frame_errors") == 24
         assert proc.metrics.count("num_frame_errors_bit0") == 12
         assert proc.metrics.count("num_frame_errors_bit2") == 12
         assert len(proc.errored_frame_sink) == 1
+        assert len(proc.errored_frame_sink.drain()[0]) == 12
+
+    def test_errored_frame_gating_and_decay(self):
+        """Per-bit occurrence counters cap forwarding at the threshold and
+        leak 1 per bit every 10000 frames (hpp:404-438)."""
+        proc, _ = make_processor(error_counter_threshold=2)
+        sc, _ = make_superchunks(1)
+        protowib.fake_frame_errors(sc, 0b101)
+        proc.process(sc)
+        # 12 errored frames but each bit only forwards while counter < 2
+        sent = proc.errored_frame_sink.drain()
+        assert len(sent) == 1 and len(sent[0]) == 2
+        # saturated: nothing more forwarded
+        sc2, _ = make_superchunks(1)
+        protowib.fake_frame_errors(sc2, 0b101)
+        proc.process(sc2)
+        assert len(proc.errored_frame_sink) == 0
+        # cross a decay point: one unit of budget returns per bit
+        proc._frames_processed = 9999
+        sc3, _ = make_superchunks(1)
+        protowib.fake_frame_errors(sc3, 0b101)
+        proc.process(sc3)
+        sent = proc.errored_frame_sink.drain()
+        assert len(sent) == 1 and len(sent[0]) == 1
 
     def test_tp_times_use_25_tick_clock(self):
         pulse_chan = int(protowib.COLLECTION_INDEX_TO_CHAN[0])
