@@ -130,6 +130,24 @@ class TestTPRequestHandler:
         np.testing.assert_array_equal(win["time_start"], [20, 30])
         assert h.metrics.count("num_requests") == 1
 
+    def test_tp_fragment_request_and_record(self, tmp_path=None):
+        """TP window -> kTriggerPrimitive Fragment, recordable/readable."""
+        import tempfile
+        from fdreadoutlibs_tpu.tp.recorder import FragmentRecorder
+        h, sink = self.make()
+        h.insert_tps(tps_at([10, 20, 30, 40]))
+        frag = h.request_fragment(15, 35, run_number=123, trigger_number=9,
+                                  source_id=42)
+        assert frag.header.fragment_type == "kTriggerPrimitive"
+        assert len(frag) == 2
+        np.testing.assert_array_equal(frag.payloads["time_start"], [20, 30])
+        with tempfile.TemporaryDirectory() as d:
+            rec = FragmentRecorder(d, run_number=123)
+            rec.write(frag)
+            back = rec.read(0)
+            assert back.payloads.dtype == frag.payloads.dtype
+            np.testing.assert_array_equal(back.payloads, frag.payloads)
+
     def test_requests_survive_tpset_emission(self):
         """Shipped TPs remain available to data requests until cleanup."""
         h, sink = self.make(min_latency=10)
