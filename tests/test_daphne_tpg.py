@@ -1,7 +1,6 @@
 """DAPHNE PDS TP generation (superset of reference) + register-parity extras."""
 
 import numpy as np
-import pytest
 
 from fdreadoutlibs_tpu.formats import daphne, wib2
 from fdreadoutlibs_tpu.formats.trigprim import TPType

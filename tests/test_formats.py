@@ -7,7 +7,6 @@ Ports the reference's unpack-correctness oracles:
 """
 
 import numpy as np
-import pytest
 
 from fdreadoutlibs_tpu.formats import bitpack, wibeth
 

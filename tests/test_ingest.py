@@ -1,7 +1,6 @@
 """Fused device-ingest pipeline tests (packed bytes -> unpack -> TPG)."""
 
 import numpy as np
-import pytest
 
 from fdreadoutlibs_tpu.formats import wibeth
 from fdreadoutlibs_tpu.ops import TPGConfig

@@ -1,7 +1,6 @@
 """Physics-like simulation: algorithm behavior under realistic conditions."""
 
 import numpy as np
-import pytest
 
 from fdreadoutlibs_tpu.ops import TPGConfig, Algorithm
 from fdreadoutlibs_tpu.ops.reference import run_reference

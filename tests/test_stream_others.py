@@ -1,7 +1,6 @@
 """Tests for the WIB2 / DAPHNE / TDE / SSP / TP-passthrough processors."""
 
 import numpy as np
-import pytest
 
 from fdreadoutlibs_tpu.formats import daphne, ssp, tde, wib2
 from fdreadoutlibs_tpu.formats.trigprim import make_tps

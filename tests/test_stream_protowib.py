@@ -1,7 +1,6 @@
 """ProtoWIB processor + legacy WIBTPHandler tests."""
 
 import numpy as np
-import pytest
 
 from fdreadoutlibs_tpu.formats import protowib
 from fdreadoutlibs_tpu.formats.trigprim import make_tps

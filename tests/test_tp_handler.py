@@ -1,7 +1,6 @@
 """Latency buffer + TP request handler (TPSet windowing) tests."""
 
 import numpy as np
-import pytest
 
 from fdreadoutlibs_tpu.formats.trigprim import TPSetType, make_tps
 from fdreadoutlibs_tpu.stream.transport import QueueSender

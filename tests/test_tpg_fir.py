@@ -1,7 +1,6 @@
 """FIR+IQR family tests: filter design, oracle behavior, backend parity."""
 
 import numpy as np
-import pytest
 
 from fdreadoutlibs_tpu.ops import TPGConfig, Algorithm
 from fdreadoutlibs_tpu.ops.fir import default_taps, firwin, firwin_int

@@ -1,11 +1,10 @@
 """Golden-pattern and semantics tests for the numpy SWTPG oracle."""
 
 import numpy as np
-import pytest
 
 from fdreadoutlibs_tpu.ops import TPGConfig, Algorithm, fixedpoint
 from fdreadoutlibs_tpu.ops import patterns
-from fdreadoutlibs_tpu.ops.reference import run_reference, process_window_reference
+from fdreadoutlibs_tpu.ops.reference import run_reference
 from fdreadoutlibs_tpu.ops.chanstate import init_chanstate, seed_chanstate
 
 
