@@ -75,3 +75,41 @@ def test_geometry_mismatch_rejected():
         assert False, "expected ValueError"
     except ValueError as e:
         assert "expected 4 links" in str(e)
+
+
+def test_random_interleaving_keeps_streams_isolated():
+    """APAs submitted in a random, unfair order (including back-to-back
+    repeats) still produce per-stream oracle-exact hits."""
+    rng = np.random.default_rng(5)
+    L, NF = 1, 2
+    C = L * 64
+    cfg = TPGConfig(threshold=480)
+    n_apas = 3
+    sched = MultiAPAScheduler(cfg, n_apas=n_apas, n_links=L, interpret=True,
+                              k_slots=4)
+    per_apa_adcs = {a: [] for a in range(n_apas)}
+    got = {a: [] for a in range(n_apas)}
+    order = list(rng.integers(0, n_apas, size=18))
+    # make sure every APA appears at least twice
+    order += [0, 0, 1, 1, 2, 2]
+    for apa in order:
+        b = len(per_apa_adcs[apa])
+        hot = (0, apa, 20 + 3 * b) if b % 2 == 0 else None
+        frames, adcs = _make_batch(rng, L, NF, hot=hot)
+        per_apa_adcs[apa].append(adcs)
+        out = sched.submit(apa, frames)
+        if out is not None:
+            got[apa].append(out[0])
+    for apa, (hits, _) in sched.flush().items():
+        got[apa].append(hits)
+
+    for apa in range(n_apas):
+        stream = np.concatenate(
+            [a.transpose(1, 2, 0, 3).reshape(NF * 64, C)
+             for a in per_apa_adcs[apa]]).astype(np.int32)
+        state = seed_chanstate(init_chanstate(C), stream[0],
+                               cfg.rs_memory_factor_x10)
+        ref_hits, _ = process_window_reference(stream, state, cfg)
+        mine = sort_hits(np.concatenate(got[apa])) if got[apa] else ref_hits[:0]
+        np.testing.assert_array_equal(mine, sort_hits(ref_hits))
+        assert set(ref_hits["channel"]) <= {apa}
