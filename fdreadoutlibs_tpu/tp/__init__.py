@@ -9,3 +9,5 @@ behind the same interface).
 
 from .latency_buffer import LatencyBuffer  # noqa: F401
 from .request_handler import TPRequestHandler  # noqa: F401
+from .wib_tp_handler import WIBTPHandler  # noqa: F401
+from .recorder import FragmentRecorder  # noqa: F401
