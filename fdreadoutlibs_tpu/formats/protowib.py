@@ -193,6 +193,53 @@ def get_adc(frames: np.ndarray, channel: int) -> np.ndarray:
     return get_adcs(frames)[..., channel]
 
 
+N_FRAME_WORDS = FRAME_SIZE // 4                     # 116 uint32 words
+
+
+def frames_bytes_to_u32(frames_u8: np.ndarray) -> np.ndarray:
+    """Host helper: (..., 464) uint8 -> (..., 116) uint32 whole-frame words
+    (a view-level reshape; the device codec extracts the ADC bytes)."""
+    return np.ascontiguousarray(frames_u8).view("<u4")
+
+
+def _channel_byte_offsets():
+    """Per-channel absolute frame byte offsets of the 12-bit codec: channel
+    c reads (lo_byte, nibble_byte) for even in-pair position or
+    (nibble_byte, hi_byte) for odd (get_adcs above / the AVX expand
+    networks, src/wib/tpg/FrameExpand.cpp)."""
+    offs = []
+    for c in range(N_CHANNELS):
+        block, rest = divmod(c, 64)
+        segment, rest = divmod(rest, 8)
+        adc, ch = divmod(rest, 4)
+        grp, pos = divmod(ch, 2)
+        base = (HEADER_BYTES + block * BLOCK_BYTES + BLOCK_HEADER_BYTES
+                + segment * SEGMENT_BYTES + grp * 6 + adc)
+        offs.append((base, base + 2, base + 4, pos))
+    return offs
+
+
+def unpack_frames_jnp(words_u32, dtype=None):
+    """Device decode: (..., 116) uint32 whole-frame words -> (..., 256)
+    ADCs in frame channel order.  Static shifts/masks only (one or two
+    byte extracts per channel) so XLA lowers it to plain vector ops, like
+    the WIBEth/WIB2 unpackers (bitpack.unpack_14bit_jnp)."""
+    import jax.numpy as jnp
+    w = words_u32.astype(jnp.uint32)
+
+    def byte(o):
+        return (w[..., o // 4] >> jnp.uint32(8 * (o % 4))) & jnp.uint32(0xFF)
+
+    cols = []
+    for b0, b2, b4, pos in _channel_byte_offsets():
+        if pos == 0:
+            v = byte(b0) | ((byte(b2) & jnp.uint32(0x0F)) << jnp.uint32(8))
+        else:
+            v = (byte(b2) >> jnp.uint32(4)) | (byte(b4) << jnp.uint32(4))
+        cols.append(v)
+    return jnp.stack(cols, axis=-1).astype(dtype or jnp.int32)
+
+
 # ---- adapter duck interface ----------------------------------------------------
 
 def fake_timestamps(superchunks: np.ndarray, first_timestamp: int,

@@ -100,6 +100,42 @@ def process_packed_daphne(words, state_stack, cfg: TPGConfig,
                                  vmem_limit_mb=vmem_limit_mb)
 
 
+@functools.partial(jax.jit, static_argnames=("coll_cfg", "ind_cfg", "tc",
+                                             "k_slots", "unroll",
+                                             "interpret", "vmem_limit_mb"))
+def process_packed_protowib(words, coll_stack, ind_stack,
+                            coll_cfg: TPGConfig, ind_cfg: TPGConfig,
+                            tc: int = 12, k_slots: int = 4,
+                            unroll: int = 1, interpret: bool = False,
+                            vmem_limit_mb: int | None = None):
+    """ProtoWIB fused ingest: words (T, 116) uint32 whole frames (one tick
+    of 256 channels each).  Runs the legacy dual-plane pipeline as two
+    fused kernels over static lane subsets of one device batch — the TPU
+    replacement for the reference's caller-thread collection + spin-waiting
+    induction thread (WIBFrameProcessor.hpp:455-459; SURVEY.md §2.7).
+
+    Returns ((slots, nclose, new_coll_stack), (slots, nclose, new_ind_stack))
+    with plane-local channel indices (COLLECTION/INDUCTION_INDEX_TO_CHAN
+    order, matching the plane-split host path).
+    """
+    from ..formats import protowib as pw
+    T = words.shape[0]
+    adcs = pw.unpack_frames_jnp(words)                 # (T, 256)
+
+    def run(plane_idx, stack, cfg):
+        C = len(plane_idx)
+        x = adcs[:, np.asarray(plane_idx)]             # static gather
+        S = pad_sublanes(C)
+        padded = jnp.zeros((T, S * LANES), jnp.int32).at[:, :C].set(x)
+        return process_window_pallas(padded.reshape(T, S, LANES), stack,
+                                     cfg, tc=tc, k_slots=k_slots,
+                                     unroll=unroll, interpret=interpret,
+                                     vmem_limit_mb=vmem_limit_mb)
+
+    return (run(pw.COLLECTION_INDEX_TO_CHAN, coll_stack, coll_cfg),
+            run(pw.INDUCTION_INDEX_TO_CHAN, ind_stack, ind_cfg))
+
+
 class StreamingIngest:
     """Double-buffered streaming driver: enqueue the next batch while the
     device processes the current one (jax dispatch is asynchronous, so the

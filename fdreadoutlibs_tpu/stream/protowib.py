@@ -56,6 +56,12 @@ class WIBFrameProcessor(TaskRawDataProcessor):
         self.min_induction_offline = config.get("min_induction_offline", 7680)
         self.error_counter_threshold = config.get("error_counter_threshold",
                                                   100)
+        if "tpg_pallas_interpret" in config:
+            self._interpret = bool(config["tpg_pallas_interpret"])
+        else:
+            import jax
+            self._interpret = jax.default_backend() != "tpu"
+        self.k_slots = config.get("tpg_pallas_k_slots", 4)
 
         self.add_preprocess_task(self.timestamp_check)
         self.add_preprocess_task(self.frame_error_check)
@@ -70,6 +76,8 @@ class WIBFrameProcessor(TaskRawDataProcessor):
         self._first_hit = True
         self._frames_processed = 0
         self._error_occurrence = np.zeros(16, dtype=np.int64)
+        self._coll_stack = None
+        self._ind_stack = None
         self._coll_state = None
         self._ind_state = None
         coll_off, ind_off = protowib.register_offline_channels(
@@ -167,19 +175,26 @@ class WIBFrameProcessor(TaskRawDataProcessor):
         if superchunks.shape[0] == 0:
             return
         frames = protowib.superchunk_frames(superchunks)
-        timestamp = int(protowib.get_timestamp(frames[0, :1])[0])
-        adcs = protowib.get_adcs(frames).reshape(-1, protowib.N_CHANNELS) \
-            .astype(np.int32)
+        flat = frames.reshape(-1, protowib.FRAME_SIZE)
+        timestamp = int(protowib.get_timestamp(flat[:1])[0])
+        T = flat.shape[0]
         if self._first_hit:
-            self._seed(adcs[0])
+            self._seed(protowib.get_adcs(flat[:1])[0].astype(np.int32))
 
-        coll = adcs[:, protowib.COLLECTION_INDEX_TO_CHAN]
-        ind = adcs[:, protowib.INDUCTION_INDEX_TO_CHAN]
-        h_coll, self._coll_state = self._run(coll, self._coll_state,
-                                             self.coll_cfg)
-        h_ind, self._ind_state = self._run(ind, self._ind_state, self.ind_cfg)
+        if self.backend == "pallas":
+            # fused device ingest: whole frames -> on-device 12-bit decode
+            # -> dual-plane Pallas TPG (ops/ingest.process_packed_protowib)
+            h_coll, h_ind = self._run_pallas_packed(flat)
+        else:
+            adcs = protowib.get_adcs(flat).astype(np.int32)
+            coll = adcs[:, protowib.COLLECTION_INDEX_TO_CHAN]
+            ind = adcs[:, protowib.INDUCTION_INDEX_TO_CHAN]
+            h_coll, self._coll_state = self._run(coll, self._coll_state,
+                                                 self.coll_cfg)
+            h_ind, self._ind_state = self._run(ind, self._ind_state,
+                                               self.ind_cfg)
         self.metrics.inc("num_hits", len(h_coll) + len(h_ind))
-        current = timestamp + CLOCKS_PER_TPC_TICK * adcs.shape[0]
+        current = timestamp + CLOCKS_PER_TPC_TICK * T
         self._emit_tps(h_coll, self.collection_offlines, timestamp, current)
         self._emit_tps(h_ind, self.induction_offlines, timestamp, current)
         if self.tp_handler is not None:
@@ -187,9 +202,35 @@ class WIBFrameProcessor(TaskRawDataProcessor):
 
     def _run(self, adcs, state, cfg):
         """Run one plane's stream through the selected backend
-        (reference | scan | pallas) with carried state."""
+        (reference | scan) with carried state."""
         from ..models import run_model
         return run_model(adcs, cfg, backend=self.backend, state=state)
+
+    def _run_pallas_packed(self, flat_frames: np.ndarray):
+        """Fused device ingest for one link: (T, 464 B) frames shipped
+        whole; decode + both plane kernels run inside one jit."""
+        import jax.numpy as jnp
+        from ..ops.ingest import process_packed_protowib
+        from ..ops.pallas_tpg import (auto_tc, decode_pallas_hits, pack_state)
+        if self._coll_stack is None:
+            self._coll_stack = pack_state(self._coll_state,
+                                          protowib.N_COLLECTION)
+            self._ind_stack = pack_state(self._ind_state,
+                                         protowib.N_INDUCTION)
+        T = flat_frames.shape[0]
+        words = jnp.asarray(protowib.frames_bytes_to_u32(flat_frames))
+        tc = auto_tc(T, cap=512 if self._interpret else 1024)
+        unroll = 8 if (not self._interpret and tc % 8 == 0) else 1
+        (c_slots, c_n, self._coll_stack), (i_slots, i_n, self._ind_stack) = \
+            process_packed_protowib(words, self._coll_stack, self._ind_stack,
+                                    self.coll_cfg, self.ind_cfg, tc=tc,
+                                    k_slots=self.k_slots, unroll=unroll,
+                                    interpret=self._interpret)
+        h_coll, d_c = decode_pallas_hits(c_slots, c_n, protowib.N_COLLECTION)
+        h_ind, d_i = decode_pallas_hits(i_slots, i_n, protowib.N_INDUCTION)
+        if d_c or d_i:
+            self.metrics.inc("num_hits_dropped", d_c + d_i)
+        return h_coll, h_ind
 
     def _emit_tps(self, hits: np.ndarray, offlines: np.ndarray,
                   timestamp: int, current_time: int) -> None:

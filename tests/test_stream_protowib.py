@@ -160,3 +160,16 @@ def test_backend_equivalence_protowib():
                                   np.array(list(results["reference"])))
     np.testing.assert_array_equal(np.array(list(results["pallas"])),
                                   np.array(list(results["reference"])))
+
+
+def test_protowib_device_codec_parity():
+    """unpack_frames_jnp (static byte extraction) == host get_adcs."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(9)
+    frames = np.zeros((24, protowib.FRAME_SIZE), np.uint8)
+    adcs = rng.integers(0, 1 << 12, size=(24, 256), dtype=np.uint16)
+    protowib.set_adcs(frames, adcs)
+    dev = np.asarray(protowib.unpack_frames_jnp(
+        jnp.asarray(protowib.frames_bytes_to_u32(frames))))
+    np.testing.assert_array_equal(dev, adcs.astype(np.int32))
+    np.testing.assert_array_equal(protowib.get_adcs(frames), adcs)
