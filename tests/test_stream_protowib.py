@@ -173,3 +173,39 @@ def test_protowib_device_codec_parity():
         jnp.asarray(protowib.frames_bytes_to_u32(frames))))
     np.testing.assert_array_equal(dev, adcs.astype(np.int32))
     np.testing.assert_array_equal(protowib.get_adcs(frames), adcs)
+
+
+def test_pallas_fused_state_carries_across_batches():
+    """The fused path's per-plane device stacks carry FIR ring + pedestal
+    state across process() calls: TPs from 3 sequential batches equal the
+    reference backend's, including a pulse spanning a batch boundary."""
+    rng = np.random.default_rng(13)
+    batches = []
+    ts = 50_000
+    pulse_chan = int(protowib.COLLECTION_INDEX_TO_CHAN[7])
+    for b in range(3):
+        sc = protowib.empty_superchunks(4)
+        frames = protowib.superchunk_frames(sc).reshape(-1, protowib.FRAME_SIZE)
+        adcs = (900 + rng.normal(0, 10, (len(frames), 256))).astype(np.uint16)
+        if b == 1:
+            adcs[44:48, pulse_chan] += 700          # tail end of batch 1...
+        if b == 2:
+            adcs[0:6, pulse_chan] += 700            # ...continues into batch 2
+        protowib.set_adcs(frames, adcs)
+        protowib.fake_timestamps(sc, ts)
+        batches.append(sc)
+        ts += 4 * 300
+
+    results = {}
+    for backend in ("reference", "pallas"):
+        proc, handler = make_processor(tpg_backend=backend,
+                                       tpg_pallas_interpret=True)
+        for sc in batches:
+            proc.process(sc.copy())
+        tpset = handler.try_sending_tpsets(10**12)
+        results[backend] = np.array(list(tpset.objects)) if tpset else \
+            np.zeros(0)
+    assert len(results["reference"]) >= 1
+    key = ["time_start", "channel"]
+    np.testing.assert_array_equal(np.sort(results["reference"], order=key),
+                                  np.sort(results["pallas"], order=key))
