@@ -123,3 +123,100 @@ def test_streaming_ingest_wib2_format():
     stream = adcs.transpose(1, 0, 2).reshape(N, L * 256).astype(np.int32)
     ref, _ = run_reference(stream, cfg, window=N)
     np.testing.assert_array_equal(hits, ref)
+
+
+def test_pack_time2_jnp_matches_host():
+    import jax.numpy as jnp
+    from fdreadoutlibs_tpu.ops.pallas_tpg import (pack_adcs, pack_adcs_time2,
+                                                  pack_time2_jnp)
+    rng = np.random.default_rng(2)
+    adcs = rng.integers(0, 1 << 14, size=(64, 200), dtype=np.int32)
+    host = pack_adcs_time2(adcs)
+    dev = np.asarray(pack_time2_jnp(jnp.asarray(pack_adcs(adcs))))
+    np.testing.assert_array_equal(host, dev)
+
+
+def test_fused_ingest_fuzz_all_formats():
+    """Random streams through every fused-ingest codec path match the
+    numpy oracle (interpret mode, one seed per format)."""
+    import jax.numpy as jnp
+    from fdreadoutlibs_tpu.formats import daphne, protowib, wib2
+    from fdreadoutlibs_tpu.ops import TPGConfig, Algorithm
+    from fdreadoutlibs_tpu.ops.chanstate import init_chanstate, seed_chanstate
+    from fdreadoutlibs_tpu.ops.hits import sort_hits
+    from fdreadoutlibs_tpu.ops.ingest import (process_packed_daphne,
+                                              process_packed_frames,
+                                              process_packed_protowib,
+                                              process_packed_wib2,
+                                              host_words)
+    from fdreadoutlibs_tpu.ops.pallas_tpg import (decode_pallas_hits,
+                                                  pack_state)
+    from fdreadoutlibs_tpu.ops.reference import process_window_reference
+    rng = np.random.default_rng(31)
+    cfg = TPGConfig(algorithm=Algorithm.ABS_RS, threshold=300)
+
+    def oracle(stream, cfg, C):
+        st = seed_chanstate(init_chanstate(C), stream[0],
+                            cfg.rs_memory_factor_x10)
+        hits, _ = process_window_reference(stream.astype(np.int32), st, cfg)
+        return sort_hits(hits), st
+
+    # --- wibeth: 1 link x 2 frames (T=128, 64 ch)
+    adcs = (820 + rng.normal(0, 12, (2, 64, 64))).astype(np.uint16)
+    adcs[0, 10:19, 9] += 900
+    frames = np.zeros((2, wibeth.FRAME_SIZE), np.uint8)
+    wibeth.set_adcs(frames, adcs)
+    words = host_words(frames).reshape(1, 128, 28)
+    stream = adcs.reshape(128, 64)
+    ref, st = oracle(stream, cfg, 64)
+    out = process_packed_frames(jnp.asarray(words), pack_state(st, 64), cfg,
+                                64, tc=64, k_slots=8, unroll=1,
+                                interpret=True)
+    hits, _ = decode_pallas_hits(out[0], out[1], 64)
+    np.testing.assert_array_equal(hits, ref)
+
+    # --- wib2: 64 single-tick frames of 256 ch
+    adcs = (820 + rng.normal(0, 12, (64, 256))).astype(np.uint16)
+    adcs[20:28, 100] += 900
+    frames = wib2.empty_frames(64)
+    wib2.set_adcs(frames, adcs)
+    words = np.ascontiguousarray(wib2.adc_region_u32(frames)) \
+        .reshape(1, 64, wib2.ADC_WORDS)
+    ref, st = oracle(adcs, cfg, 256)
+    out = process_packed_wib2(jnp.asarray(words), pack_state(st, 256), cfg,
+                              256, tc=64, k_slots=8, unroll=1,
+                              interpret=True)
+    hits, _ = decode_pallas_hits(out[0], out[1], 256)
+    np.testing.assert_array_equal(hits, ref)
+
+    # --- daphne stream: 2 frames x 64 ticks x 4 ch
+    adcs = (820 + rng.normal(0, 12, (2, 64, 4))).astype(np.uint16)
+    adcs[1, 5:13, 2] += 900
+    frames = daphne.stream_empty_frames(2)
+    daphne.stream_set_adcs(frames, adcs)
+    words = daphne.stream_frames_bytes_to_u32(frames) \
+        .reshape(1, 2, daphne.STREAM_ADC_WORDS)
+    stream = adcs.reshape(128, 4)
+    ref, st = oracle(stream, cfg, 4)
+    out = process_packed_daphne(jnp.asarray(words), pack_state(st, 4), cfg,
+                                4, tc=64, k_slots=8, unroll=1,
+                                interpret=True)
+    hits, _ = decode_pallas_hits(out[0], out[1], 4)
+    np.testing.assert_array_equal(hits, ref)
+
+    # --- protowib: 64 frames, dual-plane FIR
+    fir = TPGConfig(algorithm=Algorithm.FIR, threshold=5)
+    adcs = (900 + rng.normal(0, 10, (64, 256))).astype(np.uint16)
+    adcs[30:38, int(protowib.COLLECTION_INDEX_TO_CHAN[3])] += 600
+    frames = np.zeros((64, protowib.FRAME_SIZE), np.uint8)
+    protowib.set_adcs(frames, adcs)
+    words = jnp.asarray(protowib.frames_bytes_to_u32(frames))
+    coll = adcs[:, protowib.COLLECTION_INDEX_TO_CHAN].astype(np.int32)
+    ref, st_c = oracle(coll, fir, 96)
+    _, st_i = oracle(adcs[:, protowib.INDUCTION_INDEX_TO_CHAN]
+                     .astype(np.int32), fir, 160)
+    (cs, cn, _), _ = process_packed_protowib(
+        words, pack_state(st_c, 96), pack_state(st_i, 160), fir, fir,
+        tc=64, k_slots=8, unroll=1, interpret=True)
+    hits, _ = decode_pallas_hits(cs, cn, 96)
+    np.testing.assert_array_equal(hits, ref)
