@@ -200,10 +200,11 @@ class APAPipeline:
     def process(self, words: np.ndarray):
         """words: (L, T, 28) uint32 packed ADC rows for T ticks per link."""
         if self.state is None:
-            # seed from the first tick of this batch
-            adcs0 = np.stack([
-                np.asarray(wibeth.unpack_frames_jnp(jnp.asarray(w[:1])))[0]
-                for w in words])
+            # seed from the first tick of this batch — host-side numpy
+            # unpack: nothing here may touch the default device (the mesh
+            # may deliberately not be the default backend)
+            from ..formats.bitpack import unpack_14bit
+            adcs0 = unpack_14bit(np.asarray(words[:, 0]), N_CH).astype(np.int32)
             self.init_state(adcs0)
         sharding = NamedSharding(self.mesh, P("link"))
         words = jax.device_put(np.ascontiguousarray(words), sharding)

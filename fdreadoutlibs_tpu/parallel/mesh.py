@@ -15,7 +15,12 @@ def make_link_mesh(n_devices: int | None = None,
     fewer devices than requested (e.g. a single-chip tunnel with
     --xla_force_host_platform_device_count set for sharding dry-runs).
     """
-    devices = jax.devices(backend) if backend else jax.devices()
+    try:
+        devices = jax.devices(backend) if backend else jax.devices()
+    except Exception:
+        # default backend unavailable (e.g. remote-TPU tunnel down) — the
+        # virtual CPU pool always exists
+        devices = jax.devices("cpu")
     if n_devices is not None and len(devices) < n_devices:
         devices = jax.devices("cpu")
     if n_devices is not None:
