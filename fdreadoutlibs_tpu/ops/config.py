@@ -47,6 +47,19 @@ class TPGConfig:
     peak_gated: bool = False
     rs_float: bool = False
     fir_avx_semantics: bool = True
+    # FIR family: the reference kernels emit 4-field records with no peak
+    # tracking (wib/wib2 TP assembly derives time_peak = (begin+end)/2 and
+    # adc_peak = charge/20, WIB2FrameProcessor.cpp:420-460) — disabling the
+    # superset peak registers trims the hot loop for those pipelines.
+    track_peaks: bool = True
+    # Kernel specialization hint: a static promise that every per-channel
+    # rs_memory_factor value is 0 or (1 << rs_mf_shift), which lets the hot
+    # kernels replace the per-tick vector multiply with a masked shift —
+    # bit-exact where the promise holds (property-tested vs the generic
+    # path).  The production configs qualify: rs_memory_factor=0.8 -> x10
+    # value 8 = 1<<3, and threshold-on-collection zeroes collection
+    # channels (WIBEthFrameProcessor.cpp:441-450).  None = generic multiply.
+    rs_mf_shift: int | None = None
 
     @property
     def multiplier(self) -> int:
@@ -70,11 +83,20 @@ class TPGConfig:
             raise TPGAlgorithmInexistent(
                 f"unknown TPG algorithm {algorithm!r} "
                 f"(available: {[a.value for a in Algorithm]})") from None
+        if alg == Algorithm.FIR:
+            # reference FIR kernels have no peak registers (field docs)
+            kw.setdefault("track_peaks", False)
+        mf_x10 = int(10 * rs_memory_factor)
+        if "rs_mf_shift" not in kw and mf_x10 > 0 and \
+                mf_x10 & (mf_x10 - 1) == 0:
+            # power-of-two memory factor: enable the masked-shift kernel
+            # specialization (bit-exact; see rs_mf_shift field docs)
+            kw["rs_mf_shift"] = mf_x10.bit_length() - 1
         return TPGConfig(
             algorithm=alg,
             threshold=int(threshold),
             accumulator_limit=int(frugal_streaming_accumulator_limit),
-            rs_memory_factor_x10=int(10 * rs_memory_factor),
+            rs_memory_factor_x10=mf_x10,
             rs_scale_factor_x10=int(10 / rs_scale_factor),
             **kw,
         )

@@ -76,8 +76,11 @@ def default_taps(cfg: TPGConfig) -> tuple:
 def tpg_tick_fir(st: dict, s_raw, cfg: TPGConfig, xp, taps: tuple, fx=None):
     """One tick of the FIR+IQR pipeline over (..., C) arrays.
 
-    ``st`` additionally carries ``fir_prev``: (NTAPS, ..., C) integer,
-    oldest-first.  Returns (new_st, closed, record) like tpg_tick.
+    ``st`` additionally carries ``fir_prev``: the previous NTAPS samples,
+    oldest-first — either a (NTAPS, ..., C) array (oracle/scan backends)
+    or a tuple of NTAPS (..., C) arrays (the Pallas kernel: a tuple makes
+    the per-tick ring shift a trace-time rotation with zero runtime data
+    movement).  Returns (new_st, closed, record) like tpg_tick.
     """
     fx = fx or I32Fx.make(xp)
     one = fx.one
@@ -102,21 +105,43 @@ def tpg_tick_fir(st: dict, s_raw, cfg: TPGConfig, xp, taps: tuple, fx=None):
 
     # 8-tap FIR over the previous 8 samples (current sample enters next tick).
     # Per-op int16 wraps and a single wrap-at-end are congruent mod 2^16,
-    # so the int32 and native-int16 paths agree exactly.
+    # so the int32 and native-int16 paths agree exactly.  Equal coefficients
+    # share one multiply (the production taps 1,6,15,20,15,6,1 are symmetric:
+    # 5 multiplies fold to 2 + two adds), and power-of-two coefficients
+    # become shifts — exact integer arithmetic, same wrapped result.
     buf = st["fir_prev"]
-    filt_acc = zero
+    groups: dict[int, list] = {}
     for j, t in enumerate(taps):
         if t:
-            filt_acc = filt_acc + fx.dtype(t) * buf[j]
+            groups.setdefault(int(t), []).append(j)
+    filt_acc = zero
+    for t, js in groups.items():
+        g = buf[js[0]]
+        for j in js[1:]:
+            g = g + buf[j]
+        if t == 1:
+            term = g
+        elif t > 0 and t & (t - 1) == 0:
+            term = g << (t.bit_length() - 1)
+        else:
+            term = g * fx.dtype(t)
+        filt_acc = filt_acc + term
     filt = fx.wrap(filt_acc)
-    out["fir_prev"] = xp.concatenate([buf[1:], s[None]], axis=0)
+    if isinstance(buf, tuple):
+        out["fir_prev"] = buf[1:] + (s,)
+    else:
+        out["fir_prev"] = xp.concatenate([buf[1:], s[None]], axis=0)
 
     # dynamic threshold in sigma units
     if cfg.fir_avx_semantics:
         sigma_c = fx.minimum(sigma,
                              fx.dtype((1 << 15) // (cfg.multiplier * 5)))
-        thr = fx.mullo(fx.mullo(sigma_c, fx.dtype(cfg.multiplier)),
-                       fx.dtype(cfg.threshold))
+        # mullo(mullo(sigma_c, mult), threshold) with the first multiply
+        # turned into a shift (mult = 1 << tap_exponent by construction);
+        # the intermediate wrap is kept so the second product stays in
+        # int32 for any threshold (mod-2^16 congruence through the shift)
+        thr = fx.wrap(fx.wrap(sigma_c << cfg.tap_exponent)
+                      * fx.dtype(cfg.threshold))
         is_over = filt > thr
     else:
         # full-precision product (naive): widen before multiplying
@@ -126,11 +151,19 @@ def tpg_tick_fir(st: dict, s_raw, cfg: TPGConfig, xp, taps: tuple, fx=None):
     closed = (st["prev_was_over"] != 0) & ~is_over
     to_add = xp.where(is_over, filt >> cfg.tap_exponent, zero)
     charge = fx.add_clamp(st["hit_charge"], to_add, INT16_MAX)
-    peak_upd = filt > st["hit_peak_adc"]
-    if cfg.peak_gated:
-        peak_upd = peak_upd & is_over
-    peak_adc = xp.where(peak_upd, filt, st["hit_peak_adc"])
-    peak_time = xp.where(peak_upd, st["hit_tover"], st["hit_peak_time"])
+    if cfg.track_peaks:
+        peak_upd = filt > st["hit_peak_adc"]
+        if cfg.peak_gated:
+            peak_upd = peak_upd & is_over
+        peak_adc = xp.where(peak_upd, filt, st["hit_peak_adc"])
+        peak_time = xp.where(peak_upd, st["hit_tover"],
+                             st["hit_peak_time"])
+        out["hit_peak_adc"] = xp.where(closed, zero, peak_adc)
+        out["hit_peak_time"] = xp.where(closed, zero, peak_time)
+    else:
+        # reference FIR kernels carry no peak registers (module docstring);
+        # the constant-zero records cost no tracking ops in the hot loop
+        peak_adc = peak_time = xp.zeros_like(charge)
     tover = fx.add_clamp(st["hit_tover"], xp.where(is_over, one, zero),
                          INT16_MAX)
 
@@ -138,7 +171,5 @@ def tpg_tick_fir(st: dict, s_raw, cfg: TPGConfig, xp, taps: tuple, fx=None):
               "peak_adc": peak_adc, "peak_time": peak_time}
     out["hit_charge"] = xp.where(closed, zero, charge)
     out["hit_tover"] = xp.where(closed, zero, tover)
-    out["hit_peak_adc"] = xp.where(closed, zero, peak_adc)
-    out["hit_peak_time"] = xp.where(closed, zero, peak_time)
     out["prev_was_over"] = xp.where(is_over, one, zero)
     return out, closed, record

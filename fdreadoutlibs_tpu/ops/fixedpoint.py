@@ -74,6 +74,23 @@ def mulhrs16_i16(a, b):
     return wrap_i16(((a * b >> 14) + 1) >> 1)
 
 
+def rs_div10_unwrapped(sum32):
+    """div16_const(wrap_i16(sum32), 10) with deferred wrapping — the RS
+    update's whole tail in minimal depth.
+
+    Exactness (property-tested against the composed form):
+    * the adds/multiplies feeding ``sum32`` are int16 lane ops upstream
+      (``_mm256_add_epi16``/``mullo``), so any int32 value congruent
+      mod 2^16 gives the same wrap — callers may skip intermediate wraps;
+    * ``((p >> 14) + 1) >> 1  ==  (p + 16384) >> 15`` for all int32 p
+      (arithmetic shifts are floor division: write p = q*2^14 + r);
+    * the mulhrs result for multiplier 3276 is in [-3276, 3276], so the
+      final int16 wrap is a no-op and is dropped.
+    """
+    a = wrap_i16(sum32)
+    return (a * 3276 + 16384) >> 15
+
+
 def div16_const(a, b: int):
     """_mm256_div_epi16(a, b) = mulhrs(a, 32768/b) — approximate division.
 
@@ -104,6 +121,7 @@ class I32Fx:
             wrap = staticmethod(wrap_i16)
             mullo = staticmethod(mullo16_i16)
             div10 = staticmethod(lambda a: div16_const_i16(a, 10))
+            rs_div10 = staticmethod(rs_div10_unwrapped)
             sub16 = staticmethod(lambda a, b: wrap_i16(a - b))
             add_clamp = staticmethod(
                 lambda a, b, cap: xp.minimum(a + b, cap))
@@ -139,6 +157,13 @@ class I16Fx:
                 # mulhrs needs the 32-bit intermediate
                 a32 = a.astype(xp.int32)
                 return (((a32 * 3276 >> 14) + 1) >> 1).astype(xp.int16)
+
+            @staticmethod
+            def rs_div10(a):
+                # native int16 arithmetic already wrapped the sum; the
+                # mulhrs result (±3276) casts back exactly
+                a32 = a.astype(xp.int32)
+                return ((a32 * 3276 + 16384) >> 15).astype(xp.int16)
 
             @staticmethod
             def add_clamp(a, b, cap):

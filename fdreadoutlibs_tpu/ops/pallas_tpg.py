@@ -28,11 +28,15 @@ Design (TPU-first; SURVEY.md §7.3):
   — the slot writes do not feed the recurrent dependency chain, so they
   pipeline behind it.  Records pack into 3 int32 words:
   [charge<<16 | tover, peak_adc<<16 | peak_time, end_tick+1].
-  Closes beyond K per window are dropped per channel and visible in the
-  returned per-channel close counts (the reference similarly drops at its
-  fixed 100k hit buffer, WIBEthFrameProcessor.cpp:78; per-channel counts
-  feed the hot-channel monitoring the reference keeps in
-  m_tp_channel_rate_map).
+  The slot buffers are **per time chunk**: each of the grid's T/tc chunks
+  drains into its own output block, so per-channel capacity scales with
+  the window length (K hits per tc ticks; K=2 @ tc=1024 sustains a
+  ~3.8 kHz per-channel TP rate — far above physical rates, and the
+  reference's shared 100k buffer per 64-tick window,
+  WIBEthFrameProcessor.cpp:78).  Closes beyond K per chunk are dropped
+  per channel and visible in the returned per-chunk close counts, which
+  also feed the hot-channel monitoring the reference keeps in
+  m_tp_channel_rate_map.
 """
 
 from __future__ import annotations
@@ -69,6 +73,9 @@ def live_fields(cfg: TPGConfig):
     if cfg.algorithm == Algorithm.SIMPLE_THRESHOLD:
         return _LIVE_SIMPLE
     if cfg.algorithm == Algorithm.FIR:
+        if not cfg.track_peaks:   # no peak registers (reference FIR shape)
+            return tuple(k for k in _LIVE_FIR
+                         if k not in ("hit_peak_adc", "hit_peak_time"))
         return _LIVE_FIR
     return _LIVE_RS
 
@@ -160,7 +167,6 @@ def _tpg_kernel(adc_ref, state_ref, state_out_ref, slots_ref, nclose_ref,
                 *, cfg: TPGConfig, tc: int, k_slots: int, sub: int,
                 unroll: int = 1, time2: bool = False):
     t_chunk = pl.program_id(1)
-    n_chunks = pl.num_programs(1)
     keys = live_fields(cfg)
     kidx = {k: _STATE_KEYS.index(k) for k in keys}
     i16_mode = state_ref.dtype == jnp.int16
@@ -172,22 +178,25 @@ def _tpg_kernel(adc_ref, state_ref, state_out_ref, slots_ref, nclose_ref,
         # later time chunks carry state through the (VMEM-resident, revisited)
         # output block — the input block is never refreshed between chunks.
         state_out_ref[...] = state_ref[...]
-        slots_ref[...] = jnp.zeros_like(slots_ref)
-        nclose_ref[...] = jnp.zeros_like(nclose_ref)
 
     is_fir = cfg.algorithm == Algorithm.FIR
     carry0 = tuple(state_out_ref[0, kidx[k]] for k in keys)
     if is_fir:
-        carry0 += (jnp.stack([state_out_ref[0, _FIR_ROW0 + j]
-                              for j in range(N_FIR_TAPS)]),)
-    carry0 += tuple(slots_ref[0, k] for k in range(k_slots))
-    carry0 += (nclose_ref[0],)
-    nst = len(keys) + (1 if is_fir else 0)
+        # FIR ring rows ride the carry as N separate registers: the
+        # per-tick shift is then a trace-time tuple rotation (no moves)
+        carry0 += tuple(state_out_ref[0, _FIR_ROW0 + j]
+                        for j in range(N_FIR_TAPS))
+    # slots/nclose drain per time chunk (each chunk owns an output block),
+    # so they start empty here rather than being read back
+    zero_slot = jnp.zeros(slots_ref.shape[2:], slots_ref.dtype)
+    carry0 += tuple(zero_slot[k] for k in range(k_slots))
+    carry0 += (jnp.zeros(nclose_ref.shape[2:], nclose_ref.dtype),)
+    nst = len(keys) + (N_FIR_TAPS if is_fir else 0)
 
     def body(i, carry):
         st = dict(zip(keys, carry[:len(keys)]))
         if is_fir:
-            st["fir_prev"] = carry[len(keys)]
+            st["fir_prev"] = tuple(carry[len(keys):len(keys) + N_FIR_TAPS])
         if cfg.algorithm == Algorithm.SIMPLE_THRESHOLD:
             st["rs_memory_factor"] = None
         slot_words = list(carry[nst:nst + k_slots])
@@ -227,19 +236,18 @@ def _tpg_kernel(adc_ref, state_ref, state_out_ref, slots_ref, nclose_ref,
 
         out = tuple(st[k] for k in keys)
         if is_fir:
-            out += (st["fir_prev"],)
+            out += tuple(st["fir_prev"])
         return out + tuple(slot_words) + (nclose,)
 
     carry = jax.lax.fori_loop(0, tc // unroll, body, carry0)
     for k in keys:
         state_out_ref[0, kidx[k]] = carry[keys.index(k)]
     if is_fir:
-        fir = carry[len(keys)]
         for j in range(N_FIR_TAPS):
-            state_out_ref[0, _FIR_ROW0 + j] = fir[j]
+            state_out_ref[0, _FIR_ROW0 + j] = carry[len(keys) + j]
     for k in range(k_slots):
-        slots_ref[0, k] = carry[nst + k]
-    nclose_ref[0] = carry[nst + k_slots]
+        slots_ref[0, 0, k] = carry[nst + k]
+    nclose_ref[0, 0] = carry[nst + k_slots]
 
 
 @functools.partial(jax.jit,
@@ -259,17 +267,20 @@ def process_window_pallas(adcs, state_stack, cfg: TPGConfig, tc: int = 256,
       state_stack: (NB, KSTATE, SUB, 128) int32; SUB (from pack_state)
         selects the channel-block width, NB * SUB == S.
       tc: ticks per pipelined grid chunk.
-      k_slots: per-channel hit capacity per call (closes beyond this are
-        dropped per channel; see the per-channel counts output).
+      k_slots: per-channel hit capacity PER TIME CHUNK (closes beyond this
+        are dropped per channel within that chunk; whole-window capacity is
+        k_slots * T/tc per channel — see the per-chunk counts output).
 
-    Returns (slots (NB, K, 3, SUB, 128) int32, nclose (NB, SUB, 128) int32,
-    new_state).  nclose is the per-channel number of hits that closed this
-    window (may exceed k_slots, indicating drops).
+    Returns (slots (NB, T/tc, K, 3, SUB, 128) int32,
+    nclose (NB, T/tc, SUB, 128) int32, new_state).  nclose is the
+    per-channel number of hits that closed in each time chunk (may exceed
+    k_slots, indicating drops).
     """
     rows, S, _ = adcs.shape
     T = rows * 2 if time_packed else rows
     nb, kst, sub, _ = state_stack.shape
     dtype = state_stack.dtype
+    n_chunks = T // tc
     assert T % tc == 0 and kst == KSTATE and nb * sub == S
     assert sub % _granule(dtype) == 0 and tc % unroll == 0
     if time_packed:
@@ -298,14 +309,15 @@ def process_window_pallas(adcs, state_stack, cfg: TPGConfig, tc: int = 256,
         ],
         out_specs=[
             pl.BlockSpec((1, KSTATE, sub, LANES), lambda b, t: (b, 0, 0, 0)),
-            pl.BlockSpec((1, k_slots, 3, sub, LANES),
-                         lambda b, t: (b, 0, 0, 0, 0)),
-            pl.BlockSpec((1, sub, LANES), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, 1, k_slots, 3, sub, LANES),
+                         lambda b, t: (b, t, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 1, sub, LANES), lambda b, t: (b, t, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nb, KSTATE, sub, LANES), dtype),
-            jax.ShapeDtypeStruct((nb, k_slots, 3, sub, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((nb, sub, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nb, n_chunks, k_slots, 3, sub, LANES),
+                                 jnp.int32),
+            jax.ShapeDtypeStruct((nb, n_chunks, sub, LANES), jnp.int32),
         ],
         input_output_aliases={1: 0},
         interpret=interpret,
@@ -314,18 +326,23 @@ def process_window_pallas(adcs, state_stack, cfg: TPGConfig, tc: int = 256,
 
 
 def decode_pallas_hits(slots, nclose, n_channels: int, tick_offset: int = 0):
-    """Decode K-slot outputs into the canonical hit array (host side).
+    """Decode per-chunk K-slot outputs into the canonical hit array (host).
 
-    Returns (hits, n_dropped) where n_dropped counts closes beyond the
-    per-channel slot capacity.
+    slots: (NB, NCH, K, 3, SUB, 128); nclose: (NB, NCH, SUB, 128) — the
+    per-chunk layout of process_window_pallas.  Returns (hits, n_dropped)
+    where n_dropped counts closes beyond the per-channel per-chunk slot
+    capacity.
     """
     from .hits import HIT_DTYPE, sort_hits
     slots = np.asarray(slots)
     nclose = np.asarray(nclose)
-    nb, K, _, sub, lanes = slots.shape
+    nb, nch, K, _, sub, lanes = slots.shape
     C = nb * sub * lanes
-    flat = slots.transpose(1, 2, 0, 3, 4).reshape(K, 3, C)[:, :, :n_channels]
-    counts = nclose.reshape(C)[:n_channels]
+    # chunk-major slot axis: (NCH*K, 3, C) — record words already carry the
+    # absolute tick, so chunks just widen the slot dimension
+    flat = slots.transpose(1, 2, 3, 0, 4, 5).reshape(nch * K, 3, C)
+    flat = flat[:, :, :n_channels]
+    counts = nclose.transpose(1, 0, 2, 3).reshape(nch, C)[:, :n_channels]
     k_idx, c_idx = np.nonzero(flat[:, 2] != 0)
     hits = np.zeros(len(k_idx), dtype=HIT_DTYPE)
     w0 = flat[k_idx, 0, c_idx]

@@ -24,10 +24,15 @@ def frugal_update(m, s, acc, limit: int, xp, mask=None, fx=None):
     ProcessNaive.hpp:21-38).  Returns (median, accumulator).
 
     ``delta = clip(s - m, -1, 1)`` is exactly the reference's
-    (+1 if s>m, -1 if s<m, 0 if equal); after the +delta the accumulator is
-    in [-limit-1, limit+1], so the over-limit bump is also a clip pair.
+    (+1 if s>m, -1 if s<m, 0 if equal).  After the +delta the accumulator
+    is in [-limit-1, limit+1]; the over-limit bump (reference: a clip
+    pair) is formulated as two compares + selects, which is a shorter
+    dependency chain on the TPU VPU — equivalent because acc hits
+    ±(limit+1) exactly when the clip pair would bump.
     ``mask`` enables the conditional variant used for IQR quantiles
-    (wib/tpg/ProcessAVX2.hpp IQR section; wib2/tpg/ProcessNaive.hpp:94-98).
+    (wib/tpg/ProcessAVX2.hpp IQR section; wib2/tpg/ProcessNaive.hpp:94-98);
+    masked lanes leave acc unchanged, and the post-reset invariant
+    |acc| <= limit means they can never bump, so only delta needs masking.
     """
     # python-int literals keep the array dtype (int32 emulation and native
     # int16 mode both flow through unchanged — numpy>=2 / jax weak typing);
@@ -38,11 +43,10 @@ def frugal_update(m, s, acc, limit: int, xp, mask=None, fx=None):
     if mask is not None:
         delta = xp.where(mask, delta, 0)
     acc = acc + delta
-    bump = clip(acc - limit, 0, 1) + clip(acc + limit, -1, 0)
-    if mask is not None:
-        bump = xp.where(mask, bump, 0)
-    m = m + bump
-    acc = xp.where(bump != 0, 0, acc)
+    over = acc > limit
+    under = acc < -limit
+    m = xp.where(over, m + 1, xp.where(under, m - 1, m))
+    acc = xp.where(over | under, 0, acc)
     return m, acc
 
 
@@ -92,15 +96,24 @@ def tpg_tick(st: dict, s_raw, cfg: TPGConfig, xp, fx=None):
         else:
             # x10 integer fixed point with mulhrs division
             # (ProcessAbsRSAVX2.hpp:137-144 / ProcessStandardRSAVX2.hpp:134-141).
-            # Inputs are int16-range by construction (state stored wrapped;
-            # |s| <= 16383 for 14-bit streams), so fx.mullo skips input wraps.
-            first = fx.mullo(st["rs"], st["rs_memory_factor"])
+            # The reference chain is int16 lane ops throughout, so the
+            # intermediate wraps are deferred into fx.rs_div10 (mod-2^16
+            # congruence; fixedpoint.rs_div10_unwrapped docs).  Operands
+            # are int16-range by construction (state stored wrapped,
+            # |s| <= 16383 for 14-bit streams), so the int32 sums cannot
+            # overflow (< 2^30 + 2^29).
+            if cfg.rs_mf_shift is not None:
+                # specialization: mf promised in {0, 1<<shift} -> the
+                # vector multiply becomes a masked shift (config.py docs)
+                first = xp.where(st["rs_memory_factor"] != 0,
+                                 st["rs"] << cfg.rs_mf_shift, zero)
+            else:
+                first = st["rs"] * st["rs_memory_factor"]
             if cfg.algorithm == Algorithm.ABS_RS:
-                second = fx.mullo(xp.abs(s),
-                                  fx.dtype(cfg.rs_scale_factor_x10))
+                second = xp.abs(s) * fx.dtype(cfg.rs_scale_factor_x10)
             else:
                 second = s
-            rs = fx.div10(fx.wrap(first + second))
+            rs = fx.rs_div10(first + second)
         # second frugal pedestal, on the RS waveform
         rs_ped, rs_acc = frugal_update(st["pedestals_rs"], rs, st["accum_rs"],
                                        cfg.accumulator_limit, xp, fx=fx)

@@ -110,9 +110,12 @@ def make_apa_step(mesh: Mesh, cfg: TPGConfig, max_hits_per_link: int = 512,
             tc=tc, k_slots=k_slots,
             unroll=8 if (not interpret and tc % 8 == 0) else 1,
             interpret=interpret)
-        # per-link device-side decode: slots (1, K, 3, S, 128)
-        w = slots.reshape(k_slots, 3, S * LANES)[:, :, :C] \
-            .reshape(k_slots, 3, Lloc, N_CH).transpose(2, 0, 1, 3)
+        # per-link device-side decode: slots (1, n_chunks, K, 3, S, 128) —
+        # per-chunk slots fold into one wider slot axis (records carry
+        # absolute ticks)
+        k_eff = slots.shape[1] * k_slots
+        w = slots.reshape(k_eff, 3, S * LANES)[:, :, :C] \
+            .reshape(k_eff, 3, Lloc, N_CH).transpose(2, 0, 1, 3)
         hits, n_hits = jax.vmap(
             lambda lw: _compact_link_slots(lw[:, 0], lw[:, 1], lw[:, 2],
                                            max_hits_per_link))(w)

@@ -162,9 +162,11 @@ class WIBFrameProcessor(TaskRawDataProcessor):
         coll0 = adcs0[protowib.COLLECTION_INDEX_TO_CHAN]
         ind0 = adcs0[protowib.INDUCTION_INDEX_TO_CHAN]
         self.coll_cfg = TPGConfig(algorithm=Algorithm.FIR,
-                                  threshold=self.coll_threshold)
+                                  threshold=self.coll_threshold,
+                                  track_peaks=False)
         self.ind_cfg = TPGConfig(algorithm=Algorithm.FIR,
-                                 threshold=self.ind_threshold)
+                                 threshold=self.ind_threshold,
+                                 track_peaks=False)
         self._coll_state = seed_chanstate(
             init_chanstate(protowib.N_COLLECTION), coll0, 0)
         self._ind_state = seed_chanstate(

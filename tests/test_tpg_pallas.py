@@ -102,6 +102,63 @@ def test_pallas_slot_overflow_counts():
     np.testing.assert_array_equal(h_pal, concat_hits(kept))
 
 
+def test_pallas_slot_capacity_scales_with_window():
+    """Per-chunk slot buffers: a channel closing far more than k_slots hits
+    across a long window loses NOTHING as long as each tc-tick chunk holds
+    <= k_slots closes (VERDICT round-1 item 4; the reference's shared 100k
+    buffer never drops per channel, WIBEthFrameProcessor.cpp:78)."""
+    T, C = 512, 8
+    rng = np.random.default_rng(31)
+    adcs = (900 + rng.normal(0, 5, size=(T, C))).astype(np.int32)
+    # channel 3: one hit every 32 ticks -> 16 hits in the window
+    for t0 in range(8, T - 8, 32):
+        adcs[t0:t0 + 4, 3] += 2000
+    cfg = TPGConfig(threshold=150)
+    h_ref, _ = run_reference(adcs, cfg)
+    assert (h_ref["channel"] == 3).sum() == 16
+    # k_slots=1 with tc=32: one slot per chunk is enough for all 16 hits
+    h_pal, _, dropped = run_pallas(adcs, cfg, tc=32, k_slots=1)
+    assert dropped == 0
+    np.testing.assert_array_equal(h_pal, h_ref)
+
+
+def test_pallas_slot_overflow_within_chunk_counts():
+    """Two closes in ONE tc-chunk with k_slots=1 drop exactly one, and the
+    drop is visible in the counts."""
+    T, C = 64, 4
+    adcs = np.full((T, C), 900, np.int32)
+    adcs[10:12, 2] += 2000
+    adcs[20:22, 2] += 2000     # same chunk (tc=64)
+    cfg = TPGConfig(threshold=150)
+    h_pal, _, dropped = run_pallas(adcs, cfg, tc=64, k_slots=1)
+    assert dropped == 1
+    assert len(h_pal[h_pal["channel"] == 2]) == 1
+
+
+def test_rs_mf_shift_specialization_bitexact():
+    """rs_mf_shift (masked-shift memory-factor multiply) is bit-exact vs
+    the generic mullo path for mf in {0, 8}, across oracle and Pallas."""
+    adcs = random_stream(128, 32, seed=77, n_signals=20)
+    rmf = np.where(np.arange(32) % 3 == 0, 0, 8)
+    for alg in (Algorithm.ABS_RS, Algorithm.STANDARD_RS):
+        generic = TPGConfig(algorithm=alg, threshold=150)
+        spec = TPGConfig(algorithm=alg, threshold=150, rs_mf_shift=3)
+        h_g, st_g = run_reference(adcs, generic, rs_memory_factor=rmf)
+        h_s, st_s = run_reference(adcs, spec, rs_memory_factor=rmf)
+        np.testing.assert_array_equal(h_s, h_g)
+        np.testing.assert_array_equal(np.asarray(st_s["rs"]),
+                                      np.asarray(st_g["rs"]))
+        h_p, _, _ = run_pallas(adcs, spec, rs_memory_factor=rmf)
+        np.testing.assert_array_equal(h_p, h_g)
+
+
+def test_from_raw_auto_enables_mf_shift():
+    cfg = TPGConfig.from_raw("AbsRS", rs_memory_factor=0.8)
+    assert cfg.rs_mf_shift == 3 and cfg.rs_memory_factor_x10 == 8
+    cfg7 = TPGConfig.from_raw("AbsRS", rs_memory_factor=0.7)
+    assert cfg7.rs_mf_shift is None       # 7 is not a power of two
+
+
 def test_pallas_mixed_memory_factor():
     """Per-channel RS memory factors (threshold-on-collection mixing,
     WIBEthFrameProcessor.cpp:441-450) through the Pallas kernel."""

@@ -29,6 +29,20 @@ class TestFixedPoint:
         assert fixedpoint.mullo16(np.int32(3000), np.int32(100)) == \
             ((3000 * 100 + 32768) & 0xFFFF) - 32768
 
+    def test_rs_div10_unwrapped_matches_composed_form(self):
+        """The depth-optimized RS tail (deferred wraps, fused rounding add,
+        dropped output wrap) is bit-identical to div16_const(wrap(x), 10)
+        over the full int16 domain and congruent int32 aliases."""
+        base = np.arange(-32768, 32768, dtype=np.int64)
+        for offset in (0, 1 << 16, -(1 << 16), 3 << 16, -(7 << 16)):
+            x = (base + offset).astype(np.int32)
+            got = fixedpoint.rs_div10_unwrapped(x)
+            expect = fixedpoint.div16_const(fixedpoint.wrap_i16(x), 10)
+            np.testing.assert_array_equal(got, expect)
+        # mulhrs result range claim that justifies dropping the final wrap
+        assert fixedpoint.rs_div10_unwrapped(np.int32(-32768)) == -3276
+        assert fixedpoint.rs_div10_unwrapped(np.int32(32767)) == 3276
+
 
 class TestGoldenPattern:
     """docs/README.md:123-146: golden hill, threshold 499."""
