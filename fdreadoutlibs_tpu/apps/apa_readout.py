@@ -133,9 +133,13 @@ class APAReadoutApp:
             p = self.procs[l]
             p.metrics.inc("num_hits", len(per_link[l]))
             p.process_swtpg_hits(per_link[l], int(ts0[l]))
-        # drain TPs into the latency buffer, emit TPSets
+        # drain TPs into the latency buffer, emit TPSets; the newest frame
+        # timestamp anchors the heartbeat clock so zero-TP batches still
+        # advance downstream trigger aggregation
         for batch in self.tp_q.drain():
             self.handler.insert_tps(batch)
+        self.handler.note_stream_time(
+            int(ts0.max()) + (N - 1) * wibeth.EXPECTED_TICK_DIFFERENCE)
         self.handler.send_tp_sets_once()
         return dropped
 

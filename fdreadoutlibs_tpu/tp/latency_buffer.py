@@ -22,9 +22,11 @@ import numpy as np
 class LatencyBuffer:
     """Ordered store of records with a ``time_start``-like key field."""
 
-    def __init__(self, key: str = "time_start", capacity: int | None = None):
+    def __init__(self, key: str = "time_start", capacity: int | None = None,
+                 dtype=None):
         self.key = key
         self.capacity = capacity
+        self.dtype = dtype          # record dtype; learned from first insert
         self._sorted: np.ndarray | None = None
         self._pending: list[np.ndarray] = []
         self._lock = threading.RLock()
@@ -43,20 +45,29 @@ class LatencyBuffer:
                     return 0
                 batch = batch[:room]
                 n = len(batch)
-            self._pending.append(np.asarray(batch).copy())
+            batch = np.asarray(batch)
+            if self.dtype is None:
+                self.dtype = batch.dtype
+            self._pending.append(batch.copy())
             self.total_inserted += n
             return n
 
     def _consolidate(self) -> np.ndarray:
         if self._pending:
-            parts = ([self._sorted] if self._sorted is not None else []) \
-                + self._pending
+            # skip a zero-length placeholder so its (possibly default)
+            # dtype never participates in promotion
+            parts = ([self._sorted] if self._sorted is not None
+                     and len(self._sorted) else []) + self._pending
             merged = np.concatenate(parts)
             order = np.argsort(merged[self.key], kind="stable")
             self._sorted = merged[order]
             self._pending = []
         if self._sorted is None:
-            self._sorted = np.zeros(0, dtype=object)
+            # empty buffer: a zero-length array of the RECORD dtype (the
+            # object-dtype sentinel used here previously broke field access
+            # and concatenation for callers that didn't length-check first)
+            from ..formats.trigprim import TP_DTYPE
+            self._sorted = np.zeros(0, dtype=self.dtype or TP_DTYPE)
         return self._sorted
 
     # -- queries ---------------------------------------------------------

@@ -40,12 +40,21 @@ class TPRequestHandler:
         self.min_latency_ticks = config.get("tpset_min_latency_ticks", 3125 * 32)
         self.tardy_quiet_time_sec = config.get(
             "tardy_tp_quiet_time_at_start_sec", 10)
+        # A fully quiet link still ticks: the window clock advances on wall
+        # time from the last observed timestamp so downstream trigger
+        # aggregation keeps receiving kHeartbeat TPSets.  (The reference's
+        # sender loop idles when its buffer is empty,
+        # TPCTPRequestHandler.cpp:115 — a deliberate improvement here.)
+        self.emit_heartbeats_when_empty = config.get(
+            "emit_heartbeats_when_empty", True)
+        self.clock_hz = config.get("clock_speed_hz", 62_500_000)
 
     def start(self, run_number: int = 0) -> None:
         self.run_number = run_number
         self.cutoff_timestamp = 0
         self.next_tpset_seqno = 0
         self._start_win_ts = None
+        self._last_seen = None       # (newest_ts, monotonic) wall-clock anchor
         self._run_start = time.monotonic()
         self.metrics.reset_interval()
         self._run_marker = True
@@ -76,15 +85,35 @@ class TPRequestHandler:
             tps = tps[~tardy]
         return self.buffer.insert(tps)
 
+    def note_stream_time(self, ts: int) -> None:
+        """Anchor the heartbeat clock to an observed stream timestamp (the
+        newest frame timestamp of a processed batch): a link that has
+        produced ZERO TPs then still emits monotonically advancing
+        kHeartbeat TPSets, keeping downstream trigger aggregation moving."""
+        self._last_seen = (int(ts), time.monotonic())
+        if self._start_win_ts is None:
+            self._start_win_ts = int(ts)
+
     # -- TPSet emission (cpp:100-193) ------------------------------------
     def send_tp_sets_once(self) -> Optional[TPSet]:
-        """One cycle of the sender loop; returns the TPSet if one was due."""
+        """One cycle of the sender loop; returns the TPSet if one was due.
+
+        With an empty buffer the window clock advances on wall time from
+        the last observed newest timestamp (config
+        ``emit_heartbeats_when_empty``), so a quiet link emits
+        monotonically advancing kHeartbeat TPSets instead of stalling
+        downstream trigger aggregation."""
         if self.buffer.occupancy() == 0:
-            return None
-        newest = self.buffer.newest_ts()
-        oldest = self.buffer.oldest_ts()
-        if self._start_win_ts is None:
-            self._start_win_ts = oldest
+            if not getattr(self, "emit_heartbeats_when_empty", True) or \
+                    self._last_seen is None or self._start_win_ts is None:
+                return None
+            ts0, t0 = self._last_seen
+            newest = ts0 + int((time.monotonic() - t0) * self.clock_hz)
+        else:
+            newest = self.buffer.newest_ts()
+            self._last_seen = (newest, time.monotonic())
+            if self._start_win_ts is None:
+                self._start_win_ts = self.buffer.oldest_ts()
         if newest - self._start_win_ts <= self.min_latency_ticks:
             return None
         end_win_ts = newest - self.min_latency_ticks

@@ -11,6 +11,8 @@ from __future__ import annotations
 import time
 from collections import defaultdict
 
+import numpy as np
+
 
 class MetricsCollector:
     def __init__(self):
@@ -36,8 +38,11 @@ class MetricsCollector:
         return self._gauges.get(name)
 
     def add_channel_tps(self, channels) -> None:
-        for c in channels:
-            self.channel_tp_counts[int(c)] += 1
+        """Accumulate per-channel TP counts.  Vectorized: at APA TP rates
+        (~100 kHz) a per-TP python loop is measurable host hot-path cost."""
+        chans, counts = np.unique(np.asarray(channels), return_counts=True)
+        for c, n in zip(chans.tolist(), counts.tolist()):
+            self.channel_tp_counts[c] += n
 
     def top_channels(self, n: int = 10) -> list[tuple[int, int]]:
         """Top-n (channel, tp_count) — WIBEthFrameProcessor.cpp:264-287."""

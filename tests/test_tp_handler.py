@@ -113,6 +113,106 @@ class TestTPRequestHandler:
         assert len(s4.objects) == 0
         assert h.metrics.count("num_heartbeats") == 1
 
+    def test_quiet_link_emits_heartbeats(self):
+        """A link whose buffer drained completely keeps emitting advancing
+        kHeartbeat TPSets on wall time (VERDICT round-1 item 6)."""
+        import time
+        h, sink = self.make(min_latency=100)
+        h.insert_tps(tps_at([1000, 2000]))
+        assert h.send_tp_sets_once() is not None
+        h.buffer.pop_until(1 << 62)
+        assert h.buffer.occupancy() == 0
+        time.sleep(0.01)                 # ~625k ticks at 62.5 MHz
+        s1 = h.send_tp_sets_once()
+        assert s1 is not None and s1.type == TPSetType.kHeartbeat
+        assert len(s1.objects) == 0
+        time.sleep(0.01)
+        s2 = h.send_tp_sets_once()
+        assert s2.type == TPSetType.kHeartbeat
+        assert s2.end_time > s1.end_time          # monotonic advance
+        assert s2.seqno == s1.seqno + 1
+        assert h.cutoff_timestamp == s2.end_time
+
+    def test_zero_tp_run_heartbeats_from_stream_time(self):
+        """A link that never produced a TP heartbeats from the observed
+        frame timestamps (note_stream_time anchor)."""
+        import time
+        h, sink = self.make(min_latency=100)
+        assert h.send_tp_sets_once() is None      # nothing to anchor on
+        h.note_stream_time(5_000)
+        time.sleep(0.01)
+        s = h.send_tp_sets_once()
+        assert s is not None and s.type == TPSetType.kHeartbeat
+        assert s.start_time == 5_000 and s.end_time > 5_000
+
+    def test_quiet_heartbeats_can_be_disabled(self):
+        h, sink = self.make(min_latency=100)
+        h.conf({"tpset_min_latency_ticks": 100,
+                "emit_heartbeats_when_empty": False})
+        h.start()
+        h.note_stream_time(5_000)
+        import time
+        time.sleep(0.005)
+        assert h.send_tp_sets_once() is None
+
+    def test_empty_buffer_has_record_dtype(self):
+        """Empty-buffer sentinels carry the record dtype (not object), so
+        field access and concatenation work without length checks."""
+        buf = LatencyBuffer()
+        win = buf.extract_window(0, 100)
+        assert win.dtype.names is not None and "time_start" in win.dtype.names
+        assert len(np.concatenate([win, tps_at([5])])) == 1
+        # dtype learned from the first insert is kept after a full drain
+        buf.insert(tps_at([10]))
+        buf.pop_until(1 << 62)
+        assert buf.snapshot().dtype == tps_at([1]).dtype
+
+    def test_metrics_channel_tps_vectorized(self):
+        from fdreadoutlibs_tpu.utils.metrics import MetricsCollector
+        m = MetricsCollector()
+        m.add_channel_tps(np.array([3, 3, 7, 3, 9]))
+        m.add_channel_tps(np.array([7]))
+        assert m.channel_tp_counts[3] == 3
+        assert m.channel_tp_counts[7] == 2
+        assert m.top_channels(2) == [(3, 3), (7, 2)]
+
+    def test_host_tp_assembly_cost_at_apa_scale(self):
+        """Host-side per-batch work (K-slot decode + per-channel TP-rate
+        accounting + buffer insert) must stay well inside the real-time
+        budget at APA scale: an 8192-tick window spans 4.19 ms of detector
+        time, so sustained >10x-real-time operation leaves ~0.4 ms of host
+        budget per window.  Median-of-5 with a 2x margin for CI jitter."""
+        import time as _t
+        from fdreadoutlibs_tpu.ops.pallas_tpg import decode_pallas_hits
+        from fdreadoutlibs_tpu.utils.metrics import MetricsCollector
+
+        C, n_chunks, K, sub = 2560, 8, 1, 24
+        rng = np.random.default_rng(0)
+        slots = np.zeros((1, n_chunks, K, 3, sub, 128), np.int32)
+        nclose = np.zeros((1, n_chunks, sub, 128), np.int32)
+        # ~400 hits/window (a hot APA: ~100 kHz aggregate TP rate)
+        pairs = rng.choice(n_chunks * C, size=400, replace=False)
+        for p in pairs:
+            ci, ch = divmod(int(p), C)
+            s, l = divmod(ch, 128)
+            slots[0, ci, 0, :, s, l] = [(500 << 16) | 3, (700 << 16) | 1,
+                                        ci * 1024 + 17]
+            nclose[0, ci, s, l] += 1
+        m = MetricsCollector()
+        buf = LatencyBuffer()
+        times = []
+        for _ in range(5):
+            t0 = _t.perf_counter()
+            hits, dropped = decode_pallas_hits(slots, nclose, C)
+            m.add_channel_tps(hits["channel"])
+            tps = tps_at(hits["end_tick"] * 32, hits["channel"])
+            buf.insert(tps)
+            times.append(_t.perf_counter() - t0)
+        assert len(hits) == 400
+        median = sorted(times)[2]
+        assert median < 0.8e-3, f"host path {median*1e3:.2f} ms/window " \
+            "exceeds 2x the 0.4 ms 10x-real-time budget"
+
     def test_tardy_tp_suppressed(self):
         h, sink = self.make(min_latency=10)
         h.insert_tps(tps_at([1000, 2000]))
