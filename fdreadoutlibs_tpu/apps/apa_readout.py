@@ -41,12 +41,19 @@ class APAReadoutApp:
 
     def __init__(self, n_links: int = N_LINKS_PER_APA,
                  algorithm: str = "SimpleThreshold", threshold: int = 150,
-                 backend: str = "pallas", run_number: int = 1):
+                 backend: str = "pallas", run_number: int = 1,
+                 channel_map_name: str = "HDAPAChannelMap",
+                 threshold_on_collection: bool = False):
         self.n_links = n_links
         self.run_number = run_number
         self.tp_q = QueueSender(capacity=1 << 16)
         # one processor instance per link for header validation + metrics;
-        # the device hot path is shared (stacked channels) below
+        # the device hot path is shared (stacked channels) below.
+        # Link l = (WIB slot l//8, stream l%8): the HD APA geometry
+        # (utils/channel_map.HDAPAChannelMap), so TPs carry real offline
+        # channel numbers and threshold-on-collection zeroes the memory
+        # factor on collection-plane channels (WIBEthFrameProcessor.cpp:
+        # 441-450).
         self.procs = []
         for link in range(n_links):
             p = WIBEthFrameProcessor(tp_sink=self.tp_q)
@@ -54,7 +61,10 @@ class APAReadoutApp:
                     "link_id": link % 8, "enable_tpg": True,
                     "tpg_algorithm": algorithm, "tpg_threshold": threshold,
                     "tp_timeout": 100_000, "tpg_backend": backend,
-                    "tpg_pallas_interpret": False})
+                    "tpg_pallas_interpret": False,
+                    "channel_map_name": channel_map_name,
+                    "enable_simple_threshold_on_collection":
+                        threshold_on_collection})
             p.start()
             self.procs.append(p)
         self.cfg = self.procs[0].tpg_cfg
@@ -94,8 +104,12 @@ class APAReadoutApp:
         if self._stack is None:
             first = np.asarray(wibeth.unpack_frames_jnp(
                 jnp.asarray(words[:, :1])))[:, 0].reshape(-1)
-            state = seed_chanstate(init_chanstate(C), first,
-                                   self.cfg.rs_memory_factor_x10)
+            # per-channel memory factors from each link's channel map
+            # (threshold-on-collection); set by _first_frame_setup, which
+            # process_batch runs before the device pass
+            rmf = np.concatenate([p.register_memory_factor
+                                  for p in self.procs])
+            state = seed_chanstate(init_chanstate(C), first, rmf)
             self._stack = pack_state(state, C)
         tc = auto_tc(T)
         slots, nclose, self._stack = process_packed_frames(
@@ -181,10 +195,16 @@ def main(argv=None) -> int:
     ap.add_argument("--threshold", type=int, default=150)
     ap.add_argument("--signal-rate", type=float, default=0.02,
                     help="signals per channel per batch")
+    ap.add_argument("--channel-map", default="HDAPAChannelMap")
+    ap.add_argument("--threshold-on-collection", action="store_true",
+                    help="production config: memoryless RS on collection-"
+                         "plane channels")
     args = ap.parse_args(argv)
 
     app = APAReadoutApp(n_links=args.links, algorithm=args.algorithm,
-                        threshold=args.threshold)
+                        threshold=args.threshold,
+                        channel_map_name=args.channel_map,
+                        threshold_on_collection=args.threshold_on_collection)
     rng = np.random.default_rng(0)
     ts = 0x1000000
     t_wall = time.perf_counter()

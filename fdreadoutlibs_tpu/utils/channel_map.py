@@ -98,6 +98,119 @@ class TableChannelMap(ChannelMap):
     def get_plane_from_offline_channel(self, offline):
         return self.plane_table[int(offline)]
 
+    @classmethod
+    def from_file(cls, path, channels_per_stream: int = 64):
+        """Load a detchannelmaps-style whitespace table.
+
+        Expected columns per row (the layout of detchannelmaps' HD map
+        text files, e.g. PD2HDChannelMap_v*.txt):
+        ``offline_channel crate slot stream stream_channel plane``
+        (lines starting with '#' are comments).  Plane uses this
+        framework's convention: 0 = collection (see module docstring).
+        """
+        table: dict = {}
+        plane_table: dict = {}
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                offline, crate, slot, stream, ch, plane = \
+                    (int(v) for v in line.split()[:6])
+                key = (crate, slot, stream)
+                if key not in table:
+                    table[key] = np.full(channels_per_stream, -1,
+                                         dtype=np.int64)
+                table[key][ch] = offline
+                plane_table[offline] = plane
+        return cls(table, plane_table)
+
+
+# ---- DUNE horizontal-drift APA map (geometry-derived) -----------------------
+
+class HDAPAChannelMap(ChannelMap):
+    """DUNE HD APA channel map, derived from the documented APA geometry.
+
+    The reference resolves this through the external ``detchannelmaps``
+    package (``PD2HDChannelMap``; RegisterToChannelNumber.cpp:49-50); its
+    lookup tables are not part of the fdreadoutlibs repo, so this rebuild
+    derives the map from the public APA electronics geometry:
+
+    * one APA = 2560 channels: 800 U + 800 V + 960 X (collection), read
+      out by 20 FEMBs of 128 channels (40 U + 40 V + 48 X each);
+    * WIBEth readout: crate = APA, slot = WIB in [0, 5), stream in [0, 8)
+      = (FEMB-in-WIB in [0,4)) * 2 + half, each stream one 64-channel
+      half-FEMB (DUNEWIBEthTypeAdapter s_channels_per_half_femb = 64);
+    * offline numbering is electronics-ordered within each plane block
+      (the detchannelmaps convention):
+      ``offline = apa*2560 + plane_offset + femb*per_femb + index`` with
+      plane offsets U=0, V=800, X=1600;
+    * the in-FEMB channel -> (plane, index) assignment is a 128-entry
+      data table (``femb_table``), defaulting to the block layout
+      [40 U | 40 V | 48 X].  Installations with the exact ASIC-order
+      table can inject it here or load a full file map via
+      :meth:`TableChannelMap.from_file` — every consumer only depends on
+      the ChannelMap interface.
+
+    Planes follow this framework's convention (module docstring):
+    0 = collection (X), 1 = induction U, 2 = induction V.
+    """
+
+    CHANNELS_PER_APA = 2560
+    N_WIBS = 5                    # slots per APA
+    N_STREAMS = 8                 # half-FEMBs per WIB
+    FEMB_CHANNELS = 128
+    PLANE_SIZES = {1: 40, 2: 40, 0: 48}          # per FEMB: U, V, X
+    PLANE_OFFSETS = {1: 0, 2: 800, 0: 1600}      # per APA plane blocks
+    N_FEMBS = 20
+
+    def __init__(self, femb_table: np.ndarray | None = None):
+        if femb_table is None:
+            femb_table = self.default_femb_table()
+        femb_table = np.asarray(femb_table)
+        assert femb_table.shape == (self.FEMB_CHANNELS, 2)
+        self.femb_table = femb_table
+        # per-APA offline layout is identical for every APA; precompute the
+        # in-APA offline number for (femb, femb_chan)
+        plane = femb_table[:, 0]
+        idx = femb_table[:, 1]
+        per_femb = np.array([self.PLANE_SIZES[int(p)] for p in plane])
+        off = np.array([self.PLANE_OFFSETS[int(p)] for p in plane])
+        fembs = np.arange(self.N_FEMBS)
+        # (femb, femb_chan) -> offline-within-APA
+        self._in_apa = (off[None, :] + fembs[:, None] * per_femb[None, :]
+                        + idx[None, :])
+
+    @classmethod
+    def default_femb_table(cls) -> np.ndarray:
+        """(128, 2) [plane, plane-local index] per FEMB channel: block
+        layout [40 U | 40 V | 48 X]."""
+        plane = np.concatenate([np.full(40, 1), np.full(40, 2),
+                                np.full(48, 0)])
+        idx = np.concatenate([np.arange(40), np.arange(40), np.arange(48)])
+        return np.stack([plane, idx], axis=1)
+
+    def get_offline_channel_from_crate_slot_stream_chan(self, crate, slot,
+                                                        stream, chan):
+        assert 0 <= slot < self.N_WIBS and 0 <= stream < self.N_STREAMS
+        femb = slot * 4 + stream // 2
+        femb_chan = (stream % 2) * 64 + chan
+        return int(crate) * self.CHANNELS_PER_APA + \
+            int(self._in_apa[femb, femb_chan])
+
+    def get_plane_from_offline_channel(self, offline):
+        in_apa = int(offline) % self.CHANNELS_PER_APA
+        if in_apa >= 1600:
+            return 0          # collection (X)
+        return 1 if in_apa < 800 else 2   # U, V
+
+    # vectorized fast path (the per-link setup in apps uses this)
+    def offline_channels(self, crate, slot, stream, n_channels=64):
+        femb = slot * 4 + stream // 2
+        base = (stream % 2) * 64
+        return (crate * self.CHANNELS_PER_APA
+                + self._in_apa[femb, base:base + n_channels]).astype(np.int64)
+
 
 def register_map(name: str, factory) -> None:
     _REGISTRY[name] = factory
@@ -138,8 +251,11 @@ def register_map_via_expansion(ch_map: ChannelMap, crate: int, slot: int,
 
 register_map("IdentityChannelMap", IdentityChannelMap)
 register_map("PermutedChannelMap", PermutedChannelMap)
-# Name-compatible aliases for configs written against detchannelmaps; the
-# geometry is identity-linear unless a table is loaded.
-register_map("PD2HDChannelMap", IdentityChannelMap)
+register_map("HDAPAChannelMap", HDAPAChannelMap)
+# Name-compatible aliases for configs written against detchannelmaps: the
+# HD names resolve to the geometry-derived APA map (HDAPAChannelMap docs);
+# the vertical-drift name stays identity-linear unless a table is loaded.
+register_map("PD2HDChannelMap", HDAPAChannelMap)
+register_map("HDColdboxChannelMap", HDAPAChannelMap)
 register_map("VDColdboxChannelMap", IdentityChannelMap)
-register_map("ProtoDUNESP1ChannelMap", IdentityChannelMap)
+register_map("ProtoDUNESP1ChannelMap", HDAPAChannelMap)

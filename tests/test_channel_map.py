@@ -1,0 +1,126 @@
+"""HD APA channel map (production detector geometry) tests.
+
+The reference resolves geometry via detchannelmaps (PD2HDChannelMap,
+RegisterToChannelNumber.cpp:49-50); the rebuild derives the HD APA map from
+the documented electronics geometry (utils/channel_map.HDAPAChannelMap).
+"""
+
+import numpy as np
+
+from fdreadoutlibs_tpu.utils.channel_map import (
+    HDAPAChannelMap, TableChannelMap, make_map, register_map_via_expansion)
+
+
+class TestHDAPAChannelMap:
+    def test_full_apa_coverage_bijective(self):
+        """All 5 WIBs x 8 streams x 64 channels cover exactly offline
+        [0, 2560) with no duplicates."""
+        m = HDAPAChannelMap()
+        seen = []
+        for slot in range(5):
+            for stream in range(8):
+                seen.append(m.offline_channels(0, slot, stream, 64))
+        seen = np.concatenate(seen)
+        assert len(seen) == 2560
+        np.testing.assert_array_equal(np.sort(seen), np.arange(2560))
+
+    def test_plane_boundaries(self):
+        """Known HD APA plane blocks: U=[0,800) V=[800,1600) X=[1600,2560);
+        0 = collection in this framework's convention."""
+        m = HDAPAChannelMap()
+        planes = m.planes(np.arange(2560))
+        assert (planes[:800] == 1).all()          # induction U
+        assert (planes[800:1600] == 2).all()      # induction V
+        assert (planes[1600:] == 0).all()         # collection X
+        # counts are the physical wire counts
+        assert (planes == 0).sum() == 960
+        assert (planes == 1).sum() == 800
+        assert (planes == 2).sum() == 800
+
+    def test_femb_structure(self):
+        """Each FEMB (two consecutive streams) reads 40 U + 40 V + 48 X."""
+        m = HDAPAChannelMap()
+        for slot in range(5):
+            for femb in range(4):
+                offl = np.concatenate([
+                    m.offline_channels(0, slot, femb * 2, 64),
+                    m.offline_channels(0, slot, femb * 2 + 1, 64)])
+                planes = m.planes(offl)
+                assert (planes == 1).sum() == 40
+                assert (planes == 2).sum() == 40
+                assert (planes == 0).sum() == 48
+
+    def test_crate_is_apa_offset(self):
+        m = HDAPAChannelMap()
+        a0 = m.offline_channels(0, 2, 3, 64)
+        a2 = m.offline_channels(2, 2, 3, 64)
+        np.testing.assert_array_equal(a2 - a0, 2 * 2560)
+        assert m.get_plane_from_offline_channel(2 * 2560 + 1700) == 0
+
+    def test_registry_aliases_resolve_to_hd_map(self):
+        assert isinstance(make_map("PD2HDChannelMap"), HDAPAChannelMap)
+        assert isinstance(make_map("HDColdboxChannelMap"), HDAPAChannelMap)
+
+    def test_expansion_roundtrip_through_real_codec(self):
+        """The reference's RegisterToChannelNumber trick: push offline
+        numbers through the real frame pack/unpack and read where they
+        land (RegisterToChannelNumber.cpp:35-122)."""
+        m = HDAPAChannelMap()
+        offl = register_map_via_expansion(m, crate=1, slot=3, stream=5)
+        np.testing.assert_array_equal(offl, m.offline_channels(1, 3, 5, 64))
+
+    def test_custom_femb_table(self):
+        """The in-FEMB ASIC-order table is injectable data: a permuted
+        table changes channel order but keeps the plane structure."""
+        rng = np.random.default_rng(3)
+        table = HDAPAChannelMap.default_femb_table()[rng.permutation(128)]
+        m = HDAPAChannelMap(femb_table=table)
+        seen = np.concatenate([m.offline_channels(0, s, st, 64)
+                               for s in range(5) for st in range(8)])
+        np.testing.assert_array_equal(np.sort(seen), np.arange(2560))
+
+
+class TestTableMapLoader:
+    def test_from_file(self, tmp_path):
+        p = tmp_path / "map.txt"
+        lines = ["# offline crate slot stream chan plane"]
+        for ch in range(64):
+            lines.append(f"{1000 + ch} 0 1 2 {ch} {0 if ch < 48 else 1}")
+        p.write_text("\n".join(lines))
+        m = TableChannelMap.from_file(p)
+        np.testing.assert_array_equal(
+            m.offline_channels(0, 1, 2, 64), 1000 + np.arange(64))
+        assert m.get_plane_from_offline_channel(1010) == 0
+        assert m.get_plane_from_offline_channel(1050) == 1
+
+
+class TestProcessorIntegration:
+    def test_threshold_on_collection_memory_factors(self):
+        """The WIBEth processor zeroes RS memory factors exactly on the
+        collection-plane channels of its stream (WIBEthFrameProcessor.cpp:
+        441-450) with the HD map."""
+        from fdreadoutlibs_tpu.formats import wibeth
+        from fdreadoutlibs_tpu.stream import WIBEthFrameProcessor
+        from fdreadoutlibs_tpu.stream.transport import QueueSender
+
+        p = WIBEthFrameProcessor(tp_sink=QueueSender())
+        p.conf({"crate_id": 0, "slot_id": 1, "link_id": 2,
+                "enable_tpg": True, "tpg_algorithm": "AbsRS",
+                "tpg_threshold": 150, "tpg_backend": "scan",
+                "channel_map_name": "HDAPAChannelMap",
+                "enable_simple_threshold_on_collection": True})
+        p.start()
+        frames = wibeth.empty_frames(2)
+        adcs = np.full((2, 64, 64), 800, np.uint16)
+        adcs[1, 10:20, 5] += 3000
+        wibeth.set_adcs(frames, adcs)
+        wibeth.fake_timestamps(frames, 9000)
+        wibeth.fake_geoid(frames, 0, 1, 2)
+        p.process(frames)
+        m = HDAPAChannelMap()
+        offl = m.offline_channels(0, 1, 2, 64)
+        planes = m.planes(offl)
+        np.testing.assert_array_equal(
+            p.register_memory_factor,
+            np.where(planes == 0, 0, p.tpg_cfg.rs_memory_factor_x10))
+        np.testing.assert_array_equal(p.register_channels, offl)
