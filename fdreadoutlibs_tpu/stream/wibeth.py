@@ -72,7 +72,12 @@ class WIBEthFrameProcessor(TaskRawDataProcessor):
             import jax
             self.backend = "pallas" if jax.default_backend() == "tpu" \
                 else "scan"
-        self.k_slots = config.get("tpg_k_slots", 8)
+        # per-chunk hit capacity: k per tc ticks (4 per 1024-tick chunk
+        # sustains ~7.6 kHz per channel — far above physical TP rates;
+        # BENCH_NOTES "K-slot capacity".  bench.py uses k=1 for the kernel
+        # speed-of-light numbers; the streaming default keeps headroom for
+        # pathological channels in short single-chunk batches.)
+        self.k_slots = config.get("tpg_k_slots", 4)
         self._interpret = bool(config.get("tpg_pallas_interpret", False))
 
         self.error_counter_threshold = config.get("error_counter_threshold",
@@ -242,11 +247,13 @@ class WIBEthFrameProcessor(TaskRawDataProcessor):
         if self._pallas_stack is None:
             self._pallas_stack = pack_state(self._state, C)
         tc = auto_tc(T, cap=512 if self._interpret else 1024)
+        unroll = 1
+        if not self._interpret:
+            unroll = 16 if tc % 16 == 0 else (8 if tc % 8 == 0 else 1)
         slots, nclose, self._pallas_stack = process_packed_frames(
             jnp.asarray(words.reshape(1, T, 28)), self._pallas_stack,
             self.tpg_cfg, C, tc=tc, k_slots=self.k_slots,
-            unroll=8 if (not self._interpret and tc % 8 == 0) else 1,
-            interpret=self._interpret)
+            unroll=unroll, interpret=self._interpret)
         hits, dropped = decode_pallas_hits(slots, nclose, C)
         if dropped:
             self.metrics.inc("num_hits_dropped", dropped)
