@@ -69,6 +69,14 @@ _LIVE_RS = _LIVE_SIMPLE + ("rs", "pedestals_rs", "accum_rs",
 _LIVE_FIR = _LIVE_SIMPLE + ("quantile25", "quantile75", "accum25", "accum75")
 
 
+def record_words(cfg: TPGConfig) -> int:
+    """int32 words per hit record: [charge<<16|tover, peak<<16|ptime,
+    end_tick+1], with the peak word dropped for kernels that do not track
+    peaks (reference-shaped FIR records)."""
+    return 2 if (cfg.algorithm == Algorithm.FIR
+                 and not cfg.track_peaks) else 3
+
+
 def live_fields(cfg: TPGConfig):
     if cfg.algorithm == Algorithm.SIMPLE_THRESHOLD:
         return _LIVE_SIMPLE
@@ -218,16 +226,20 @@ def _tpg_kernel(adc_ref, state_ref, state_out_ref, slots_ref, nclose_ref,
                 s_raw = adc_ref[tick_i]
             st, closed, rec = dispatch_tick(st, s_raw, cfg, jnp, fx=fx)
 
-            # pack the record into 3 int32 words; unclosed lanes are ignored
+            # pack the record into record_words(cfg) int32 words; unclosed
+            # lanes are ignored (the peak word is dropped for no-peak FIR)
             tick = t_chunk * tc + tick_i
             charge32 = rec["charge"].astype(jnp.int32)
             tover32 = rec["tover"].astype(jnp.int32)
-            peak32 = rec["peak_adc"].astype(jnp.int32)
-            ptime32 = rec["peak_time"].astype(jnp.int32)
             w0 = (charge32 << 16) | tover32
-            w1 = (peak32 << 16) | ptime32
             w2 = jnp.full(closed.shape, tick + 1, jnp.int32)
-            packed = jnp.stack([w0, w1, w2])      # (3, sub, 128)
+            if record_words(cfg) == 3:
+                peak32 = rec["peak_adc"].astype(jnp.int32)
+                ptime32 = rec["peak_time"].astype(jnp.int32)
+                w1 = (peak32 << 16) | ptime32
+                packed = jnp.stack([w0, w1, w2])  # (3, sub, 128)
+            else:
+                packed = jnp.stack([w0, w2])      # (2, sub, 128)
 
             for k in range(k_slots):
                 sel = closed & (nclose == k)
@@ -291,6 +303,7 @@ def process_window_pallas(adcs, state_stack, cfg: TPGConfig, tc: int = 256,
         assert adcs.dtype == dtype, "ADC and state dtypes must match " \
             "(pack_adcs/pack_state with the same dtype)"
 
+    nw = record_words(cfg)
     kernel = functools.partial(_tpg_kernel, cfg=cfg, tc=tc, k_slots=k_slots,
                                sub=sub, unroll=unroll, time2=time_packed)
     compiler_params = None
@@ -309,13 +322,13 @@ def process_window_pallas(adcs, state_stack, cfg: TPGConfig, tc: int = 256,
         ],
         out_specs=[
             pl.BlockSpec((1, KSTATE, sub, LANES), lambda b, t: (b, 0, 0, 0)),
-            pl.BlockSpec((1, 1, k_slots, 3, sub, LANES),
+            pl.BlockSpec((1, 1, k_slots, nw, sub, LANES),
                          lambda b, t: (b, t, 0, 0, 0, 0)),
             pl.BlockSpec((1, 1, sub, LANES), lambda b, t: (b, t, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nb, KSTATE, sub, LANES), dtype),
-            jax.ShapeDtypeStruct((nb, n_chunks, k_slots, 3, sub, LANES),
+            jax.ShapeDtypeStruct((nb, n_chunks, k_slots, nw, sub, LANES),
                                  jnp.int32),
             jax.ShapeDtypeStruct((nb, n_chunks, sub, LANES), jnp.int32),
         ],
@@ -336,23 +349,25 @@ def decode_pallas_hits(slots, nclose, n_channels: int, tick_offset: int = 0):
     from .hits import HIT_DTYPE, sort_hits
     slots = np.asarray(slots)
     nclose = np.asarray(nclose)
-    nb, nch, K, _, sub, lanes = slots.shape
+    nb, nch, K, nw, sub, lanes = slots.shape
     C = nb * sub * lanes
-    # chunk-major slot axis: (NCH*K, 3, C) — record words already carry the
-    # absolute tick, so chunks just widen the slot dimension
-    flat = slots.transpose(1, 2, 3, 0, 4, 5).reshape(nch * K, 3, C)
+    # chunk-major slot axis: (NCH*K, nw, C) — record words already carry
+    # the absolute tick, so chunks just widen the slot dimension; nw=2 is
+    # the no-peak FIR record layout [w0, end+1]
+    flat = slots.transpose(1, 2, 3, 0, 4, 5).reshape(nch * K, nw, C)
     flat = flat[:, :, :n_channels]
     counts = nclose.transpose(1, 0, 2, 3).reshape(nch, C)[:, :n_channels]
-    k_idx, c_idx = np.nonzero(flat[:, 2] != 0)
+    k_idx, c_idx = np.nonzero(flat[:, -1] != 0)
     hits = np.zeros(len(k_idx), dtype=HIT_DTYPE)
     w0 = flat[k_idx, 0, c_idx]
-    w1 = flat[k_idx, 1, c_idx]
-    w2 = flat[k_idx, 2, c_idx]
+    w2 = flat[k_idx, -1, c_idx]
     hits["channel"] = c_idx
     hits["end_tick"] = w2 - 1 + tick_offset
     hits["charge"] = w0 >> 16
     hits["tover"] = w0 & 0xFFFF
-    hits["peak_adc"] = w1 >> 16
-    hits["peak_time"] = w1 & 0xFFFF
+    if nw == 3:
+        w1 = flat[k_idx, 1, c_idx]
+        hits["peak_adc"] = w1 >> 16
+        hits["peak_time"] = w1 & 0xFFFF
     n_dropped = int(np.maximum(counts - K, 0).sum())
     return sort_hits(hits), n_dropped

@@ -55,11 +55,14 @@ def _state_from_stack(stack, C: int) -> dict:
 def _compact_link_slots(w0, w1, w2, max_hits: int):
     """Device-side decode of one link's K-slot records -> (max_hits, 6)
     hits [channel, end_tick, charge, tover, peak_adc, peak_time] in
-    (end_tick, channel) order, plus the valid count."""
+    (end_tick, channel) order, plus the valid count.  ``w1`` may be None
+    (no-peak record layout) — peak fields emit as zero."""
     K, C = w2.shape
     valid = (w2 != 0).reshape(-1)
     chan = jnp.tile(jnp.arange(C, dtype=jnp.int32), (K, 1)).reshape(-1)
     end = (w2 - 1).reshape(-1)
+    if w1 is None:
+        w1 = jnp.zeros_like(w0)
     fields = jnp.stack([
         chan, end, w0.reshape(-1) >> 16, w0.reshape(-1) & 0xFFFF,
         w1.reshape(-1) >> 16, w1.reshape(-1) & 0xFFFF], axis=-1)
@@ -93,7 +96,7 @@ def make_apa_step(mesh: Mesh, cfg: TPGConfig, max_hits_per_link: int = 512,
 
     def _local_pallas(words, state):
         from ..ops.pallas_tpg import (LANES, auto_tc, pad_sublanes,
-                                      process_window_pallas)
+                                      process_window_pallas, record_words)
         Lloc, T, _ = words.shape
         C = Lloc * N_CH
         adcs = wibeth.unpack_frames_jnp(words)
@@ -110,15 +113,17 @@ def make_apa_step(mesh: Mesh, cfg: TPGConfig, max_hits_per_link: int = 512,
             tc=tc, k_slots=k_slots,
             unroll=8 if (not interpret and tc % 8 == 0) else 1,
             interpret=interpret)
-        # per-link device-side decode: slots (1, n_chunks, K, 3, S, 128) —
+        # per-link device-side decode: slots (1, n_chunks, K, nw, S, 128) —
         # per-chunk slots fold into one wider slot axis (records carry
-        # absolute ticks)
+        # absolute ticks); nw=2 is the no-peak record layout
+        nw = record_words(cfg)
         k_eff = slots.shape[1] * k_slots
-        w = slots.reshape(k_eff, 3, S * LANES)[:, :, :C] \
-            .reshape(k_eff, 3, Lloc, N_CH).transpose(2, 0, 1, 3)
+        w = slots.reshape(k_eff, nw, S * LANES)[:, :, :C] \
+            .reshape(k_eff, nw, Lloc, N_CH).transpose(2, 0, 1, 3)
         hits, n_hits = jax.vmap(
-            lambda lw: _compact_link_slots(lw[:, 0], lw[:, 1], lw[:, 2],
-                                           max_hits_per_link))(w)
+            lambda lw: _compact_link_slots(
+                lw[:, 0], lw[:, 1] if nw == 3 else None, lw[:, -1],
+                max_hits_per_link))(w)
         total = jax.lax.psum(jnp.sum(n_hits), "link")
         new_st = _state_from_stack(stack, C)
         new_state = {k: (new_st[k].reshape(-1, Lloc, N_CH).transpose(1, 0, 2)
