@@ -243,6 +243,31 @@ def cmd_tde_file_creator(args) -> int:
     return 0
 
 
+def cmd_channel_map(args) -> int:
+    """Dump a channel map's (crate, slot, stream) -> offline/plane layout —
+    the inspection the reference logs via RegisterToChannelNumber's
+    TLVL_BOOKKEEPING trace."""
+    from .utils.channel_map import TableChannelMap, make_map
+    if args.file:
+        m = TableChannelMap.from_file(args.file)
+    else:
+        m = make_map(args.name)
+    offl = m.offline_channels(args.crate, args.slot, args.stream,
+                              args.channels)
+    planes = m.planes(offl)
+    plane_names = {0: "X(coll)", 1: "U", 2: "V"}
+    if args.json:
+        print(json.dumps({"offline": offl.tolist(),
+                          "plane": planes.tolist()}))
+    else:
+        print(f"# {args.name or args.file} crate={args.crate} "
+              f"slot={args.slot} stream={args.stream}")
+        print("# chan offline plane")
+        for c in range(args.channels):
+            print(f"{c:4d} {offl[c]:8d}  {plane_names.get(int(planes[c]), planes[c])}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="fdreadoutlibs_tpu",
                                 description=__doc__,
@@ -327,6 +352,19 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("-n", "--num-batches", type=int, default=5)
     t.add_argument("--seed", type=int, default=0)
     t.set_defaults(fn=cmd_tde_file_creator)
+
+    cm = sub.add_parser("channel-map",
+                        help="dump offline-channel/plane layout for a "
+                             "(crate, slot, stream)")
+    cm.add_argument("-n", "--name", default="HDAPAChannelMap")
+    cm.add_argument("-f", "--file", default=None,
+                    help="load a detchannelmaps-style table file instead")
+    cm.add_argument("--crate", type=int, default=0)
+    cm.add_argument("--slot", type=int, default=0)
+    cm.add_argument("--stream", type=int, default=0)
+    cm.add_argument("--channels", type=int, default=64)
+    cm.add_argument("--json", action="store_true")
+    cm.set_defaults(fn=cmd_channel_map)
     return p
 
 

@@ -94,6 +94,17 @@ class TestTableMapLoader:
         assert m.get_plane_from_offline_channel(1050) == 1
 
 
+class TestCLI:
+    def test_channel_map_dump(self, capsys):
+        from fdreadoutlibs_tpu.cli import main as cli_main
+        assert cli_main(["channel-map", "--slot", "1", "--stream", "3",
+                         "--json", "--channels", "8"]) == 0
+        import json
+        out = json.loads(capsys.readouterr().out.strip())
+        m = HDAPAChannelMap()
+        assert out["offline"] == m.offline_channels(0, 1, 3, 8).tolist()
+
+
 class TestProcessorIntegration:
     def test_threshold_on_collection_memory_factors(self):
         """The WIBEth processor zeroes RS memory factors exactly on the
