@@ -116,13 +116,13 @@ def main():
 
     prod = TPGConfig.from_raw("AbsRS", threshold=150)
     runs = {
-        "AbsRS_production": (prod, 512, 1, 16, mixed_rmf(prod)),
+        "AbsRS_production": (prod, 512, 1, 32, mixed_rmf(prod)),
         "SimpleThreshold": (TPGConfig.from_raw("SimpleThreshold",
                                                threshold=150),
-                            512, 1, 16, None),
+                            512, 1, 32, None),
         "StandardRS": (TPGConfig.from_raw("StandardRS", threshold=150),
-                       512, 1, 16, None),
-        "FIR": (TPGConfig.from_raw("FIR", threshold=5), 1024, 1, 16, None),
+                       512, 1, 32, None),
+        "FIR": (TPGConfig.from_raw("FIR", threshold=5), 512, 1, 32, None),
     }
     if not on_tpu:  # smoke-test shapes: tc must divide T
         runs = {k: (cfg, 256, 2, 8, rmf)

@@ -64,8 +64,10 @@ _FIR_ROW0 = NSTATE + 1                     # first FIR ring row in the stack
 # state fields actually carried through the tick loop, per algorithm family
 _LIVE_SIMPLE = ("pedestals", "accum", "prev_was_over", "hit_charge",
                 "hit_tover", "hit_peak_adc", "hit_peak_time")
-_LIVE_RS = _LIVE_SIMPLE + ("rs", "pedestals_rs", "accum_rs",
-                           "rs_memory_factor")
+# RS derives prev_was_over from the carried rs value (step.py) — the flag
+# register drops out of the loop entirely
+_LIVE_RS = tuple(k for k in _LIVE_SIMPLE if k != "prev_was_over") + \
+    ("rs", "pedestals_rs", "accum_rs", "rs_memory_factor")
 _LIVE_FIR = _LIVE_SIMPLE + ("quantile25", "quantile75", "accum25", "accum75")
 
 

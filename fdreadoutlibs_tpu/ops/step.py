@@ -127,7 +127,14 @@ def tpg_tick(st: dict, s_raw, cfg: TPGConfig, xp, fx=None):
 
     # -- hit finding ------------------------------------------------------
     is_over = x > cfg.threshold
-    closed = (st["prev_was_over"] != 0) & ~is_over
+    if cfg.algorithm in (Algorithm.ABS_RS, Algorithm.STANDARD_RS):
+        # st["rs"] IS the previous tick's filtered value (stored
+        # post-subtraction), so the reference's prev-over flag
+        # (ProcessAVX2.hpp:100-102) is derivable: one fewer carried
+        # register and select in the hot loop, identical semantics.
+        closed = (st["rs"] > cfg.threshold) & ~is_over
+    else:
+        closed = (st["prev_was_over"] != 0) & ~is_over
 
     # charge accumulates the *pedestal-subtracted ADC* (not the filtered
     # value) in every algorithm of this family; widening accumulate + clamp
@@ -152,7 +159,8 @@ def tpg_tick(st: dict, s_raw, cfg: TPGConfig, xp, fx=None):
     out["hit_tover"] = xp.where(closed, zero, tover)
     out["hit_peak_adc"] = xp.where(closed, zero, peak_adc)
     out["hit_peak_time"] = xp.where(closed, zero, peak_time)
-    out["prev_was_over"] = xp.where(is_over, one, zero)
+    if cfg.algorithm not in (Algorithm.ABS_RS, Algorithm.STANDARD_RS):
+        out["prev_was_over"] = xp.where(is_over, one, zero)
     return out, closed, record
 
 
