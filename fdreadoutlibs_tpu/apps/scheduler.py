@@ -32,7 +32,7 @@ class MultiAPAScheduler:
     """
 
     def __init__(self, cfg: TPGConfig, n_apas: int, n_links: int = 40,
-                 tc: int = 1024, k_slots: int = 4, unroll: int = 8,
+                 tc: int = 512, k_slots: int = 2, unroll: int = 16,
                  interpret: bool = False, vmem_limit_mb: int | None = None):
         self.cfg = cfg
         self.n_apas = n_apas

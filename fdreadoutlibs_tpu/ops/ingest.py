@@ -32,7 +32,7 @@ def host_words(frames: np.ndarray) -> np.ndarray:
                                              "interpret", "vmem_limit_mb"))
 def process_packed_frames(words, state_stack, cfg: TPGConfig,
                           n_channels: int, tc: int = 512, k_slots: int = 2,
-                          unroll: int = 8, interpret: bool = False,
+                          unroll: int = 16, interpret: bool = False,
                           vmem_limit_mb: int | None = None):
     """words: (L, T, 28) uint32 packed rows for L links of 64 channels.
 
@@ -57,7 +57,7 @@ def process_packed_frames(words, state_stack, cfg: TPGConfig,
                                              "interpret", "vmem_limit_mb"))
 def process_packed_wib2(words, state_stack, cfg: TPGConfig,
                         n_channels: int, tc: int = 512, k_slots: int = 4,
-                        unroll: int = 8, interpret: bool = False,
+                        unroll: int = 16, interpret: bool = False,
                         vmem_limit_mb: int | None = None):
     """WIB2 fused ingest: words (L, T, 112) uint32 packed rows (each WIB2
     frame is ONE tick of 256 channels); channel = link*256 + c."""
@@ -80,7 +80,7 @@ def process_packed_wib2(words, state_stack, cfg: TPGConfig,
                                              "interpret", "vmem_limit_mb"))
 def process_packed_daphne(words, state_stack, cfg: TPGConfig,
                           n_channels: int, tc: int = 512, k_slots: int = 4,
-                          unroll: int = 8, interpret: bool = False,
+                          unroll: int = 16, interpret: bool = False,
                           vmem_limit_mb: int | None = None):
     """DAPHNE-stream fused ingest: words (L, N, 112) uint32 packed rows —
     each stream frame is 64 ticks of 4 channels; channel = link*4 + c."""
@@ -147,7 +147,7 @@ class StreamingIngest:
     """
 
     def __init__(self, cfg: TPGConfig, n_links: int, tc: int = 512,
-                 k_slots: int = 4, unroll: int = 8, interpret: bool = False,
+                 k_slots: int = 4, unroll: int = 16, interpret: bool = False,
                  format: str = "wibeth"):
         from ..formats import daphne, wib2
         self.cfg = cfg

@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Hardware soak: production AbsRS (threshold-on-collection) over a long
+carried-state stream, with a mid-stream checkpoint/resume equivalence check.
+
+Runs N windows of T ticks x C channels through the compiled Pallas kernel
+with deterministic injected pulses; asserts (a) the exact expected hit
+count (every pulse found, nothing dropped, nothing invented), (b) a run
+that checkpoints at the midpoint and resumes in a fresh state stack ends
+bit-identical to the uninterrupted run.  Prints one JSON line.
+
+Usage: python scripts/soak_hardware.py [--windows 200] [--ticks 4096]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--windows", type=int, default=200)
+    ap.add_argument("--ticks", type=int, default=4096)
+    ap.add_argument("--channels", type=int, default=2560)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from fdreadoutlibs_tpu.ops import TPGConfig
+    from fdreadoutlibs_tpu.ops.chanstate import init_chanstate, seed_chanstate
+    from fdreadoutlibs_tpu.ops.pallas_tpg import (
+        decode_pallas_hits, pack_adcs, pack_state, process_window_pallas)
+
+    assert jax.default_backend() == "tpu", "soak needs the real chip"
+    C, T, W = args.channels, args.ticks, args.windows
+    cfg = TPGConfig.from_raw("AbsRS", threshold=150)
+    rmf = np.where(np.arange(C) % 8 < 3, 0, cfg.rs_memory_factor_x10)
+
+    rng = np.random.default_rng(42)
+    base = (900 + rng.normal(0, 10, size=(T, C))).astype(np.int32)
+    # deterministic pulses: 8 channels, one clean pulse per window each,
+    # amplitude far above noise and the RS decay tail
+    pulse_chans = np.array([5, 300, 777, 1201, 1600, 1999, 2222, 2500])
+    adcs = base.copy()
+    for c in pulse_chans:
+        adcs[1000:1008, c] += 2500
+
+    # channels are independent, so the numpy oracle on just the pulse
+    # channels gives the exact expected hit count (AbsRS on memory
+    # channels can legitimately close more than once per pulse)
+    from fdreadoutlibs_tpu.ops.reference import process_window_reference
+    sub = adcs[:, pulse_chans]
+    sub_rmf = rmf[pulse_chans]
+    st_sub = seed_chanstate(init_chanstate(len(pulse_chans)), sub[0],
+                            sub_rmf)
+    expected_per_window = []
+    for _ in range(3):
+        h, st_sub = process_window_reference(sub, st_sub, cfg)
+        expected_per_window.append(len(h))
+    assert expected_per_window[1] == expected_per_window[2], \
+        "oracle not steady-state by window 2"
+
+    def expected_total(n):
+        return expected_per_window[0] + (n - 1) * expected_per_window[1]
+
+    packed = jnp.asarray(pack_adcs(adcs))
+    state0 = pack_state(seed_chanstate(init_chanstate(C), adcs[0], rmf), C)
+
+    def run(stack, n_windows):
+        hits_total = 0
+        dropped_total = 0
+        for _ in range(n_windows):
+            slots, nclose, stack = process_window_pallas(
+                packed, stack, cfg, tc=512, k_slots=2, unroll=16,
+                vmem_limit_mb=64)
+            h, d = decode_pallas_hits(slots, nclose, C)
+            hits_total += len(h)
+            dropped_total += d
+        return stack, hits_total, dropped_total
+
+    t0 = time.perf_counter()
+    # uninterrupted run
+    final_a, hits_a, drop_a = run(state0, W)
+    # checkpointed run: halt at the midpoint, round-trip the state through
+    # host numpy (the checkpoint format), resume in a fresh buffer
+    mid, hits_b1, drop_b1 = run(state0, W // 2)
+    ckpt = np.asarray(mid)                       # device -> host snapshot
+    resumed = jnp.asarray(ckpt.copy())           # fresh device buffer
+    final_b, hits_b2, drop_b2 = run(resumed, W - W // 2)
+    wall = time.perf_counter() - t0
+
+    same = bool((np.asarray(final_a) == np.asarray(final_b)).all())
+    hits_b = hits_b1 + hits_b2
+    samples = W * T * C
+    result = {
+        "windows": W, "ticks": T, "channels": C,
+        "gsamples": round(samples / 1e9, 2),
+        "data_seconds": round(W * T / (62.5e6 / 32), 2),
+        "wall_seconds": round(wall, 1),
+        "hits": hits_a, "expected": expected_total(W),
+        "dropped": drop_a,
+        "resume_hits": hits_b,
+        "state_bitexact_after_resume": same,
+    }
+    print(json.dumps(result))
+    assert same, "resumed state diverged"
+    assert hits_a == hits_b, "resumed run found different hits"
+    assert drop_a == 0, f"{drop_a} hits dropped"
+    assert hits_a == expected_total(W), \
+        f"hits {hits_a} != expected {expected_total(W)}"
+    print("SOAK OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
