@@ -122,7 +122,10 @@ def main():
                             512, 1, 32, None),
         "StandardRS": (TPGConfig.from_raw("StandardRS", threshold=150),
                        512, 1, 32, None),
-        "FIR": (TPGConfig.from_raw("FIR", threshold=5), 512, 1, 32, None),
+        # reference-shaped FIR records: the WIB/WIB2 consumers derive
+        # peaks at TP assembly, so the kernel skips peak tracking
+        "FIR": (TPGConfig.from_raw("FIR", threshold=5, track_peaks=False),
+                512, 1, 32, None),
     }
     if not on_tpu:  # smoke-test shapes: tc must divide T
         runs = {k: (cfg, 256, 2, 8, rmf)

@@ -73,6 +73,7 @@ def run_model(adcs: np.ndarray, cfg: TPGConfig, backend: str = "scan",
     if rs_memory_factor is None:
         rs_memory_factor = cfg.rs_memory_factor_x10
     if state is None:
+        cfg.check_memory_factors(rs_memory_factor)
         state = seed_chanstate(init_chanstate(C), adcs[0], rs_memory_factor)
 
     if backend == "reference":

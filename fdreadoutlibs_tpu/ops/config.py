@@ -61,6 +61,23 @@ class TPGConfig:
     # channels (WIBEthFrameProcessor.cpp:441-450).  None = generic multiply.
     rs_mf_shift: int | None = None
 
+    def check_memory_factors(self, rs_memory_factor) -> None:
+        """Validate per-channel memory factors against the ``rs_mf_shift``
+        promise ({0, 1 << shift}) — the shift-specialized kernels would
+        silently compute wrong RS values otherwise.  Called by every path
+        that seeds per-channel factors."""
+        if self.rs_mf_shift is None:
+            return
+        import numpy as np
+        allowed = {0, 1 << self.rs_mf_shift}
+        values = set(np.unique(np.asarray(rs_memory_factor)).tolist())
+        if not values <= allowed:
+            raise ValueError(
+                f"rs_mf_shift={self.rs_mf_shift} promises per-channel "
+                f"memory factors in {sorted(allowed)}, got "
+                f"{sorted(values)}; build the config with rs_mf_shift=None "
+                "for arbitrary factors")
+
     @property
     def multiplier(self) -> int:
         return 1 << self.tap_exponent
@@ -83,9 +100,11 @@ class TPGConfig:
             raise TPGAlgorithmInexistent(
                 f"unknown TPG algorithm {algorithm!r} "
                 f"(available: {[a.value for a in Algorithm]})") from None
-        if alg == Algorithm.FIR:
-            # reference FIR kernels have no peak registers (field docs)
-            kw.setdefault("track_peaks", False)
+        # NOTE: track_peaks deliberately stays True here even for FIR —
+        # some consumers (DAPHNE PDS) assemble TPs from the peak fields.
+        # The WIB/WIB2 processors, whose TP assembly derives peaks as
+        # (begin+end)/2 and charge/20 like the reference, opt in to
+        # track_peaks=False themselves.
         mf_x10 = int(10 * rs_memory_factor)
         if "rs_mf_shift" not in kw and mf_x10 > 0 and \
                 mf_x10 & (mf_x10 - 1) == 0:

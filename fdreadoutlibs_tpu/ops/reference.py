@@ -50,6 +50,7 @@ def run_reference(adcs: np.ndarray, cfg: TPGConfig,
     T, C = adcs.shape
     if rs_memory_factor is None:
         rs_memory_factor = cfg.rs_memory_factor_x10
+    cfg.check_memory_factors(rs_memory_factor)
     state = seed_chanstate(init_chanstate(C), adcs[0], rs_memory_factor)
     parts = []
     for t0 in range(0, T, window):

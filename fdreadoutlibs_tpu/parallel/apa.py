@@ -191,6 +191,7 @@ class APAPipeline:
         ((L, 64) array; ProcessingInfo::setState semantics)."""
         if rs_memory_factor is None:
             rs_memory_factor = self.cfg.rs_memory_factor_x10
+        self.cfg.check_memory_factors(rs_memory_factor)
         st = seed_chanstate(init_chanstate(self.n_links * N_CH),
                             np.asarray(first_samples).reshape(-1),
                             rs_memory_factor)

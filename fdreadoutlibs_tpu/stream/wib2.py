@@ -39,6 +39,14 @@ class WIB2FrameProcessor(WIBEthFrameProcessor):
         # WIB2 has no per-frame sequence counter; drop the seq check task
         self._preprocess = [t for t in self._preprocess
                             if t != self.sequence_check]
+        # WIB2 TP assembly derives peaks ((begin+end)/2, charge/20) like
+        # the reference FIR kernels, which carry no peak registers —
+        # drop peak tracking from the hot loop
+        from dataclasses import replace
+        from ..ops import Algorithm
+        if self.tpg_cfg.algorithm == Algorithm.FIR and \
+                config.get("tpg_track_peaks") is None:
+            self.tpg_cfg = replace(self.tpg_cfg, track_peaks=False)
 
     # ---------------------------------------------------------- preprocess
     def timestamp_check(self, superchunks: np.ndarray) -> None:

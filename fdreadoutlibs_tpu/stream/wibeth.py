@@ -27,6 +27,9 @@ _ALGO_ENUM = {
     Algorithm.SIMPLE_THRESHOLD: TPAlgorithm.kSimpleThreshold,
     Algorithm.ABS_RS: TPAlgorithm.kAbsRunningSum,
     Algorithm.STANDARD_RS: TPAlgorithm.kRunningSum,
+    # the legacy FIR family predates the algorithm enum (the wib/wib2 TP
+    # assembly never set it; trgdataformats only names the wibeth three)
+    Algorithm.FIR: TPAlgorithm.kUnknown,
 }
 
 CLOCKS_PER_TPC_TICK = wibeth.SAMPLES_TICK_DIFFERENCE  # 32
@@ -207,6 +210,7 @@ class WIBEthFrameProcessor(TaskRawDataProcessor):
             self.register_memory_factor = np.full(
                 C, self.tpg_cfg.rs_memory_factor_x10)
 
+        self.tpg_cfg.check_memory_factors(self.register_memory_factor)
         self._state = seed_chanstate(init_chanstate(C), adcs0,
                                      self.register_memory_factor)
         self._first_hit = False

@@ -173,4 +173,4 @@ def make_latency_buffer(dtype=None, capacity: int | None = None,
                 return NativeLatencyBufferAdapter(dtype, capacity)
         except Exception:
             pass
-    return LatencyBuffer(capacity=capacity)
+    return LatencyBuffer(capacity=capacity, dtype=dtype)

@@ -40,21 +40,24 @@ class TPRequestHandler:
         self.min_latency_ticks = config.get("tpset_min_latency_ticks", 3125 * 32)
         self.tardy_quiet_time_sec = config.get(
             "tardy_tp_quiet_time_at_start_sec", 10)
-        # A fully quiet link still ticks: the window clock advances on wall
-        # time from the last observed timestamp so downstream trigger
-        # aggregation keeps receiving kHeartbeat TPSets.  (The reference's
+        # A fully quiet link still ticks: the window clock advances on the
+        # newest OBSERVED stream timestamp (note_stream_time, fed from
+        # frame headers) so downstream trigger aggregation keeps receiving
+        # kHeartbeat TPSets even with zero TPs buffered.  (The reference's
         # sender loop idles when its buffer is empty,
         # TPCTPRequestHandler.cpp:115 — a deliberate improvement here.)
+        # Deliberately NOT wall-clock extrapolated: a source slower than
+        # real time (file replay, a wedged upstream) must not let the
+        # cutoff race ahead of stream time and tardy-drop real TPs.
         self.emit_heartbeats_when_empty = config.get(
             "emit_heartbeats_when_empty", True)
-        self.clock_hz = config.get("clock_speed_hz", 62_500_000)
 
     def start(self, run_number: int = 0) -> None:
         self.run_number = run_number
         self.cutoff_timestamp = 0
         self.next_tpset_seqno = 0
         self._start_win_ts = None
-        self._last_seen = None       # (newest_ts, monotonic) wall-clock anchor
+        self._last_stream_ts = None  # newest observed stream timestamp
         self._run_start = time.monotonic()
         self.metrics.reset_interval()
         self._run_marker = True
@@ -86,34 +89,38 @@ class TPRequestHandler:
         return self.buffer.insert(tps)
 
     def note_stream_time(self, ts: int) -> None:
-        """Anchor the heartbeat clock to an observed stream timestamp (the
+        """Advance the heartbeat clock to an observed stream timestamp (the
         newest frame timestamp of a processed batch): a link that has
-        produced ZERO TPs then still emits monotonically advancing
-        kHeartbeat TPSets, keeping downstream trigger aggregation moving."""
-        self._last_seen = (int(ts), time.monotonic())
+        produced ZERO TPs — or whose buffered TPs are stale — then still
+        emits monotonically advancing kHeartbeat TPSets, keeping downstream
+        trigger aggregation moving."""
+        ts = int(ts)
+        if self._last_stream_ts is None or ts > self._last_stream_ts:
+            self._last_stream_ts = ts
         if self._start_win_ts is None:
-            self._start_win_ts = int(ts)
+            self._start_win_ts = ts
 
     # -- TPSet emission (cpp:100-193) ------------------------------------
     def send_tp_sets_once(self) -> Optional[TPSet]:
         """One cycle of the sender loop; returns the TPSet if one was due.
 
-        With an empty buffer the window clock advances on wall time from
-        the last observed newest timestamp (config
-        ``emit_heartbeats_when_empty``), so a quiet link emits
-        monotonically advancing kHeartbeat TPSets instead of stalling
-        downstream trigger aggregation."""
-        if self.buffer.occupancy() == 0:
-            if not getattr(self, "emit_heartbeats_when_empty", True) or \
-                    self._last_seen is None or self._start_win_ts is None:
-                return None
-            ts0, t0 = self._last_seen
-            newest = ts0 + int((time.monotonic() - t0) * self.clock_hz)
-        else:
+        The window clock is max(newest buffered TP, newest observed stream
+        timestamp from note_stream_time) — so a quiet link (no TPs at all,
+        or only stale already-shipped ones retained for data requests)
+        keeps emitting monotonically advancing kHeartbeat TPSets, gated by
+        config ``emit_heartbeats_when_empty``.  Never wall-clock
+        extrapolated: the cutoff must not race ahead of stream time."""
+        newest = None
+        if self.buffer.occupancy() != 0:
             newest = self.buffer.newest_ts()
-            self._last_seen = (newest, time.monotonic())
             if self._start_win_ts is None:
                 self._start_win_ts = self.buffer.oldest_ts()
+        if getattr(self, "emit_heartbeats_when_empty", True) and \
+                self._last_stream_ts is not None:
+            newest = self._last_stream_ts if newest is None \
+                else max(newest, self._last_stream_ts)
+        if newest is None or self._start_win_ts is None:
+            return None
         if newest - self._start_win_ts <= self.min_latency_ticks:
             return None
         end_win_ts = newest - self.min_latency_ticks

@@ -98,16 +98,30 @@ class TableChannelMap(ChannelMap):
     def get_plane_from_offline_channel(self, offline):
         return self.plane_table[int(offline)]
 
+    # DUNE offline files use plane 0=U, 1=V, 2=collection; this framework
+    # follows the reference SWTPG convention 0=collection (module
+    # docstring; WIBEthFrameProcessor.cpp:443 tests `plane == 0` for
+    # collection), so file planes are translated on load.
+    _DUNE_PLANE_TO_NATIVE = {0: 1, 1: 2, 2: 0}
+
     @classmethod
-    def from_file(cls, path, channels_per_stream: int = 64):
+    def from_file(cls, path, channels_per_stream: int = 64,
+                  plane_convention: str = "detchannelmaps"):
         """Load a detchannelmaps-style whitespace table.
 
         Expected columns per row (the layout of detchannelmaps' HD map
         text files, e.g. PD2HDChannelMap_v*.txt):
         ``offline_channel crate slot stream stream_channel plane``
-        (lines starting with '#' are comments).  Plane uses this
-        framework's convention: 0 = collection (see module docstring).
+        (lines starting with '#' are comments).
+
+        plane_convention: "detchannelmaps" (default — file planes are the
+        DUNE offline 0=U/1=V/2=collection and get translated to this
+        framework's 0=collection convention) or "native" (file planes are
+        already in the framework convention).
         """
+        assert plane_convention in ("detchannelmaps", "native")
+        translate = cls._DUNE_PLANE_TO_NATIVE if \
+            plane_convention == "detchannelmaps" else {}
         table: dict = {}
         plane_table: dict = {}
         with open(path) as f:
@@ -122,7 +136,7 @@ class TableChannelMap(ChannelMap):
                     table[key] = np.full(channels_per_stream, -1,
                                          dtype=np.int64)
                 table[key][ch] = offline
-                plane_table[offline] = plane
+                plane_table[offline] = translate.get(plane, plane)
         return cls(table, plane_table)
 
 
@@ -193,6 +207,11 @@ class HDAPAChannelMap(ChannelMap):
     def get_offline_channel_from_crate_slot_stream_chan(self, crate, slot,
                                                         stream, chan):
         assert 0 <= slot < self.N_WIBS and 0 <= stream < self.N_STREAMS
+        if not 0 <= chan < 64:
+            raise ValueError(
+                f"HDAPAChannelMap streams carry 64 channels (half-FEMB); "
+                f"got chan={chan}.  256-channel frontends (WIB2) use a "
+                "different geometry — load a table map instead.")
         femb = slot * 4 + stream // 2
         femb_chan = (stream % 2) * 64 + chan
         return int(crate) * self.CHANNELS_PER_APA + \
@@ -206,6 +225,11 @@ class HDAPAChannelMap(ChannelMap):
 
     # vectorized fast path (the per-link setup in apps uses this)
     def offline_channels(self, crate, slot, stream, n_channels=64):
+        if n_channels > 64:
+            raise ValueError(
+                f"HDAPAChannelMap streams carry 64 channels (half-FEMB); "
+                f"asked for {n_channels}.  256-channel frontends (WIB2) "
+                "use a different geometry — load a table map instead.")
         femb = slot * 4 + stream // 2
         base = (stream % 2) * 64
         return (crate * self.CHANNELS_PER_APA

@@ -55,8 +55,8 @@ def main():
     if args.mf_shift != "auto":
         kw["rs_mf_shift"] = None if args.mf_shift == "none" \
             else int(args.mf_shift)
-    if args.track_peaks:
-        kw["track_peaks"] = True
+    if not args.track_peaks and args.alg == "FIR":
+        kw["track_peaks"] = False   # reference-shaped FIR records
     cfg = TPGConfig.from_raw(args.alg, threshold=args.threshold, **kw)
     rng = np.random.default_rng(0)
     adcs = (900 + rng.normal(0, 30, size=(T, C))).astype(np.int32)

@@ -81,17 +81,66 @@ class TestHDAPAChannelMap:
 
 
 class TestTableMapLoader:
-    def test_from_file(self, tmp_path):
+    def test_from_file_translates_dune_plane_convention(self, tmp_path):
+        """Real detchannelmaps files use 0=U/1=V/2=collection; the loader
+        translates into this framework's 0=collection convention."""
         p = tmp_path / "map.txt"
         lines = ["# offline crate slot stream chan plane"]
         for ch in range(64):
-            lines.append(f"{1000 + ch} 0 1 2 {ch} {0 if ch < 48 else 1}")
+            dune_plane = 2 if ch < 48 else 0     # collection then U
+            lines.append(f"{1000 + ch} 0 1 2 {ch} {dune_plane}")
         p.write_text("\n".join(lines))
         m = TableChannelMap.from_file(p)
         np.testing.assert_array_equal(
             m.offline_channels(0, 1, 2, 64), 1000 + np.arange(64))
-        assert m.get_plane_from_offline_channel(1010) == 0
-        assert m.get_plane_from_offline_channel(1050) == 1
+        assert m.get_plane_from_offline_channel(1010) == 0  # collection
+        assert m.get_plane_from_offline_channel(1050) == 1  # U induction
+
+    def test_from_file_native_convention(self, tmp_path):
+        p = tmp_path / "map.txt"
+        p.write_text("\n".join(f"{100 + ch} 0 0 0 {ch} 0"
+                               for ch in range(64)))
+        m = TableChannelMap.from_file(p, plane_convention="native")
+        assert m.get_plane_from_offline_channel(100) == 0
+
+
+class TestGuards:
+    def test_hd_map_rejects_256_channel_queries(self):
+        """WIB2-style 256-channel frontends must not silently truncate
+        through the 64-channel HD APA geometry."""
+        import pytest
+        m = HDAPAChannelMap()
+        with pytest.raises(ValueError, match="64 channels"):
+            m.offline_channels(0, 0, 0, 256)
+        with pytest.raises(ValueError, match="64 channels"):
+            m.get_offline_channel_from_crate_slot_stream_chan(0, 0, 0, 100)
+
+    def test_mf_shift_promise_validated(self):
+        """Per-channel memory factors outside {0, 1<<shift} are rejected
+        loudly instead of silently computing wrong RS values."""
+        import pytest
+        from fdreadoutlibs_tpu.ops import TPGConfig
+        from fdreadoutlibs_tpu.ops.reference import run_reference
+        cfg = TPGConfig.from_raw("AbsRS", threshold=150)  # rs_mf_shift=3
+        adcs = np.full((8, 4), 900, np.int32)
+        with pytest.raises(ValueError, match="rs_mf_shift"):
+            run_reference(adcs, cfg, rs_memory_factor=np.array([0, 8, 6, 8]))
+        # the promised set passes
+        run_reference(adcs, cfg, rs_memory_factor=np.array([0, 8, 0, 8]))
+        # arbitrary factors work with the generic config
+        gen = TPGConfig.from_raw("AbsRS", threshold=150, rs_mf_shift=None)
+        run_reference(adcs, gen, rs_memory_factor=np.array([0, 8, 6, 8]))
+
+    def test_wib2_fir_drops_peak_tracking_daphne_keeps_it(self):
+        from fdreadoutlibs_tpu.stream.wib2 import WIB2FrameProcessor
+        from fdreadoutlibs_tpu.stream.daphne import DAPHNEStreamFrameProcessor
+        w = WIB2FrameProcessor()
+        w.conf({"enable_tpg": True, "tpg_algorithm": "FIR",
+                "tpg_threshold": 5})
+        assert w.tpg_cfg.track_peaks is False
+        d = DAPHNEStreamFrameProcessor()
+        d.conf({"enable_tpg": True})
+        assert d.tpg_cfg.track_peaks is True
 
 
 class TestCLI:

@@ -115,35 +115,66 @@ class TestTPRequestHandler:
 
     def test_quiet_link_emits_heartbeats(self):
         """A link whose buffer drained completely keeps emitting advancing
-        kHeartbeat TPSets on wall time (VERDICT round-1 item 6)."""
-        import time
+        kHeartbeat TPSets driven by observed stream time (VERDICT round-1
+        item 6)."""
         h, sink = self.make(min_latency=100)
         h.insert_tps(tps_at([1000, 2000]))
         assert h.send_tp_sets_once() is not None
         h.buffer.pop_until(1 << 62)
         assert h.buffer.occupancy() == 0
-        time.sleep(0.01)                 # ~625k ticks at 62.5 MHz
+        h.note_stream_time(10_000)       # newest frame ts of a zero-TP batch
         s1 = h.send_tp_sets_once()
         assert s1 is not None and s1.type == TPSetType.kHeartbeat
         assert len(s1.objects) == 0
-        time.sleep(0.01)
+        h.note_stream_time(20_000)
         s2 = h.send_tp_sets_once()
         assert s2.type == TPSetType.kHeartbeat
         assert s2.end_time > s1.end_time          # monotonic advance
         assert s2.seqno == s1.seqno + 1
         assert h.cutoff_timestamp == s2.end_time
 
+    def test_quiet_link_heartbeats_with_stale_buffered_tps(self):
+        """Shipped TPs remain buffered for the data-request path; a link
+        that then goes quiet must still heartbeat (the retained TPs'
+        frozen newest_ts must not stall the window clock)."""
+        h, sink = self.make(min_latency=100)
+        h.insert_tps(tps_at([1000, 2000]))
+        assert h.send_tp_sets_once() is not None   # payload; TPs retained
+        assert h.buffer.occupancy() > 0
+        assert h.send_tp_sets_once() is None       # nothing new
+        h.note_stream_time(50_000)                 # stream marches on
+        s = h.send_tp_sets_once()                  # ships the 2000 TP
+        assert s is not None and s.type == TPSetType.kPayload
+        h.note_stream_time(100_000)                # quiet from here on
+        s2 = h.send_tp_sets_once()
+        assert s2 is not None and s2.type == TPSetType.kHeartbeat
+        assert s2.end_time == 100_000 - 100
+
     def test_zero_tp_run_heartbeats_from_stream_time(self):
         """A link that never produced a TP heartbeats from the observed
-        frame timestamps (note_stream_time anchor)."""
-        import time
+        frame timestamps (note_stream_time)."""
         h, sink = self.make(min_latency=100)
-        assert h.send_tp_sets_once() is None      # nothing to anchor on
+        assert h.send_tp_sets_once() is None      # nothing observed yet
         h.note_stream_time(5_000)
-        time.sleep(0.01)
+        assert h.send_tp_sets_once() is None      # within latency margin
+        h.note_stream_time(6_000)
         s = h.send_tp_sets_once()
         assert s is not None and s.type == TPSetType.kHeartbeat
-        assert s.start_time == 5_000 and s.end_time > 5_000
+        assert s.start_time == 5_000 and s.end_time == 5_900
+
+    def test_heartbeat_clock_never_exceeds_stream_time(self):
+        """The cutoff must not race ahead of observed stream time (no
+        wall-clock extrapolation): late real TPs stay accepted."""
+        import time as _t
+        h, sink = self.make(min_latency=100)
+        h.note_stream_time(5_000)
+        h.note_stream_time(6_000)
+        h.send_tp_sets_once()
+        _t.sleep(0.01)                   # wall time passes; stream doesn't
+        assert h.send_tp_sets_once() is None
+        assert h.cutoff_timestamp <= 5_900
+        # a late-but-valid TP (after the cutoff) is NOT tardy-dropped
+        assert h.insert_tps(tps_at([5_950])) == 1
 
     def test_quiet_heartbeats_can_be_disabled(self):
         h, sink = self.make(min_latency=100)
@@ -151,8 +182,7 @@ class TestTPRequestHandler:
                 "emit_heartbeats_when_empty": False})
         h.start()
         h.note_stream_time(5_000)
-        import time
-        time.sleep(0.005)
+        h.note_stream_time(50_000)
         assert h.send_tp_sets_once() is None
 
     def test_empty_buffer_has_record_dtype(self):
