@@ -91,6 +91,28 @@ def test_sharded_other_algorithms(alg):
     assert total == int(n_hits.sum())
 
 
+def test_sharded_pallas_fir_no_peak_records():
+    """The 2-word (no-peak) record layout flows through the multi-chip
+    pallas path's device-side compaction (peak fields emit zero)."""
+    from fdreadoutlibs_tpu.ops.config import Algorithm
+    mesh = make_link_mesh(2)
+    cfg = TPGConfig(algorithm=Algorithm.FIR, threshold=5,
+                    track_peaks=False)
+    pipe = APAPipeline(2, cfg, mesh=mesh, backend="pallas", interpret=True)
+    words, all_adcs = make_words(2, n_frames=2, seed=13)
+    hits, n_hits, total = pipe.process(words)
+    hits, n_hits = np.asarray(hits), np.asarray(n_hits)
+    for l in range(2):
+        h_ref, _ = run_reference(all_adcs[l], cfg, window=128)
+        assert n_hits[l] == len(h_ref), f"link {l}"
+        got = hits[l][: n_hits[l]]
+        np.testing.assert_array_equal(got[:, 1], h_ref["end_tick"])
+        np.testing.assert_array_equal(got[:, 2], h_ref["charge"])
+        np.testing.assert_array_equal(got[:, 3], h_ref["tover"])
+        assert (got[:, 4] == 0).all() and (got[:, 5] == 0).all()
+    assert total == int(n_hits.sum())
+
+
 @pytest.mark.parametrize("n_devices", [1, 4])
 def test_sharded_pallas_backend(n_devices):
     """Production backend: the fused Pallas kernel runs per shard inside
