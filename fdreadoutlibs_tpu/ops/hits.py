@@ -71,3 +71,71 @@ def concat_hits(parts) -> np.ndarray:
     if not parts:
         return empty_hits()
     return sort_hits(np.concatenate(parts))
+
+
+# ---- device-side compaction -----------------------------------------------
+
+def compact_slot_words(w0, w1, w2, max_hits: int, channel_base: int = 0,
+                       tick_offset: int = 0):
+    """jit-able decode of K-slot record words -> (max_hits, 6) int32 hits
+    [channel, end_tick, charge, tover, peak_adc, peak_time] in canonical
+    (end_tick, channel) order, plus the valid count.
+
+    w0/w2: (K, C) packed words ([charge<<16|tover], [end_tick+1]); ``w1``
+    may be None (no-peak record layout) — peak fields emit as zero.
+    Shrinks device->host traffic from the full slot buffers to the hit
+    list itself (the multi-chip per-link decode and StreamingIngest's
+    device_compact path both ride this).
+    """
+    import jax.numpy as jnp
+    K, C = w2.shape
+    valid = (w2 != 0).reshape(-1)
+    chan = jnp.tile(jnp.arange(C, dtype=jnp.int32), (K, 1)).reshape(-1)
+    end = (w2 - 1).reshape(-1)
+    if w1 is None:
+        w1 = jnp.zeros_like(w0)
+    fields = jnp.stack([
+        chan + jnp.int32(channel_base), end + jnp.int32(tick_offset),
+        w0.reshape(-1) >> 16, w0.reshape(-1) & 0xFFFF,
+        w1.reshape(-1) >> 16, w1.reshape(-1) & 0xFFFF], axis=-1)
+    # order by (end_tick, channel); invalid entries sort last
+    key = jnp.where(valid, end * jnp.int32(C) + chan,
+                    jnp.iinfo(jnp.int32).max)
+    order = jnp.argsort(key)
+    fields = fields[order]
+    valid_sorted = valid[order]
+    n = jnp.sum(valid_sorted.astype(jnp.int32))
+    out = jnp.zeros((max_hits, 6), jnp.int32)
+    take = min(max_hits, K * C)
+    out = out.at[:take].set(jnp.where(valid_sorted[:take, None],
+                                      fields[:take], 0))
+    return out, jnp.minimum(n, max_hits)
+
+
+def compact_pallas_slots(slots, nclose, n_channels: int, max_hits: int,
+                         tick_offset: int = 0):
+    """jit-able: process_window_pallas outputs -> (max_hits, 6) canonical
+    hits + valid count + dropped count, entirely on device."""
+    import jax.numpy as jnp
+    nb, nch, K, nw, sub, lanes = slots.shape
+    C = nb * sub * lanes
+    flat = slots.transpose(1, 2, 3, 0, 4, 5).reshape(nch * K, nw, C)
+    flat = flat[:, :, :n_channels]
+    w1 = flat[:, 1] if nw == 3 else None
+    out, n = compact_slot_words(flat[:, 0], w1, flat[:, -1], max_hits,
+                                tick_offset=tick_offset)
+    counts = nclose.transpose(1, 0, 2, 3).reshape(nch, C)[:, :n_channels]
+    dropped = jnp.sum(jnp.maximum(counts - K, 0))
+    # hits beyond the output capacity are also drops (visible, counted)
+    total_valid = jnp.sum((flat[:, -1] != 0).astype(jnp.int32))
+    dropped = dropped + jnp.maximum(total_valid - max_hits, 0)
+    return out, n, dropped
+
+
+def hits_from_compact(rows: np.ndarray, count: int) -> np.ndarray:
+    """(max_hits, 6) int32 device-compact output -> canonical hit array."""
+    rows = np.asarray(rows)[:int(count)]
+    hits = np.zeros(len(rows), dtype=HIT_DTYPE)
+    for i, f in enumerate(HIT_DTYPE.names):
+        hits[f] = rows[:, i]
+    return hits

@@ -136,6 +136,14 @@ def process_packed_protowib(words, coll_stack, ind_stack,
             run(pw.INDUCTION_INDEX_TO_CHAN, ind_stack, ind_cfg))
 
 
+@functools.partial(jax.jit, static_argnames=("n_channels", "max_hits"))
+def _compact_on_device(slots, nclose, tick_offset, n_channels: int,
+                       max_hits: int):
+    from .hits import compact_pallas_slots
+    return compact_pallas_slots(slots, nclose, n_channels, max_hits,
+                                tick_offset=tick_offset)
+
+
 class StreamingIngest:
     """Double-buffered streaming driver: enqueue the next batch while the
     device processes the current one (jax dispatch is asynchronous, so the
@@ -144,11 +152,18 @@ class StreamingIngest:
     format="wibeth" (64 ch x 64 ticks per frame), "wib2" (256 ch x 1 tick
     per frame; feed superchunk frames flattened per link) or
     "daphne_stream" (4 ch x 64 ticks per frame).
+
+    device_compact=True compacts the K-slot buffers into a
+    (max_hits, 6) hit list ON DEVICE, shrinking device->host transfer
+    from the full slot buffers (~1 MB/window at APA scale) to the hit
+    list itself (~25 KB) — the right mode for bandwidth-constrained or
+    remote-device deployments.
     """
 
     def __init__(self, cfg: TPGConfig, n_links: int, tc: int = 512,
                  k_slots: int = 4, unroll: int = 16, interpret: bool = False,
-                 format: str = "wibeth"):
+                 format: str = "wibeth", device_compact: bool = False,
+                 max_hits: int = 1024):
         from ..formats import daphne, wib2
         self.cfg = cfg
         self.n_links = n_links
@@ -176,8 +191,11 @@ class StreamingIngest:
         self.k_slots = k_slots
         self.unroll = unroll
         self.interpret = interpret
+        self.device_compact = device_compact
+        self.max_hits = max_hits
         self.stack = None
-        self._pending = None          # (slots, nclose, tick_offset)
+        self._pending = None          # (slots, nclose, tick_offset) or
+                                      # (rows, n, dropped) when compacting
         self.tick_offset = 0
 
     def _ensure_state(self, words0: np.ndarray) -> None:
@@ -206,7 +224,12 @@ class StreamingIngest:
             tc=tc, k_slots=self.k_slots,
             unroll=self.unroll if tc % self.unroll == 0 else 1,
             interpret=self.interpret)
-        self._pending = (slots, nclose, self.tick_offset)
+        if self.device_compact:
+            self._pending = _compact_on_device(
+                slots, nclose, self.tick_offset, self.n_channels,
+                self.max_hits)
+        else:
+            self._pending = (slots, nclose, self.tick_offset)
         self.tick_offset += T
         return out
 
@@ -230,6 +253,11 @@ class StreamingIngest:
         return self.submit_words(words)
 
     def _collect(self):
+        if self.device_compact:
+            from .hits import hits_from_compact
+            rows, n, dropped = self._pending
+            self._pending = None
+            return hits_from_compact(np.asarray(rows), int(n)), int(dropped)
         from .pallas_tpg import decode_pallas_hits
         slots, nclose, tick_offset = self._pending
         hits, dropped = decode_pallas_hits(slots, nclose, self.n_channels,

@@ -52,31 +52,9 @@ def _state_from_stack(stack, C: int) -> dict:
     return st
 
 
-def _compact_link_slots(w0, w1, w2, max_hits: int):
-    """Device-side decode of one link's K-slot records -> (max_hits, 6)
-    hits [channel, end_tick, charge, tover, peak_adc, peak_time] in
-    (end_tick, channel) order, plus the valid count.  ``w1`` may be None
-    (no-peak record layout) — peak fields emit as zero."""
-    K, C = w2.shape
-    valid = (w2 != 0).reshape(-1)
-    chan = jnp.tile(jnp.arange(C, dtype=jnp.int32), (K, 1)).reshape(-1)
-    end = (w2 - 1).reshape(-1)
-    if w1 is None:
-        w1 = jnp.zeros_like(w0)
-    fields = jnp.stack([
-        chan, end, w0.reshape(-1) >> 16, w0.reshape(-1) & 0xFFFF,
-        w1.reshape(-1) >> 16, w1.reshape(-1) & 0xFFFF], axis=-1)
-    # order by (end_tick, channel); invalid entries sort last
-    key = jnp.where(valid, end * jnp.int32(C) + chan, jnp.iinfo(jnp.int32).max)
-    order = jnp.argsort(key)
-    fields = fields[order]
-    valid_sorted = valid[order]
-    n = jnp.sum(valid_sorted.astype(jnp.int32))
-    out = jnp.zeros((max_hits, 6), jnp.int32)
-    take = min(max_hits, K * C)
-    out = out.at[:take].set(jnp.where(valid_sorted[:take, None],
-                                      fields[:take], 0))
-    return out, jnp.minimum(n, max_hits)
+# device-side per-link K-slot decode lives in ops.hits (shared with the
+# single-chip StreamingIngest device_compact path)
+from ..ops.hits import compact_slot_words as _compact_link_slots  # noqa: E402
 
 
 def make_apa_step(mesh: Mesh, cfg: TPGConfig, max_hits_per_link: int = 512,
