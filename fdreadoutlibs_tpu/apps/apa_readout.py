@@ -95,7 +95,7 @@ class APAReadoutApp:
         ingest: packed bytes -> on-device unpack -> Pallas TPG)."""
         import jax.numpy as jnp
         from ..ops.ingest import host_words, process_packed_frames
-        from ..ops.pallas_tpg import (auto_tc, decode_pallas_hits, pack_state)
+        from ..ops.pallas_tpg import auto_tc, pack_state
         L, N, _ = frames_links.shape
         T = N * wibeth.N_TIME_SAMPLES
         C = L * wibeth.N_CHANNELS
@@ -114,15 +114,20 @@ class APAReadoutApp:
         tc = auto_tc(T)
         slots, nclose, self._stack = process_packed_frames(
             jnp.asarray(words), self._stack, self.cfg, C, tc=tc, k_slots=4,
-            unroll=8 if tc % 8 == 0 else 1)
-        hits, dropped = decode_pallas_hits(slots, nclose, C)
+            unroll=16 if tc % 16 == 0 else (8 if tc % 8 == 0 else 1))
+        # device-side compaction: only the hit list crosses to the host
+        # (~40x less transfer than the raw slot buffers; BENCH_NOTES)
+        from ..ops.hits import hits_from_compact
+        from ..ops.ingest import compact_on_device
+        rows, n, dropped = compact_on_device(slots, nclose, 0, C, 4096)
+        hits = hits_from_compact(np.asarray(rows), int(n))
         per_link = []
         for l in range(L):
             lo, hi = l * 64, (l + 1) * 64
             h = hits[(hits["channel"] >= lo) & (hits["channel"] < hi)].copy()
             h["channel"] -= lo
             per_link.append(h)
-        return per_link, dropped
+        return per_link, int(dropped)
 
     def process_batch(self, frames_links: np.ndarray):
         """frames_links: (L, N, 7200) one batch of N frames per link."""

@@ -137,7 +137,7 @@ def process_packed_protowib(words, coll_stack, ind_stack,
 
 
 @functools.partial(jax.jit, static_argnames=("n_channels", "max_hits"))
-def _compact_on_device(slots, nclose, tick_offset, n_channels: int,
+def compact_on_device(slots, nclose, tick_offset, n_channels: int,
                        max_hits: int):
     from .hits import compact_pallas_slots
     return compact_pallas_slots(slots, nclose, n_channels, max_hits,
@@ -225,7 +225,7 @@ class StreamingIngest:
             unroll=self.unroll if tc % self.unroll == 0 else 1,
             interpret=self.interpret)
         if self.device_compact:
-            self._pending = _compact_on_device(
+            self._pending = compact_on_device(
                 slots, nclose, self.tick_offset, self.n_channels,
                 self.max_hits)
         else:
