@@ -138,10 +138,28 @@ def process_packed_protowib(words, coll_stack, ind_stack,
 
 @functools.partial(jax.jit, static_argnames=("n_channels", "max_hits"))
 def compact_on_device(slots, nclose, tick_offset, n_channels: int,
-                       max_hits: int):
+                      max_hits: int):
     from .hits import compact_pallas_slots
     return compact_pallas_slots(slots, nclose, n_channels, max_hits,
                                 tick_offset=tick_offset)
+
+
+def collect_hits(slots, nclose, n_channels: int, max_hits: int = 2048,
+                 tick_offset: int = 0, device: bool = True):
+    """Kernel slot outputs -> (canonical hit array, dropped count).
+
+    device=True (default) compacts on device and ships only the hit list
+    to the host; device=False pulls the raw slot buffers and decodes with
+    numpy (useful when the device is saturated and host cycles are free).
+    Identical results (tested)."""
+    if device:
+        from .hits import hits_from_compact
+        rows, n, dropped = compact_on_device(slots, nclose, tick_offset,
+                                             n_channels, max_hits)
+        return hits_from_compact(np.asarray(rows), int(n)), int(dropped)
+    from .pallas_tpg import decode_pallas_hits
+    return decode_pallas_hits(slots, nclose, n_channels,
+                              tick_offset=tick_offset)
 
 
 class StreamingIngest:

@@ -126,9 +126,8 @@ class WIB2FrameProcessor(WIBEthFrameProcessor):
     def _run_pallas_packed_wib2(self, frames: np.ndarray):
         """Fused device ingest: packed 112-word rows, unpack on device."""
         import jax.numpy as jnp
-        from ..ops.ingest import process_packed_wib2
-        from ..ops.pallas_tpg import (auto_tc, decode_pallas_hits,
-                                      pack_state, unpack_state)
+        from ..ops.ingest import collect_hits, process_packed_wib2
+        from ..ops.pallas_tpg import auto_tc, pack_state, unpack_state
         C = self.N_CHANNELS
         words = np.ascontiguousarray(wib2.adc_region_u32(frames)) \
             .reshape(1, -1, wib2.ADC_WORDS)
@@ -141,7 +140,8 @@ class WIB2FrameProcessor(WIBEthFrameProcessor):
             k_slots=self.k_slots,
             unroll=8 if (not self._interpret and tc % 8 == 0) else 1,
             interpret=self._interpret)
-        hits, dropped = decode_pallas_hits(slots, nclose, C)
+        hits, dropped = collect_hits(slots, nclose, C,
+                                     device=self._device_compact)
         if dropped:
             self.metrics.inc("num_hits_dropped", dropped)
         self._state.update(unpack_state(self._pallas_stack, C))

@@ -82,6 +82,9 @@ class WIBEthFrameProcessor(TaskRawDataProcessor):
         # pathological channels in short single-chunk batches.)
         self.k_slots = config.get("tpg_k_slots", 4)
         self._interpret = bool(config.get("tpg_pallas_interpret", False))
+        # compact the K-slot buffers to a hit list on device (smaller
+        # device->host transfer, no host decode pass; BENCH_NOTES)
+        self._device_compact = bool(config.get("tpg_device_compact", True))
 
         self.error_counter_threshold = config.get("error_counter_threshold",
                                                   1000)
@@ -243,9 +246,8 @@ class WIBEthFrameProcessor(TaskRawDataProcessor):
     def _run_pallas_packed(self, words: np.ndarray):
         """Fused device ingest for one link: (N, 64, 28) packed words."""
         import jax.numpy as jnp
-        from ..ops.ingest import process_packed_frames
-        from ..ops.pallas_tpg import (auto_tc, decode_pallas_hits,
-                                      pack_state, unpack_state)
+        from ..ops.ingest import collect_hits, process_packed_frames
+        from ..ops.pallas_tpg import auto_tc, pack_state, unpack_state
         C = wibeth.N_CHANNELS
         T = words.shape[0] * wibeth.N_TIME_SAMPLES
         if self._pallas_stack is None:
@@ -258,7 +260,8 @@ class WIBEthFrameProcessor(TaskRawDataProcessor):
             jnp.asarray(words.reshape(1, T, 28)), self._pallas_stack,
             self.tpg_cfg, C, tc=tc, k_slots=self.k_slots,
             unroll=unroll, interpret=self._interpret)
-        hits, dropped = decode_pallas_hits(slots, nclose, C)
+        hits, dropped = collect_hits(slots, nclose, C,
+                                     device=self._device_compact)
         if dropped:
             self.metrics.inc("num_hits_dropped", dropped)
         self._state.update(unpack_state(self._pallas_stack, C))
