@@ -182,8 +182,8 @@ class DAPHNEStreamFrameProcessor(TaskRawDataProcessor):
         """Fused device ingest for one PDS link: (N, 472 B) stream frames."""
         import jax.numpy as jnp
         from ..ops.chanstate import init_chanstate, seed_chanstate
-        from ..ops.ingest import process_packed_daphne
-        from ..ops.pallas_tpg import (auto_tc, decode_pallas_hits, pack_state)
+        from ..ops.ingest import collect_hits, process_packed_daphne
+        from ..ops.pallas_tpg import auto_tc, pack_state
         C = daphne.STREAM_N_CHANNELS
         N = flat_frames.shape[0]
         T = N * daphne.STREAM_N_SAMPLES
@@ -200,7 +200,7 @@ class DAPHNEStreamFrameProcessor(TaskRawDataProcessor):
             tc=tc, k_slots=self.k_slots,
             unroll=8 if (not self._interpret and tc % 8 == 0) else 1,
             interpret=self._interpret)
-        hits, dropped = decode_pallas_hits(slots, nclose, C)
+        hits, dropped = collect_hits(slots, nclose, C)
         if dropped:
             self.metrics.inc("num_hits_dropped", dropped)
         return hits

@@ -212,8 +212,8 @@ class WIBFrameProcessor(TaskRawDataProcessor):
         """Fused device ingest for one link: (T, 464 B) frames shipped
         whole; decode + both plane kernels run inside one jit."""
         import jax.numpy as jnp
-        from ..ops.ingest import process_packed_protowib
-        from ..ops.pallas_tpg import (auto_tc, decode_pallas_hits, pack_state)
+        from ..ops.ingest import collect_hits, process_packed_protowib
+        from ..ops.pallas_tpg import auto_tc, pack_state
         if self._coll_stack is None:
             self._coll_stack = pack_state(self._coll_state,
                                           protowib.N_COLLECTION)
@@ -228,8 +228,8 @@ class WIBFrameProcessor(TaskRawDataProcessor):
                                     self.coll_cfg, self.ind_cfg, tc=tc,
                                     k_slots=self.k_slots, unroll=unroll,
                                     interpret=self._interpret)
-        h_coll, d_c = decode_pallas_hits(c_slots, c_n, protowib.N_COLLECTION)
-        h_ind, d_i = decode_pallas_hits(i_slots, i_n, protowib.N_INDUCTION)
+        h_coll, d_c = collect_hits(c_slots, c_n, protowib.N_COLLECTION)
+        h_ind, d_i = collect_hits(i_slots, i_n, protowib.N_INDUCTION)
         if d_c or d_i:
             self.metrics.inc("num_hits_dropped", d_c + d_i)
         return h_coll, h_ind
