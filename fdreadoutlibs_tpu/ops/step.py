@@ -119,7 +119,15 @@ def tpg_tick(st: dict, s_raw, cfg: TPGConfig, xp, fx=None):
                                        cfg.accumulator_limit, xp, fx=fx)
         out["pedestals_rs"], out["accum_rs"] = rs_ped, rs_acc
         # state stores the post-subtraction RS (ProcessAbsRSAVX2.hpp:159,318)
-        x = fx.sub16(rs, rs_ped)
+        if cfg.rs_float:
+            # float-mode rs can exceed int16; the sub's wrap is load-bearing
+            x = fx.sub16(rs, rs_ped)
+        else:
+            # fixed point: rs in [-3276, 3276] (mulhrs bound) and the
+            # frugal median can never step past the values it tracks
+            # (|pedestals_rs| <= 3276 from the 0 seed), so the int16 wrap
+            # of sub_epi16 is unreachable — plain subtract, same value
+            x = rs - rs_ped
         out["rs"] = x
     else:
         raise ValueError(f"tpg_tick does not handle {cfg.algorithm}; "
