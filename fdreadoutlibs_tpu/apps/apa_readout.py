@@ -87,7 +87,7 @@ class APAReadoutApp:
                         for _ in range(n_links)]
 
         self._stack = None
-
+        self._dropped_total = 0
 
     # ---- the fused hot path over all links ------------------------------
     def _device_pass(self, frames_links: np.ndarray):
@@ -116,11 +116,10 @@ class APAReadoutApp:
             jnp.asarray(words), self._stack, self.cfg, C, tc=tc, k_slots=4,
             unroll=16 if tc % 16 == 0 else (8 if tc % 8 == 0 else 1))
         # device-side compaction: only the hit list crosses to the host
-        # (~40x less transfer than the raw slot buffers; BENCH_NOTES)
-        from ..ops.hits import hits_from_compact
-        from ..ops.ingest import compact_on_device
-        rows, n, dropped = compact_on_device(slots, nclose, 0, C, 4096)
-        hits = hits_from_compact(np.asarray(rows), int(n))
+        # (~40x less transfer than the raw slot buffers; BENCH_NOTES);
+        # overflow beyond the auto max_hits is counted in `dropped`
+        from ..ops.ingest import collect_hits
+        hits, dropped = collect_hits(slots, nclose, C)
         per_link = []
         for l in range(L):
             lo, hi = l * 64, (l + 1) * 64
@@ -148,6 +147,7 @@ class APAReadoutApp:
             self.readout[l].cleanup(max_occupancy=2048)
 
         per_link, dropped = self._device_pass(frames_links)
+        self._dropped_total += dropped
         for l in range(L):
             p = self.procs[l]
             p.metrics.inc("num_hits", len(per_link[l]))
@@ -188,6 +188,7 @@ class APAReadoutApp:
                                  for p in self.procs)
         info["ts_errors"] = sum(p.metrics.count("num_ts_errors")
                                 for p in self.procs)
+        info["hits_dropped"] = self._dropped_total
         return info
 
 

@@ -144,14 +144,20 @@ def compact_on_device(slots, nclose, tick_offset, n_channels: int,
                                 tick_offset=tick_offset)
 
 
-def collect_hits(slots, nclose, n_channels: int, max_hits: int = 2048,
+def collect_hits(slots, nclose, n_channels: int, max_hits: int | None = None,
                  tick_offset: int = 0, device: bool = True):
     """Kernel slot outputs -> (canonical hit array, dropped count).
 
     device=True (default) compacts on device and ships only the hit list
     to the host; device=False pulls the raw slot buffers and decodes with
-    numpy (useful when the device is saturated and host cycles are free).
-    Identical results (tested)."""
+    numpy (useful when the device is saturated and host cycles are free,
+    and is always lossless).  Identical results (tested).
+
+    max_hits bounds the device-compact output (None -> max(2048, 2x the
+    channel count): ~30x above physical APA TP rates per window); overflow
+    beyond it is counted in the returned dropped count."""
+    if max_hits is None:
+        max_hits = max(2048, 2 * n_channels)
     if device:
         from .hits import hits_from_compact
         rows, n, dropped = compact_on_device(slots, nclose, tick_offset,

@@ -126,6 +126,9 @@ class DAPHNEStreamFrameProcessor(TaskRawDataProcessor):
             self.backend = config.get("tpg_backend", "reference")
             self._interpret = config.get("tpg_pallas_interpret", False)
             self.k_slots = config.get("tpg_pallas_k_slots", 4)
+            self._device_compact = bool(
+                config.get("tpg_device_compact", True))
+            self._max_hits = config.get("tpg_max_hits")
             self.add_postprocess_task(self.find_hits)
 
     def start(self, args=None) -> None:
@@ -200,7 +203,9 @@ class DAPHNEStreamFrameProcessor(TaskRawDataProcessor):
             tc=tc, k_slots=self.k_slots,
             unroll=8 if (not self._interpret and tc % 8 == 0) else 1,
             interpret=self._interpret)
-        hits, dropped = collect_hits(slots, nclose, C)
+        hits, dropped = collect_hits(slots, nclose, C,
+                                     max_hits=self._max_hits,
+                                     device=self._device_compact)
         if dropped:
             self.metrics.inc("num_hits_dropped", dropped)
         return hits

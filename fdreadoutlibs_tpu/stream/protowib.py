@@ -62,6 +62,8 @@ class WIBFrameProcessor(TaskRawDataProcessor):
             import jax
             self._interpret = jax.default_backend() != "tpu"
         self.k_slots = config.get("tpg_pallas_k_slots", 4)
+        self._device_compact = bool(config.get("tpg_device_compact", True))
+        self._max_hits = config.get("tpg_max_hits")
 
         self.add_preprocess_task(self.timestamp_check)
         self.add_preprocess_task(self.frame_error_check)
@@ -228,8 +230,12 @@ class WIBFrameProcessor(TaskRawDataProcessor):
                                     self.coll_cfg, self.ind_cfg, tc=tc,
                                     k_slots=self.k_slots, unroll=unroll,
                                     interpret=self._interpret)
-        h_coll, d_c = collect_hits(c_slots, c_n, protowib.N_COLLECTION)
-        h_ind, d_i = collect_hits(i_slots, i_n, protowib.N_INDUCTION)
+        h_coll, d_c = collect_hits(c_slots, c_n, protowib.N_COLLECTION,
+                                   max_hits=self._max_hits,
+                                   device=self._device_compact)
+        h_ind, d_i = collect_hits(i_slots, i_n, protowib.N_INDUCTION,
+                                  max_hits=self._max_hits,
+                                  device=self._device_compact)
         if d_c or d_i:
             self.metrics.inc("num_hits_dropped", d_c + d_i)
         return h_coll, h_ind

@@ -141,6 +141,7 @@ class WIB2FrameProcessor(WIBEthFrameProcessor):
             unroll=8 if (not self._interpret and tc % 8 == 0) else 1,
             interpret=self._interpret)
         hits, dropped = collect_hits(slots, nclose, C,
+                                     max_hits=self._max_hits,
                                      device=self._device_compact)
         if dropped:
             self.metrics.inc("num_hits_dropped", dropped)

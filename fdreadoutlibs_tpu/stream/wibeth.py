@@ -83,8 +83,11 @@ class WIBEthFrameProcessor(TaskRawDataProcessor):
         self.k_slots = config.get("tpg_k_slots", 4)
         self._interpret = bool(config.get("tpg_pallas_interpret", False))
         # compact the K-slot buffers to a hit list on device (smaller
-        # device->host transfer, no host decode pass; BENCH_NOTES)
+        # device->host transfer, no host decode pass; BENCH_NOTES).
+        # tpg_max_hits bounds the compacted output per batch (None ->
+        # max(2048, 2x channels)); overflow is counted as dropped.
         self._device_compact = bool(config.get("tpg_device_compact", True))
+        self._max_hits = config.get("tpg_max_hits")
 
         self.error_counter_threshold = config.get("error_counter_threshold",
                                                   1000)
@@ -261,6 +264,7 @@ class WIBEthFrameProcessor(TaskRawDataProcessor):
             self.tpg_cfg, C, tc=tc, k_slots=self.k_slots,
             unroll=unroll, interpret=self._interpret)
         hits, dropped = collect_hits(slots, nclose, C,
+                                     max_hits=self._max_hits,
                                      device=self._device_compact)
         if dropped:
             self.metrics.inc("num_hits_dropped", dropped)
