@@ -37,8 +37,12 @@ class RawDataProcessorConf:
     error_reset_freq: int = 10_000
     # TPU-framework extensions
     tpg_backend: str = "auto"           # auto | reference | scan | pallas
-    tpg_k_slots: int = 8
+    tpg_k_slots: int = 4                # per-chunk hit capacity
     tpg_pallas_interpret: bool = False
+    tpg_device_compact: bool = True     # compact hit list on device
+    tpg_max_hits: int | None = None     # None -> max(2048, 2x channels)
+    tpg_track_peaks: bool | None = None  # None -> algorithm default
+    channel_map_args: dict = field(default_factory=dict)
 
     def as_dict(self) -> dict:
         return asdict(self)
@@ -53,6 +57,9 @@ class ReadoutModelConf:
     tpset_min_latency_ticks: int = 100_000
     tardy_tp_quiet_time_at_start_sec: int = 10
     tpset_window_size: int = 100_000
+    # TPU-framework extension: quiet links keep emitting kHeartbeat TPSets
+    # driven by observed stream time (tp/request_handler.py)
+    emit_heartbeats_when_empty: bool = True
 
     def as_dict(self) -> dict:
         return asdict(self)
