@@ -165,16 +165,17 @@ def empty_superchunks(n: int = 1, stream: bool = False) -> np.ndarray:
 def fake_timestamps(superchunks: np.ndarray, first_timestamp: int,
                     offset: int = EXPECTED_TICK_DIFFERENCE,
                     stream: bool = False) -> None:
-    """Per-frame timestamps at +offset within the superchunk
-    (DAPHNESuperChunkTypeAdapter.hpp:49-57)."""
+    """Per-frame timestamps at +offset (DAPHNESuperChunkTypeAdapter.hpp:
+    49-57), advancing ACROSS superchunks in a batch like the other
+    adapters' batch semantics (wib2/protowib) — a multi-chunk batch gets
+    globally monotonic timestamps, not a per-chunk restart."""
     frames = superchunk_frames(superchunks, stream=stream)
     setter = stream_set_timestamp if stream else set_timestamp
     n_frames = frames.shape[-2]
-    flat = frames.reshape(-1, n_frames, frames.shape[-1])
-    for chunk in range(flat.shape[0]):
-        ts = np.uint64(first_timestamp) + \
-            np.arange(n_frames, dtype=np.uint64) * np.uint64(offset)
-        setter(flat[chunk], ts)
+    flat = frames.reshape(-1, frames.shape[-1])
+    ts = np.uint64(first_timestamp) + \
+        np.arange(flat.shape[0], dtype=np.uint64) * np.uint64(offset)
+    setter(flat, ts)
 
 
 def get_first_timestamp(superchunks: np.ndarray, stream: bool = False):

@@ -26,9 +26,14 @@ EVENT_HEADER_DTYPE = np.dtype([
     ("baseline", "<u2"),
     ("cfdPoint", "<u2", (4,)),
     ("intTimestamp", "<u2", (4,)),
+    # the C++ ssp::EventHeader has 4-byte alignment (uint members), so
+    # sizeof == 52, not the 50 bytes of fields: the DAQ's byte stream
+    # carries 2 trailing pad bytes before the waveform data
+    ("_pad", "<u2"),
 ])
 
 HEADER_SIZE = EVENT_HEADER_DTYPE.itemsize
+assert HEADER_SIZE == 52  # sizeof(fddetdataformats::ssp::EventHeader)
 PAYLOAD_SIZE = 1012                 # kSSPFrameSize (hpp:18)
 FRAME_SIZE = HEADER_SIZE + PAYLOAD_SIZE
 FRAGMENT_TYPE = "kPDSData"

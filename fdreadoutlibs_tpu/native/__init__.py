@@ -63,6 +63,11 @@ def load():
                                       ctypes.c_uint64]
     lib.lb_pop_until.restype = ctypes.c_uint64
     lib.lb_pop_until.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+    lib.lb_pop_n.restype = ctypes.c_uint64
+    lib.lb_pop_n.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+    lib.lb_key_at.restype = ctypes.c_int
+    lib.lb_key_at.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
+                              ctypes.POINTER(ctypes.c_uint64)]
     lib.lb_cleanup_max_ts_diff.restype = ctypes.c_uint64
     lib.lb_cleanup_max_ts_diff.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
     # frame codec
@@ -141,6 +146,18 @@ class NativeLatencyBuffer:
 
     def pop_until(self, ts: int) -> int:
         return int(self._lib.lb_pop_until(self._h, ts))
+
+    def pop_n(self, n: int) -> int:
+        """Drop the n oldest records (exact count, duplicate-key safe)."""
+        return int(self._lib.lb_pop_n(self._h, n))
+
+    def key_at(self, idx: int):
+        """Key of the idx-th oldest record (None if out of range) — no
+        record copies (the occupancy-trim path's cheap query)."""
+        k = ctypes.c_uint64()
+        if not self._lib.lb_key_at(self._h, idx, ctypes.byref(k)):
+            return None
+        return int(k.value)
 
     def cleanup_max_ts_diff(self, max_diff: int) -> int:
         return int(self._lib.lb_cleanup_max_ts_diff(self._h, max_diff))

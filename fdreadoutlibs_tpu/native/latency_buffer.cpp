@@ -134,6 +134,34 @@ uint64_t lb_pop_until(void* h, uint64_t ts) {
   return dropped;
 }
 
+// Drop the n oldest records; returns the number dropped.  Exact-count
+// trimming (occupancy caps) — duplicate keys make pop_until inexact.
+uint64_t lb_pop_n(void* h, uint64_t n) {
+  Buffer* b = static_cast<Buffer*>(h);
+  std::lock_guard<std::mutex> lock(b->mu);
+  uint64_t dropped = 0;
+  auto it = b->index.begin();
+  while (it != b->index.end() && dropped < n) {
+    b->free_slots.push_back(it->second);
+    it = b->index.erase(it);
+    ++dropped;
+  }
+  return dropped;
+}
+
+// Key of the idx-th oldest record (0 if out of range, rc 0).  O(idx) walk,
+// NO record copies — the occupancy-trim path reads one key instead of
+// snapshotting the whole buffer.
+int lb_key_at(void* h, uint64_t idx, uint64_t* key) {
+  Buffer* b = static_cast<Buffer*>(h);
+  std::lock_guard<std::mutex> lock(b->mu);
+  if (idx >= b->index.size()) return 0;
+  auto it = b->index.begin();
+  std::advance(it, static_cast<ptrdiff_t>(idx));
+  *key = it->first;
+  return 1;
+}
+
 // DAPHNEListRequestHandler-style trim: pop oldest until newest - oldest
 // <= max_diff (DAPHNEListRequestHandler.cpp:37-50).
 uint64_t lb_cleanup_max_ts_diff(void* h, uint64_t max_diff) {

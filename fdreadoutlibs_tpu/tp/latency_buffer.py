@@ -97,14 +97,34 @@ class LatencyBuffer:
             hi = np.searchsorted(arr[self.key], end_ts, side="left")
             return arr[lo:hi].copy()
 
+    def key_at(self, idx: int):
+        """Key of the idx-th oldest record (None if out of range) — the
+        cheap query the occupancy-trim path uses instead of snapshot()."""
+        with self._lock:
+            arr = self._consolidate()
+            if idx >= len(arr):
+                return None
+            return int(arr[self.key][idx])
+
     # -- cleanup ---------------------------------------------------------
     def pop_until(self, ts: int) -> int:
         """Drop records with key < ts; returns number dropped."""
         with self._lock:
             arr = self._consolidate()
             lo = np.searchsorted(arr[self.key], ts, side="left") if len(arr) else 0
-            self._sorted = arr[lo:]
+            # copy the tail: a view would pin the whole pre-pop allocation
+            # alive until the next consolidation (large payload buffers)
+            self._sorted = arr[lo:].copy() if lo else arr
             return int(lo)
+
+    def pop_n(self, n: int) -> int:
+        """Drop the n oldest records (exact count, duplicate-key safe)."""
+        with self._lock:
+            arr = self._consolidate()
+            n = min(int(n), len(arr))
+            if n:
+                self._sorted = arr[n:].copy()
+            return n
 
     def cleanup_max_ts_diff(self, max_ts_diff: int) -> int:
         """DAPHNEListRequestHandler-style cleanup: pop the oldest until
@@ -129,6 +149,15 @@ class NativeLatencyBufferAdapter:
     def __init__(self, dtype, capacity: int | None = None, key: str = "time_start"):
         from .. import native
         self.key = key
+        dtype = np.dtype(dtype)
+        # the native buffer keys on the first 8 bytes of each record —
+        # reject key fields it cannot honor rather than silently ordering
+        # by whatever sits at offset 0
+        if dtype.names is None or dtype.names[0] != key or \
+                dtype[key].itemsize != 8:
+            raise ValueError(
+                f"native buffer requires the key field {key!r} to be the "
+                f"first 8 bytes of the record dtype; got {dtype}")
         self._buf = native.NativeLatencyBuffer(dtype, capacity or 0)
         self.total_inserted = 0
 
@@ -151,6 +180,12 @@ class NativeLatencyBufferAdapter:
 
     def pop_until(self, ts: int) -> int:
         return self._buf.pop_until(int(ts))
+
+    def pop_n(self, n: int) -> int:
+        return self._buf.pop_n(int(n))
+
+    def key_at(self, idx: int):
+        return self._buf.key_at(int(idx))
 
     def cleanup_max_ts_diff(self, max_ts_diff: int) -> int:
         return self._buf.cleanup_max_ts_diff(int(max_ts_diff))

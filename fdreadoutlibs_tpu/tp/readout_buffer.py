@@ -82,9 +82,9 @@ class ReadoutRequestHandler:
         if max_occupancy is not None:
             excess = self.buffer.occupancy() - max_occupancy
             if excess > 0:
-                arr = self.buffer.snapshot()
-                dropped += self.buffer.pop_until(
-                    int(arr["time_start"][excess]))
+                # exact-count trim: no whole-buffer snapshot, safe for
+                # max_occupancy=0 and duplicate timestamps
+                dropped += self.buffer.pop_n(excess)
         if dropped:
             self.metrics.inc("num_payloads_cleaned", dropped)
         return dropped

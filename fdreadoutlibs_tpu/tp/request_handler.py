@@ -57,7 +57,8 @@ class TPRequestHandler:
         self.cutoff_timestamp = 0
         self.next_tpset_seqno = 0
         self._start_win_ts = None
-        self._last_stream_ts = None  # newest observed stream timestamp
+        self._last_stream_ts = None   # newest observed stream timestamp
+        self._first_stream_ts = None  # first observed (zero-TP window seed)
         self._run_start = time.monotonic()
         self.metrics.reset_interval()
         self._run_marker = True
@@ -93,12 +94,19 @@ class TPRequestHandler:
         newest frame timestamp of a processed batch): a link that has
         produced ZERO TPs — or whose buffered TPs are stale — then still
         emits monotonically advancing kHeartbeat TPSets, keeping downstream
-        trigger aggregation moving."""
+        trigger aggregation moving.
+
+        Deliberately does NOT seed the window start: ``ts`` is a batch-END
+        timestamp, and seeding the start from it would exclude every TP of
+        the first batch.  send_tp_sets_once seeds the start from the oldest
+        buffered TP (reference semantics, TPCTPRequestHandler.cpp:127-129),
+        falling back to the FIRST observed stream timestamp for zero-TP
+        links."""
         ts = int(ts)
         if self._last_stream_ts is None or ts > self._last_stream_ts:
             self._last_stream_ts = ts
-        if self._start_win_ts is None:
-            self._start_win_ts = ts
+        if self._first_stream_ts is None:
+            self._first_stream_ts = ts
 
     # -- TPSet emission (cpp:100-193) ------------------------------------
     def send_tp_sets_once(self) -> Optional[TPSet]:
@@ -119,6 +127,10 @@ class TPRequestHandler:
                 self._last_stream_ts is not None:
             newest = self._last_stream_ts if newest is None \
                 else max(newest, self._last_stream_ts)
+            if self._start_win_ts is None:
+                # zero-TP link: the window starts at the FIRST observed
+                # stream timestamp (note_stream_time docs)
+                self._start_win_ts = self._first_stream_ts
         if newest is None or self._start_win_ts is None:
             return None
         if newest - self._start_win_ts <= self.min_latency_ticks:
@@ -169,9 +181,8 @@ class TPRequestHandler:
         if max_occupancy is not None:
             excess = self.buffer.occupancy() - max_occupancy
             if excess > 0:
-                arr = self.buffer.snapshot()
-                cutoff = int(arr["time_start"][excess])
-                dropped += self.buffer.pop_until(cutoff)
+                # exact-count trim (no snapshot; duplicate-key safe)
+                dropped += self.buffer.pop_n(excess)
         if dropped:
             self.metrics.inc("num_tps_cleaned", dropped)
         return dropped

@@ -15,7 +15,7 @@ from typing import Optional
 
 import numpy as np
 
-from ..formats.trigprim import TPSet, TPSetType
+from ..formats.trigprim import TP_DTYPE, TPSet, TPSetType
 
 
 class WIBTPHandler:
@@ -71,7 +71,8 @@ class WIBTPHandler:
         tpset = TPSet(run_number=self.run_number, type=TPSetType.kPayload,
                       origin=self.source_id, start_time=start, end_time=end,
                       seqno=self.next_tpset_seqno,
-                      objects=np.array(objs) if objs else np.zeros(0))
+                      objects=(np.array(objs) if objs
+                               else np.zeros(0, dtype=TP_DTYPE)))
         self.next_tpset_seqno += 1
         if self.tpset_sink is not None:
             self.tpset_sink.try_send(tpset)

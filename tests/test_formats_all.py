@@ -135,6 +135,14 @@ class TestDAPHNE:
         np.testing.assert_array_equal(ts, 1000 + 64 * np.arange(12))
         assert daphne.get_first_timestamp(sc, stream=True)[0] == 1000
 
+    def test_fake_timestamps_advance_across_superchunks(self):
+        """Multi-chunk batches get globally monotonic timestamps (the
+        wib2/protowib batch semantics), not a per-chunk restart."""
+        sc = daphne.empty_superchunks(3, stream=True)
+        daphne.fake_timestamps(sc, 1000, offset=64, stream=True)
+        firsts = daphne.get_first_timestamp(sc, stream=True)
+        np.testing.assert_array_equal(firsts, 1000 + 12 * 64 * np.arange(3))
+
 
 class TestTDE:
     def test_channel_and_timestamp(self):
@@ -157,6 +165,20 @@ class TestTDE:
 
 
 class TestSSP:
+    def test_frame_size_matches_aligned_cpp_struct(self):
+        """sizeof(ssp::EventHeader) is 52 (4-byte C alignment pads the 50
+        bytes of fields), so an SSPFrameTypeAdapter payload is 1064 bytes
+        and the waveform starts at offset 52 — a packed 50-byte header
+        would mis-frame every real DAQ payload."""
+        assert ssp.HEADER_SIZE == 52
+        assert ssp.FRAME_SIZE == 52 + 1012 == 1064
+        frames = ssp.empty_frames(1)
+        ssp.set_waveform(frames, np.arange(506, dtype=np.uint16))
+        # the waveform region must not overlap the (padded) header
+        assert (frames[0, :52] == 0).all()
+        np.testing.assert_array_equal(ssp.get_waveform(frames)[0],
+                                      np.arange(506))
+
     def test_timestamp_split_words(self):
         """hpp:36-57: ts split across 4 x 16-bit words."""
         frames = ssp.empty_frames(2)

@@ -176,6 +176,38 @@ class TestTPRequestHandler:
         # a late-but-valid TP (after the cutoff) is NOT tardy-dropped
         assert h.insert_tps(tps_at([5_950])) == 1
 
+    def test_first_batch_tps_not_excluded_by_stream_anchor(self):
+        """Regression: apa_readout inserts TPs then notes the batch-END
+        stream time; the window start must come from the OLDEST buffered
+        TP (reference semantics), not the later stream anchor — otherwise
+        the whole first batch vanished from the TPSet stream."""
+        h, sink = self.make(min_latency=100)
+        h.insert_tps(tps_at([1000, 2000]))
+        h.note_stream_time(5_000)          # batch-end frame timestamp
+        s = h.send_tp_sets_once()
+        assert s is not None and s.type == TPSetType.kPayload
+        np.testing.assert_array_equal(s.objects["time_start"], [1000, 2000])
+
+    def test_cleanup_to_zero_occupancy(self):
+        """Regression: max_occupancy=0 must empty the buffer, not crash."""
+        h, sink = self.make()
+        h.insert_tps(tps_at([10, 20, 30]))
+        assert h.cleanup(max_occupancy=0) == 3
+        assert h.buffer.occupancy() == 0
+        # duplicate timestamps trim by exact count
+        h.insert_tps(tps_at([5, 5, 5, 5]))
+        assert h.cleanup(max_occupancy=1) == 3
+        assert h.buffer.occupancy() == 1
+
+    def test_pop_n_and_key_at(self):
+        buf = LatencyBuffer()
+        buf.insert(tps_at([10, 20, 20, 30]))
+        assert buf.key_at(0) == 10 and buf.key_at(2) == 20
+        assert buf.key_at(10) is None
+        assert buf.pop_n(3) == 3
+        assert buf.occupancy() == 1 and buf.oldest_ts() == 30
+        assert buf.pop_n(5) == 1           # clamped to occupancy
+
     def test_quiet_heartbeats_can_be_disabled(self):
         h, sink = self.make(min_latency=100)
         h.conf({"tpset_min_latency_ticks": 100,
