@@ -251,7 +251,8 @@ def cmd_channel_map(args) -> int:
     if args.file:
         m = TableChannelMap.from_file(args.file)
     else:
-        m = make_map(args.name)
+        kw = {"frontend": args.frontend} if args.frontend else {}
+        m = make_map(args.name, **kw)
     offl = m.offline_channels(args.crate, args.slot, args.stream,
                               args.channels)
     planes = m.planes(offl)
@@ -363,6 +364,9 @@ def build_parser() -> argparse.ArgumentParser:
     cm.add_argument("--slot", type=int, default=0)
     cm.add_argument("--stream", type=int, default=0)
     cm.add_argument("--channels", type=int, default=64)
+    cm.add_argument("--frontend", default=None, choices=["wibeth", "wib2"],
+                    help="electronics framing for geometry-derived maps "
+                         "(wib2 = 2 links x 256 ch per WIB)")
     cm.add_argument("--json", action="store_true")
     cm.set_defaults(fn=cmd_channel_map)
     return p

@@ -152,9 +152,16 @@ class HDAPAChannelMap(ChannelMap):
 
     * one APA = 2560 channels: 800 U + 800 V + 960 X (collection), read
       out by 20 FEMBs of 128 channels (40 U + 40 V + 48 X each);
-    * WIBEth readout: crate = APA, slot = WIB in [0, 5), stream in [0, 8)
-      = (FEMB-in-WIB in [0,4)) * 2 + half, each stream one 64-channel
-      half-FEMB (DUNEWIBEthTypeAdapter s_channels_per_half_femb = 64);
+    * WIBEth readout (``frontend="wibeth"``, default): crate = APA, slot =
+      WIB in [0, 5), stream in [0, 8) = (FEMB-in-WIB in [0,4)) * 2 + half,
+      each stream one 64-channel half-FEMB (DUNEWIBEthTypeAdapter
+      s_channels_per_half_femb = 64);
+    * WIB2 readout (``frontend="wib2"``): the DUNE-WIB serves the same 4
+      FEMBs over 2 links of 256 channels (DUNEWIBSuperChunkTypeAdapter;
+      the reference processes each link as two 128-channel register-
+      selector halves, WIB2FrameProcessor.cpp:224-225) — stream = link in
+      [0, 2), chan in [0, 256): femb = slot*4 + link*2 + chan//128,
+      in-FEMB channel = chan % 128;
     * offline numbering is electronics-ordered within each plane block
       (the detchannelmaps convention):
       ``offline = apa*2560 + plane_offset + femb*per_femb + index`` with
@@ -178,7 +185,12 @@ class HDAPAChannelMap(ChannelMap):
     PLANE_OFFSETS = {1: 0, 2: 800, 0: 1600}      # per APA plane blocks
     N_FEMBS = 20
 
-    def __init__(self, femb_table: np.ndarray | None = None):
+    def __init__(self, femb_table: np.ndarray | None = None,
+                 frontend: str = "wibeth"):
+        if frontend not in ("wibeth", "wib2"):
+            raise ValueError(f"unknown frontend {frontend!r} "
+                             "(expected 'wibeth' or 'wib2')")
+        self.frontend = frontend
         if femb_table is None:
             femb_table = self.default_femb_table()
         femb_table = np.asarray(femb_table)
@@ -204,16 +216,27 @@ class HDAPAChannelMap(ChannelMap):
         idx = np.concatenate([np.arange(40), np.arange(40), np.arange(48)])
         return np.stack([plane, idx], axis=1)
 
+    def _femb_coords(self, slot: int, stream: int, chan: int):
+        """(slot, stream, in-stream channel) -> (femb, in-FEMB channel) per
+        the configured frontend geometry (class docstring)."""
+        assert 0 <= slot < self.N_WIBS
+        if self.frontend == "wib2":
+            if not (0 <= stream < 2 and 0 <= chan < 256):
+                raise ValueError(
+                    f"WIB2 geometry: link in [0,2), chan in [0,256); got "
+                    f"stream={stream}, chan={chan}")
+            return slot * 4 + stream * 2 + chan // 128, chan % 128
+        if not (0 <= stream < self.N_STREAMS and 0 <= chan < 64):
+            raise ValueError(
+                f"WIBEth geometry: stream in [0,8), chan in [0,64) "
+                f"(half-FEMB streams); got stream={stream}, chan={chan}.  "
+                "256-channel WIB2 frontends use "
+                "HDAPAChannelMap(frontend='wib2').")
+        return slot * 4 + stream // 2, (stream % 2) * 64 + chan
+
     def get_offline_channel_from_crate_slot_stream_chan(self, crate, slot,
                                                         stream, chan):
-        assert 0 <= slot < self.N_WIBS and 0 <= stream < self.N_STREAMS
-        if not 0 <= chan < 64:
-            raise ValueError(
-                f"HDAPAChannelMap streams carry 64 channels (half-FEMB); "
-                f"got chan={chan}.  256-channel frontends (WIB2) use a "
-                "different geometry — load a table map instead.")
-        femb = slot * 4 + stream // 2
-        femb_chan = (stream % 2) * 64 + chan
+        femb, femb_chan = self._femb_coords(slot, stream, chan)
         return int(crate) * self.CHANNELS_PER_APA + \
             int(self._in_apa[femb, femb_chan])
 
@@ -225,15 +248,21 @@ class HDAPAChannelMap(ChannelMap):
 
     # vectorized fast path (the per-link setup in apps uses this)
     def offline_channels(self, crate, slot, stream, n_channels=64):
-        if n_channels > 64:
+        stream_width = 256 if self.frontend == "wib2" else 64
+        if n_channels > stream_width:
             raise ValueError(
-                f"HDAPAChannelMap streams carry 64 channels (half-FEMB); "
-                f"asked for {n_channels}.  256-channel frontends (WIB2) "
-                "use a different geometry — load a table map instead.")
-        femb = slot * 4 + stream // 2
-        base = (stream % 2) * 64
-        return (crate * self.CHANNELS_PER_APA
-                + self._in_apa[femb, base:base + n_channels]).astype(np.int64)
+                f"HDAPAChannelMap({self.frontend!r}) streams carry "
+                f"{stream_width} channels; asked for {n_channels}.")
+        if self.frontend == "wib2":
+            assert 0 <= slot < self.N_WIBS and 0 <= stream < 2
+            fembs = slot * 4 + stream * 2 + np.arange(n_channels) // 128
+            chans = np.arange(n_channels) % 128
+            in_apa = self._in_apa[fembs, chans]
+        else:
+            femb = slot * 4 + stream // 2
+            base = (stream % 2) * 64
+            in_apa = self._in_apa[femb, base:base + n_channels]
+        return (crate * self.CHANNELS_PER_APA + in_apa).astype(np.int64)
 
 
 def register_map(name: str, factory) -> None:

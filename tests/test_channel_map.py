@@ -50,6 +50,76 @@ class TestHDAPAChannelMap:
                 assert (planes == 2).sum() == 40
                 assert (planes == 0).sum() == 48
 
+    def test_wib2_frontend_bijective_and_consistent_with_wibeth(self):
+        """WIB2 geometry (2 links x 256 ch per WIB) covers the same APA:
+        all 5 WIBs x 2 links x 256 channels hit offline [0, 2560) exactly
+        once, and each (femb, in-FEMB channel) resolves to the SAME offline
+        number as through the WIBEth half-FEMB streams (same electronics,
+        different framing)."""
+        m2 = HDAPAChannelMap(frontend="wib2")
+        me = HDAPAChannelMap()
+        seen = []
+        for slot in range(5):
+            for link in range(2):
+                offl = m2.offline_channels(0, slot, link, 256)
+                seen.append(offl)
+                # frame channel c = (femb-in-link)*128 + femb_chan; the
+                # WIBEth equivalent stream is femb*2 + femb_chan//64
+                for c in (0, 63, 64, 127, 128, 200, 255):
+                    femb_in_wib = link * 2 + c // 128
+                    femb_chan = c % 128
+                    stream = femb_in_wib * 2 + femb_chan // 64
+                    assert offl[c] == \
+                        me.get_offline_channel_from_crate_slot_stream_chan(
+                            0, slot, stream, femb_chan % 64)
+        seen = np.concatenate(seen)
+        np.testing.assert_array_equal(np.sort(seen), np.arange(2560))
+
+    def test_wib2_frontend_guards(self):
+        import pytest
+        m2 = HDAPAChannelMap(frontend="wib2")
+        with pytest.raises(ValueError, match="256"):
+            m2.get_offline_channel_from_crate_slot_stream_chan(0, 0, 2, 0)
+        with pytest.raises(ValueError, match="unknown frontend"):
+            HDAPAChannelMap(frontend="tde")
+
+    def test_wib2_processor_runs_with_hd_map(self):
+        """End-to-end: the WIB2 processor configured with the HD APA map
+        (frontend='wib2') assigns production memory factors from the real
+        plane split and emits TPs with real offline channel numbers."""
+        from fdreadoutlibs_tpu.formats import wib2
+        from fdreadoutlibs_tpu.stream.transport import QueueSender
+        from fdreadoutlibs_tpu.stream.wib2 import WIB2FrameProcessor
+
+        sink = QueueSender()
+        p = WIB2FrameProcessor(tp_sink=sink)
+        p.conf({"crate_id": 0, "slot_id": 1, "link_id": 1,
+                "enable_tpg": True, "tpg_algorithm": "AbsRS",
+                "tpg_threshold": 150, "tpg_backend": "scan",
+                "channel_map_name": "HDAPAChannelMap",
+                "channel_map_args": {"frontend": "wib2"},
+                "enable_simple_threshold_on_collection": True})
+        p.start()
+        n_super = 4
+        sc = wib2.empty_superchunks(n_super)
+        frames = wib2.superchunk_frames(sc)
+        wib2.fake_timestamps(sc, 1000)
+        wib2.fake_geoid(sc, 0, 1, 1)
+        adcs = np.full((n_super * 12, wib2.N_CHANNELS), 820, np.uint16)
+        adcs[10:30, 7] += 900                     # one clear pulse
+        wib2.set_adcs(frames.reshape(-1, wib2.FRAME_SIZE), adcs)
+        p.process(sc)
+        m2 = HDAPAChannelMap(frontend="wib2")
+        expected = m2.offline_channels(0, 1, 1, 256)
+        planes = m2.planes(expected)
+        np.testing.assert_array_equal(
+            p.register_memory_factor == 0, planes == 0)
+        tps = [tp for b in sink.drain() for tp in b]
+        assert len(tps) >= 1
+        chans = {int(t["channel"]) for t in tps}
+        assert chans <= set(expected.tolist())
+        assert int(expected[7]) in chans
+
     def test_crate_is_apa_offset(self):
         m = HDAPAChannelMap()
         a0 = m.offline_channels(0, 2, 3, 64)
@@ -112,7 +182,7 @@ class TestGuards:
         m = HDAPAChannelMap()
         with pytest.raises(ValueError, match="64 channels"):
             m.offline_channels(0, 0, 0, 256)
-        with pytest.raises(ValueError, match="64 channels"):
+        with pytest.raises(ValueError, match="wib2"):
             m.get_offline_channel_from_crate_slot_stream_chan(0, 0, 0, 100)
 
     def test_mf_shift_promise_validated(self):
