@@ -187,7 +187,7 @@ class StreamingIngest:
     def __init__(self, cfg: TPGConfig, n_links: int, tc: int = 512,
                  k_slots: int = 4, unroll: int = 16, interpret: bool = False,
                  format: str = "wibeth", device_compact: bool = False,
-                 max_hits: int = 1024):
+                 max_hits: int = 1024, rs_memory_factor=None):
         from ..formats import daphne, wib2
         self.cfg = cfg
         self.n_links = n_links
@@ -217,6 +217,17 @@ class StreamingIngest:
         self.interpret = interpret
         self.device_compact = device_compact
         self.max_hits = max_hits
+        # per-channel RS memory factors (threshold-on-collection mixes
+        # memoryless collection channels with RS induction channels,
+        # WIBEthFrameProcessor.cpp:441-450); scalar default = cfg value
+        if rs_memory_factor is None:
+            rs_memory_factor = cfg.rs_memory_factor_x10
+        else:
+            rs_memory_factor = np.asarray(rs_memory_factor)
+            assert rs_memory_factor.shape == (self.n_channels,), \
+                f"rs_memory_factor must be scalar or ({self.n_channels},)"
+            cfg.check_memory_factors(rs_memory_factor)
+        self.rs_memory_factor = rs_memory_factor
         self.stack = None
         self._pending = None          # (slots, nclose, tick_offset) or
                                       # (rows, n, dropped) when compacting
@@ -228,7 +239,7 @@ class StreamingIngest:
         first = np.asarray(self._unpack(
             jnp.asarray(words0[:, :1])))[:, 0].reshape(-1)
         state = seed_chanstate(init_chanstate(self.n_channels), first,
-                               self.cfg.rs_memory_factor_x10)
+                               self.rs_memory_factor)
         self.stack = pack_state(state, self.n_channels)
 
     def submit_words(self, words: np.ndarray):

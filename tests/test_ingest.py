@@ -61,6 +61,31 @@ class TestStreamingIngest:
             w.view(np.uint8).reshape(2, -1),
             frames[0][:, 32:])
 
+    def test_per_channel_memory_factors_match_oracle(self):
+        """StreamingIngest(rs_memory_factor=per-channel) — the production
+        threshold-on-collection mix — is bit-exact vs the oracle seeded
+        with the same factors."""
+        L, N = 2, 2
+        frames, adcs = make_frames(L, N, seed=9, pulse=(0, 1, 20, 3, 1500))
+        cfg = TPGConfig.from_raw("AbsRS", threshold=150)
+        C = L * 64
+        rmf = np.where(np.arange(C) % 2 == 0, 0, cfg.rs_memory_factor_x10)
+        ing = StreamingIngest(cfg, n_links=L, tc=64, k_slots=8,
+                              interpret=True, rs_memory_factor=rmf)
+        ing.submit(frames)
+        got, dropped = ing.flush()
+        ref, _ = run_reference(link_major_stream(adcs), cfg,
+                               rs_memory_factor=rmf)
+        assert len(ref) > 0 and dropped == 0
+        np.testing.assert_array_equal(got, ref)
+        # shape and promise violations are rejected loudly
+        import pytest
+        with pytest.raises(AssertionError, match="rs_memory_factor"):
+            StreamingIngest(cfg, n_links=L, rs_memory_factor=rmf[:10])
+        with pytest.raises(ValueError, match="rs_mf_shift"):
+            StreamingIngest(cfg, n_links=L,
+                            rs_memory_factor=np.full(C, 6))
+
     def test_pipelining_returns_previous_batch(self):
         L, N = 2, 1
         frames, _ = make_frames(L, N, seed=5)
