@@ -33,8 +33,20 @@ class MultiAPAScheduler:
 
     def __init__(self, cfg: TPGConfig, n_apas: int, n_links: int = 40,
                  tc: int = 512, k_slots: int = 2, unroll: int = 16,
-                 interpret: bool = False, vmem_limit_mb: int | None = None):
+                 interpret: bool = False, vmem_limit_mb: int | None = None,
+                 rs_memory_factor=None):
         self.cfg = cfg
+        # per-channel RS memory factors (threshold-on-collection), shared
+        # by every APA (same geometry); scalar default = cfg value
+        if rs_memory_factor is None:
+            rs_memory_factor = cfg.rs_memory_factor_x10
+        else:
+            rs_memory_factor = np.asarray(rs_memory_factor)
+            n_ch = n_links * wibeth.N_CHANNELS
+            assert rs_memory_factor.shape == (n_ch,), \
+                f"rs_memory_factor must be scalar or ({n_ch},)"
+            cfg.check_memory_factors(rs_memory_factor)
+        self.rs_memory_factor = rs_memory_factor
         self.n_apas = n_apas
         self.n_links = n_links
         self.n_channels = n_links * wibeth.N_CHANNELS
@@ -58,7 +70,7 @@ class MultiAPAScheduler:
         first = np.asarray(wibeth.unpack_frames_jnp(
             jnp.asarray(words[:, :1])))[:, 0].reshape(-1)
         state = seed_chanstate(init_chanstate(self.n_channels), first,
-                               self.cfg.rs_memory_factor_x10)
+                               self.rs_memory_factor)
         self._stacks[apa] = pack_state(state, self.n_channels)
 
     def submit(self, apa: int, frames_links: np.ndarray):

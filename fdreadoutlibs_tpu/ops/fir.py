@@ -150,7 +150,10 @@ def tpg_tick_fir(st: dict, s_raw, cfg: TPGConfig, xp, taps: tuple, fx=None):
 
     closed = (st["prev_was_over"] != 0) & ~is_over
     to_add = xp.where(is_over, filt >> cfg.tap_exponent, zero)
-    charge = fx.add_clamp(st["hit_charge"], to_add, INT16_MAX)
+    # filt can be negative while over (wrapped threshold product), so the
+    # AVX adds_epi16 floor applies (PARITY.md "charge saturation")
+    charge = fx.add_clamp(st["hit_charge"], to_add, INT16_MAX,
+                          floor=-INT16_MAX - 1)
     if cfg.track_peaks:
         peak_upd = filt > st["hit_peak_adc"]
         if cfg.peak_gated:

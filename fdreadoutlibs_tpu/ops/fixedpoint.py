@@ -123,8 +123,16 @@ class I32Fx:
             div10 = staticmethod(lambda a: div16_const_i16(a, 10))
             rs_div10 = staticmethod(rs_div10_unwrapped)
             sub16 = staticmethod(lambda a, b: wrap_i16(a - b))
-            add_clamp = staticmethod(
-                lambda a, b, cap: xp.minimum(a + b, cap))
+
+            @staticmethod
+            def add_clamp(a, b, cap, floor=None):
+                # floor=INT16_MIN reproduces _mm256_adds_epi16's negative
+                # saturation (the production RS/FIR kernels); floor=None
+                # is the top-only clamp of the naive oracle's int32
+                # accumulate (ProcessNaive.hpp:96-99), enough when the
+                # accumulated terms are provably non-negative
+                s = xp.minimum(a + b, cap)
+                return s if floor is None else xp.maximum(s, floor)
             widen = staticmethod(lambda x: x)
             clip = staticmethod(lambda x, lo, hi: xp.clip(x, lo, hi))
             minimum = staticmethod(xp.minimum)
@@ -166,10 +174,13 @@ class I16Fx:
                 return ((a32 * 3276 + 16384) >> 15).astype(xp.int16)
 
             @staticmethod
-            def add_clamp(a, b, cap):
-                # widen for the top clamp (naive int32-accumulate semantics)
-                return xp.minimum(a.astype(xp.int32) + b.astype(xp.int32),
-                                  cap).astype(xp.int16)
+            def add_clamp(a, b, cap, floor=None):
+                # widen for the clamps (naive int32-accumulate semantics;
+                # floor = adds_epi16 negative saturation, see I32Fx)
+                s = xp.minimum(a.astype(xp.int32) + b.astype(xp.int32), cap)
+                if floor is not None:
+                    s = xp.maximum(s, floor)
+                return s.astype(xp.int16)
 
             widen = staticmethod(lambda x: x.astype(xp.int32))
 

@@ -146,9 +146,17 @@ def tpg_tick(st: dict, s_raw, cfg: TPGConfig, xp, fx=None):
 
     # charge accumulates the *pedestal-subtracted ADC* (not the filtered
     # value) in every algorithm of this family; widening accumulate + clamp
-    # reproduces the naive "simulated saturated add" (ProcessNaive.hpp:96-99).
+    # reproduces the naive "simulated saturated add" (ProcessNaive.hpp:96-99)
+    # on top.  The RS family can accumulate NEGATIVE samples while over
+    # (is_over gates on the filtered waveform), so the production AVX
+    # adds_epi16 floor at INT16_MIN is reproduced there (PARITY.md "charge
+    # saturation"); SimpleThreshold with a positive threshold only ever
+    # adds s > threshold > 0, so the floor op is skipped (trace-time).
+    need_floor = cfg.algorithm != Algorithm.SIMPLE_THRESHOLD or \
+        cfg.threshold < 0
     charge = fx.add_clamp(st["hit_charge"], xp.where(is_over, s, zero),
-                          INT16_MAX)
+                          INT16_MAX,
+                          floor=-INT16_MAX - 1 if need_floor else None)
     peak_upd = s > st["hit_peak_adc"]
     if cfg.peak_gated:
         peak_upd = peak_upd & is_over

@@ -244,6 +244,10 @@ class WIBFrameProcessor(TaskRawDataProcessor):
                   timestamp: int, current_time: int) -> None:
         """add_hits_to_tphandler (hpp:586-676): WIB TP variant with
         clocksPerTPCTick = 25, peak = midpoint, adc_peak = charge/20."""
+        # uint16 charge decode + zero-charge skip, like the reference
+        # (WIBFrameProcessor.hpp:590, 628, 652-653)
+        charge_u16 = hits["charge"].astype(np.int64) & 0xFFFF
+        hits, charge_u16 = hits[charge_u16 != 0], charge_u16[charge_u16 != 0]
         if len(hits) == 0:
             return
         end_tick = hits["end_tick"].astype(np.int64)
@@ -255,8 +259,8 @@ class WIBFrameProcessor(TaskRawDataProcessor):
         tps["time_peak"] = ((t_begin + t_end) // 2).astype(np.uint64)
         tps["time_over_threshold"] = (tover * CLOCKS_PER_TPC_TICK).astype(np.uint64)
         tps["channel"] = offlines[hits["channel"]]
-        tps["adc_integral"] = hits["charge"]
-        tps["adc_peak"] = hits["charge"] // 20
+        tps["adc_integral"] = charge_u16
+        tps["adc_peak"] = charge_u16 // 20
         tps["detid"] = self.fiber_no
         tps["type"] = TPType.kTPC
         # the reference labels WIB FIR output kSimpleThreshold (hpp:659)

@@ -151,6 +151,11 @@ class WIB2FrameProcessor(WIBEthFrameProcessor):
     # ------------------------------------------------------- TP assembly
     def process_swtpg_hits(self, hits: np.ndarray, timestamp: int) -> None:
         """WIB2 TP variant (cpp:420-460)."""
+        # zero-uint16-charge hits are skipped and charge crosses as its
+        # uint16 reinterpretation, like the reference decode (cpp:404,
+        # 429, 453-454 — adc_peak divides the UNSIGNED value)
+        charge_u16 = hits["charge"].astype(np.int64) & 0xFFFF
+        hits, charge_u16 = hits[charge_u16 != 0], charge_u16[charge_u16 != 0]
         if len(hits) == 0:
             return
         end_tick = hits["end_tick"].astype(np.int64)
@@ -164,8 +169,8 @@ class WIB2FrameProcessor(WIBEthFrameProcessor):
         tps["time_peak"] = ((t_begin + t_end) // 2).astype(np.uint64)
         tps["time_over_threshold"] = (tover * CLOCKS_PER_TPC_TICK).astype(np.uint64)
         tps["channel"] = offline
-        tps["adc_integral"] = hits["charge"]
-        tps["adc_peak"] = hits["charge"] // 20
+        tps["adc_integral"] = charge_u16
+        tps["adc_peak"] = charge_u16 // 20
         tps["detid"] = self.det_id
         tps["type"] = TPType.kTPC
         tps["algorithm"] = self.tp_algo

@@ -297,6 +297,15 @@ class WIBEthFrameProcessor(TaskRawDataProcessor):
         t_begin = ts + 32 * (end_tick - tover); t_peak = t_begin +
         32 * peak_time (cpp:523-524).
         """
+        # the reference records a hit only when the uint16-decoded charge is
+        # nonzero (WIBEthFrameProcessor.cpp:517-521 `if (hit_charge[i] &&`);
+        # charge fields cross to TPs as their uint16 reinterpretation (the
+        # reference decodes the kernel output as uint16_t, cpp:484,544-545 —
+        # an RS hit whose samples sum negative yields a large adc_integral)
+        charge_u16 = hits["charge"].astype(np.int64) & 0xFFFF
+        keep = charge_u16 != 0
+        if not keep.all():
+            hits, charge_u16 = hits[keep], charge_u16[keep]
         if len(hits) == 0:
             return
         t_begin = (np.int64(timestamp)
@@ -312,7 +321,7 @@ class WIBEthFrameProcessor(TaskRawDataProcessor):
         tps["time_over_threshold"] = (
             hits["tover"].astype(np.uint64) * CLOCKS_PER_TPC_TICK)
         tps["channel"] = offline
-        tps["adc_integral"] = hits["charge"]
+        tps["adc_integral"] = charge_u16
         tps["adc_peak"] = hits["peak_adc"]
         tps["detid"] = self.det_id
         tps["type"] = TPType.kTPC

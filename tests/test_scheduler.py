@@ -66,6 +66,31 @@ def test_two_apas_interleaved_bit_exact():
     assert info["ticks"] == [NB * NF * 64, NB * NF * 64]
 
 
+def test_per_channel_memory_factors():
+    """Scheduler seeds per-APA state with shared per-channel memory factors
+    (production threshold-on-collection), matching the oracle."""
+    rng = np.random.default_rng(3)
+    L = 1
+    C = L * 64
+    cfg = TPGConfig.from_raw("AbsRS", threshold=150)
+    rmf = np.where(np.arange(C) % 2 == 0, 0, cfg.rs_memory_factor_x10)
+    sched = MultiAPAScheduler(cfg, n_apas=1, n_links=L, tc=64, k_slots=8,
+                              interpret=True, rs_memory_factor=rmf)
+    frames, adcs = _make_batch(rng, L, 1, hot=(0, 5, 10))
+    sched.submit(0, frames)
+    hits, dropped = sched.flush()[0]
+    stream = adcs.reshape(L, 64, 64).transpose(1, 0, 2) \
+        .reshape(64, C).astype(np.int32)
+    st = seed_chanstate(init_chanstate(C), stream[0], rmf)
+    ref, _ = process_window_reference(stream, st, cfg)
+    assert len(ref) > 0 and dropped == 0
+    np.testing.assert_array_equal(sort_hits(hits), sort_hits(ref))
+    import pytest
+    with pytest.raises(AssertionError, match="rs_memory_factor"):
+        MultiAPAScheduler(cfg, n_apas=1, n_links=L,
+                          rs_memory_factor=rmf[:5])
+
+
 def test_geometry_mismatch_rejected():
     sched = MultiAPAScheduler(TPGConfig(), n_apas=1, n_links=4,
                               interpret=True)
