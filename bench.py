@@ -31,11 +31,15 @@ def bench_algorithm(cfg, tc, k_slots, unroll, on_tpu, adcs, rmf,
     import jax.numpy as jnp
     from fdreadoutlibs_tpu.ops.chanstate import init_chanstate, seed_chanstate
     from fdreadoutlibs_tpu.ops.pallas_tpg import (
-        decode_pallas_hits, pack_adcs, pack_state, process_window_pallas)
+        decode_pallas_hits, default_block_sublanes, pack_adcs, pack_state,
+        process_window_pallas)
 
     T, C = adcs.shape
     packed = jnp.asarray(pack_adcs(adcs))
-    state0 = pack_state(seed_chanstate(init_chanstate(C), adcs[0], rmf), C)
+    # FIR runs in 8-row channel blocks (register pressure; the other
+    # families stay whole-block — default_block_sublanes docs)
+    state0 = pack_state(seed_chanstate(init_chanstate(C), adcs[0], rmf), C,
+                        block_sublanes=default_block_sublanes(cfg, C))
 
     def one_window(s):
         return process_window_pallas(packed, s, cfg, tc=tc, k_slots=k_slots,

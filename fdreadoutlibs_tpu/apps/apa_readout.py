@@ -95,7 +95,8 @@ class APAReadoutApp:
         ingest: packed bytes -> on-device unpack -> Pallas TPG)."""
         import jax.numpy as jnp
         from ..ops.ingest import host_words, process_packed_frames
-        from ..ops.pallas_tpg import auto_tc, pack_state
+        from ..ops.pallas_tpg import (auto_tc, default_block_sublanes,
+                                      pack_state)
         L, N, _ = frames_links.shape
         T = N * wibeth.N_TIME_SAMPLES
         C = L * wibeth.N_CHANNELS
@@ -110,7 +111,8 @@ class APAReadoutApp:
             rmf = np.concatenate([p.register_memory_factor
                                   for p in self.procs])
             state = seed_chanstate(init_chanstate(C), first, rmf)
-            self._stack = pack_state(state, C)
+            self._stack = pack_state(
+                state, C, block_sublanes=default_block_sublanes(self.cfg, C))
         tc = auto_tc(T)
         slots, nclose, self._stack = process_packed_frames(
             jnp.asarray(words), self._stack, self.cfg, C, tc=tc, k_slots=4,

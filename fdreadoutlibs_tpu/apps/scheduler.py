@@ -66,12 +66,15 @@ class MultiAPAScheduler:
     def _ensure_state(self, apa: int, words: np.ndarray) -> None:
         import jax.numpy as jnp
         from ..ops.chanstate import init_chanstate, seed_chanstate
-        from ..ops.pallas_tpg import pack_state
+        from ..ops.pallas_tpg import default_block_sublanes, pack_state
         first = np.asarray(wibeth.unpack_frames_jnp(
             jnp.asarray(words[:, :1])))[:, 0].reshape(-1)
         state = seed_chanstate(init_chanstate(self.n_channels), first,
                                self.rs_memory_factor)
-        self._stacks[apa] = pack_state(state, self.n_channels)
+        self._stacks[apa] = pack_state(
+            state, self.n_channels,
+            block_sublanes=default_block_sublanes(self.cfg,
+                                                  self.n_channels))
 
     def submit(self, apa: int, frames_links: np.ndarray):
         """frames_links: (L, N, 7200) one batch for one APA.  Returns the

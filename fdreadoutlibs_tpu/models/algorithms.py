@@ -91,12 +91,14 @@ def run_model(adcs: np.ndarray, cfg: TPGConfig, backend: str = "scan",
     if backend == "pallas":
         import jax
         import jax.numpy as jnp
-        from ..ops.pallas_tpg import (decode_pallas_hits, pack_adcs,
+        from ..ops.pallas_tpg import (decode_pallas_hits,
+                                      default_block_sublanes, pack_adcs,
                                       pack_state, process_window_pallas,
                                       unpack_state)
         from ..ops.hits import concat_hits
         interpret = jax.default_backend() != "tpu"
-        stack = pack_state(state, C)
+        stack = pack_state(state, C,
+                           block_sublanes=default_block_sublanes(cfg, C))
         packed = pack_adcs(adcs)
         parts = []
         t0 = 0

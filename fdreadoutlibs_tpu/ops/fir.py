@@ -88,17 +88,46 @@ def tpg_tick_fir(st: dict, s_raw, cfg: TPGConfig, xp, taps: tuple, fx=None):
     out = dict(st)
     limit = cfg.accumulator_limit
 
+    # Packed SWAR state layout (opt-in kernel carry): the four IQR arrays
+    # ride as two int32 words with biased-unsigned 16-bit halves
+    # (q25+2^15 | (q75+2^15)<<16; same for the accumulators), and hit
+    # charge/tover/prev_was_over ride as one word (charge<<16 | tover,
+    # prev_was_over in bit 15 — tover <= 32767 by the add_clamp, so the
+    # bit is free), cutting the loop-carried arrays 17 -> 13.  The frugal
+    # updates run in the biased domain via frugal_update's translation
+    # equivariance (acc_bias docs) — same single-source semantics,
+    # property-tested against the unpacked path.  In-range contract
+    # (14-bit streams): quantiles in [0, ~16400] so the biased halves fit
+    # 16 bits.  Measured a LOSS on current hardware (BENCH_NOTES round-2c:
+    # the extract/repack ops cost more than the registers save), so the
+    # kernel default keeps the unpacked layout; retained as an explicit
+    # option (process_window_pallas fir_packed=True).
+    packed_iqr = "iqr_qpair" in st
+    _B = 1 << 15
+
     # IQR quantiles: gated on the *pre-update* median (ProcessNaive.hpp:94-98)
     med0 = st["pedestals"]
-    q25, a25 = frugal_update(st["quantile25"], s_raw, st["accum25"], limit,
-                             xp, mask=s_raw < med0, fx=fx)
-    q75, a75 = frugal_update(st["quantile75"], s_raw, st["accum75"], limit,
-                             xp, mask=s_raw > med0, fx=fx)
+    if packed_iqr:
+        qp, ap = st["iqr_qpair"], st["iqr_apair"]
+        sb = s_raw + _B
+        q25b, a25b = frugal_update(qp & 0xFFFF, sb, ap & 0xFFFF, limit,
+                                   xp, mask=s_raw < med0, fx=fx, acc_bias=_B)
+        q75b, a75b = frugal_update((qp >> 16) & 0xFFFF, sb,
+                                   (ap >> 16) & 0xFFFF, limit,
+                                   xp, mask=s_raw > med0, fx=fx, acc_bias=_B)
+        out["iqr_qpair"] = q25b | (q75b << 16)
+        out["iqr_apair"] = a25b | (a75b << 16)
+        sigma = q75b - q25b
+    else:
+        q25, a25 = frugal_update(st["quantile25"], s_raw, st["accum25"],
+                                 limit, xp, mask=s_raw < med0, fx=fx)
+        q75, a75 = frugal_update(st["quantile75"], s_raw, st["accum75"],
+                                 limit, xp, mask=s_raw > med0, fx=fx)
+        out["quantile25"], out["accum25"] = q25, a25
+        out["quantile75"], out["accum75"] = q75, a75
+        sigma = q75 - q25
     med, acc = frugal_update(med0, s_raw, st["accum"], limit, xp, fx=fx)
-    out["quantile25"], out["accum25"] = q25, a25
-    out["quantile75"], out["accum75"] = q75, a75
     out["pedestals"], out["accum"] = med, acc
-    sigma = q75 - q25
 
     s = s_raw - med
     s = fx.minimum(s, fx.dtype(cfg.adc_max))    # pre-filter clamp
@@ -148,18 +177,27 @@ def tpg_tick_fir(st: dict, s_raw, cfg: TPGConfig, xp, taps: tuple, fx=None):
         is_over = fx.widen(filt) > (cfg.threshold * cfg.multiplier) * \
             fx.widen(sigma)
 
-    closed = (st["prev_was_over"] != 0) & ~is_over
+    if packed_iqr:
+        ct = st["hit_ct"]
+        charge0 = ct >> 16                     # sign-extending
+        tover0 = ct & 0x7FFF
+        prev_over = (ct & 0x8000) != 0
+    else:
+        charge0 = st["hit_charge"]
+        tover0 = st["hit_tover"]
+        prev_over = st["prev_was_over"] != 0
+    closed = prev_over & ~is_over
     to_add = xp.where(is_over, filt >> cfg.tap_exponent, zero)
     # filt can be negative while over (wrapped threshold product), so the
     # AVX adds_epi16 floor applies (PARITY.md "charge saturation")
-    charge = fx.add_clamp(st["hit_charge"], to_add, INT16_MAX,
+    charge = fx.add_clamp(charge0, to_add, INT16_MAX,
                           floor=-INT16_MAX - 1)
     if cfg.track_peaks:
         peak_upd = filt > st["hit_peak_adc"]
         if cfg.peak_gated:
             peak_upd = peak_upd & is_over
         peak_adc = xp.where(peak_upd, filt, st["hit_peak_adc"])
-        peak_time = xp.where(peak_upd, st["hit_tover"],
+        peak_time = xp.where(peak_upd, tover0,
                              st["hit_peak_time"])
         out["hit_peak_adc"] = xp.where(closed, zero, peak_adc)
         out["hit_peak_time"] = xp.where(closed, zero, peak_time)
@@ -167,12 +205,20 @@ def tpg_tick_fir(st: dict, s_raw, cfg: TPGConfig, xp, taps: tuple, fx=None):
         # reference FIR kernels carry no peak registers (module docstring);
         # the constant-zero records cost no tracking ops in the hot loop
         peak_adc = peak_time = xp.zeros_like(charge)
-    tover = fx.add_clamp(st["hit_tover"], xp.where(is_over, one, zero),
+    tover = fx.add_clamp(tover0, xp.where(is_over, one, zero),
                          INT16_MAX)
 
     record = {"charge": charge, "tover": tover,
               "peak_adc": peak_adc, "peak_time": peak_time}
-    out["hit_charge"] = xp.where(closed, zero, charge)
-    out["hit_tover"] = xp.where(closed, zero, tover)
-    out["prev_was_over"] = xp.where(is_over, one, zero)
+    if packed_iqr:
+        # w0 is exactly the kernel's packed record word — the emission
+        # reuses it instead of re-packing (record_words docs)
+        w0 = (charge << 16) | tover
+        record["w0"] = w0
+        out["hit_ct"] = xp.where(closed, 0, w0) | \
+            xp.where(is_over, 0x8000, 0)
+    else:
+        out["hit_charge"] = xp.where(closed, zero, charge)
+        out["hit_tover"] = xp.where(closed, zero, tover)
+        out["prev_was_over"] = xp.where(is_over, one, zero)
     return out, closed, record

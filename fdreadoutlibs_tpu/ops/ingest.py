@@ -185,7 +185,7 @@ class StreamingIngest:
     """
 
     def __init__(self, cfg: TPGConfig, n_links: int, tc: int = 512,
-                 k_slots: int = 4, unroll: int = 16, interpret: bool = False,
+                 k_slots: int = 4, unroll: int = 32, interpret: bool = False,
                  format: str = "wibeth", device_compact: bool = False,
                  max_hits: int = 1024, rs_memory_factor=None):
         from ..formats import daphne, wib2
@@ -235,12 +235,14 @@ class StreamingIngest:
 
     def _ensure_state(self, words0: np.ndarray) -> None:
         from .chanstate import init_chanstate, seed_chanstate
-        from .pallas_tpg import pack_state
+        from .pallas_tpg import default_block_sublanes, pack_state
         first = np.asarray(self._unpack(
             jnp.asarray(words0[:, :1])))[:, 0].reshape(-1)
         state = seed_chanstate(init_chanstate(self.n_channels), first,
                                self.rs_memory_factor)
-        self.stack = pack_state(state, self.n_channels)
+        self.stack = pack_state(
+            state, self.n_channels,
+            block_sublanes=default_block_sublanes(self.cfg, self.n_channels))
 
     def submit_words(self, words: np.ndarray):
         """words: (L, rows, W) uint32 packed rows (W=28 wibeth,
@@ -254,10 +256,13 @@ class StreamingIngest:
             out = self._collect()
         from .pallas_tpg import auto_tc
         tc = auto_tc(T, cap=self.tc)
+        # interpret mode is a correctness path: unrolled interpret compiles
+        # are minutes-slow on CPU and measure nothing
+        unroll = 1 if self.interpret else \
+            (self.unroll if tc % self.unroll == 0 else 1)
         slots, nclose, self.stack = self._fn(
             jnp.asarray(words), self.stack, self.cfg, self.n_channels,
-            tc=tc, k_slots=self.k_slots,
-            unroll=self.unroll if tc % self.unroll == 0 else 1,
+            tc=tc, k_slots=self.k_slots, unroll=unroll,
             interpret=self.interpret)
         if self.device_compact:
             self._pending = compact_on_device(

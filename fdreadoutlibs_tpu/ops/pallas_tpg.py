@@ -103,6 +103,29 @@ def _granule(dtype) -> int:
     return 16 if np.dtype(dtype).itemsize == 2 else SUBLANES
 
 
+def default_block_sublanes(cfg: TPGConfig, n_channels: int,
+                           dtype=np.int32) -> int | None:
+    """Channel-block row count for pack_state, by algorithm family.
+
+    The FIR family carries ~17 live arrays through the tick loop (three
+    frugal chains + the 8-row FIR ring + hit state); on a whole-APA block
+    (24 sublane rows = 3 vregs per carried array) that blows past the VPU
+    register file and the loop spills to VMEM every tick.  8-row blocks
+    keep each carried array to one vreg: measured +23% at 2560 channels
+    (BENCH_NOTES round-2c ablation — the same ablation shows freezing the
+    two IQR chains, i.e. dropping 4 carried arrays, is worth 1.8-2.9x,
+    which is register pressure, not op count).  The threshold/RS families
+    carry <= 10 arrays and are latency-bound: one whole-channel block
+    stays ~2.5x faster there (splitting serializes the per-tick chain per
+    block).
+    """
+    g = _granule(dtype)
+    S = pad_sublanes(n_channels, g)
+    if cfg.algorithm == Algorithm.FIR and S > g:
+        return g
+    return None
+
+
 def pack_state(state: dict, n_channels: int, block_sublanes: int | None = None,
                dtype=np.int32):
     """ChanState dict of (C,) arrays -> (NB, KSTATE, SUB, 128) blocked stack.
@@ -175,9 +198,19 @@ def pack_time2_jnp(adcs):
 
 def _tpg_kernel(adc_ref, state_ref, state_out_ref, slots_ref, nclose_ref,
                 *, cfg: TPGConfig, tc: int, k_slots: int, sub: int,
-                unroll: int = 1, time2: bool = False):
+                unroll: int = 1, time2: bool = False,
+                fir_packed: bool = False):
     t_chunk = pl.program_id(1)
+    is_fir = cfg.algorithm == Algorithm.FIR
     keys = live_fields(cfg)
+    if fir_packed:
+        # the packed SWAR layout (fir.tpg_tick_fir packed-IQR docs): the
+        # four IQR arrays and charge/tover/prev ride as 3 int32 words —
+        # 17 -> 13 loop-carried arrays, under the whole-block vreg budget
+        keys = tuple(k for k in keys
+                     if k not in ("quantile25", "quantile75", "accum25",
+                                  "accum75", "hit_charge", "hit_tover",
+                                  "prev_was_over"))
     kidx = {k: _STATE_KEYS.index(k) for k in keys}
     i16_mode = state_ref.dtype == jnp.int16
     fx = (I16Fx if i16_mode else I32Fx).make(jnp)
@@ -189,24 +222,39 @@ def _tpg_kernel(adc_ref, state_ref, state_out_ref, slots_ref, nclose_ref,
         # output block — the input block is never refreshed between chunks.
         state_out_ref[...] = state_ref[...]
 
-    is_fir = cfg.algorithm == Algorithm.FIR
     carry0 = tuple(state_out_ref[0, kidx[k]] for k in keys)
     if is_fir:
         # FIR ring rows ride the carry as N separate registers: the
         # per-tick shift is then a trace-time tuple rotation (no moves)
         carry0 += tuple(state_out_ref[0, _FIR_ROW0 + j]
                         for j in range(N_FIR_TAPS))
+    _B = 1 << 15
+    if fir_packed:
+        def _row(name):
+            return state_out_ref[0, _STATE_KEYS.index(name)]
+        qpair = ((_row("quantile25") + _B) & 0xFFFF) | \
+            ((_row("quantile75") + _B) << 16)
+        apair = ((_row("accum25") + _B) & 0xFFFF) | \
+            ((_row("accum75") + _B) << 16)
+        ct = (_row("hit_charge") << 16) | (_row("hit_tover") & 0x7FFF) | \
+            jnp.where(_row("prev_was_over") != 0, 0x8000, 0)
+        carry0 += (qpair, apair, ct)
     # slots/nclose drain per time chunk (each chunk owns an output block),
     # so they start empty here rather than being read back
     zero_slot = jnp.zeros(slots_ref.shape[2:], slots_ref.dtype)
     carry0 += tuple(zero_slot[k] for k in range(k_slots))
     carry0 += (jnp.zeros(nclose_ref.shape[2:], nclose_ref.dtype),)
-    nst = len(keys) + (N_FIR_TAPS if is_fir else 0)
+    nst = len(keys) + (N_FIR_TAPS if is_fir else 0) + \
+        (3 if fir_packed else 0)
 
     def body(i, carry):
         st = dict(zip(keys, carry[:len(keys)]))
         if is_fir:
             st["fir_prev"] = tuple(carry[len(keys):len(keys) + N_FIR_TAPS])
+        if fir_packed:
+            pbase = len(keys) + N_FIR_TAPS
+            st["iqr_qpair"], st["iqr_apair"], st["hit_ct"] = \
+                carry[pbase:pbase + 3]
         if cfg.algorithm == Algorithm.SIMPLE_THRESHOLD:
             st["rs_memory_factor"] = None
         slot_words = list(carry[nst:nst + k_slots])
@@ -231,9 +279,12 @@ def _tpg_kernel(adc_ref, state_ref, state_out_ref, slots_ref, nclose_ref,
             # pack the record into record_words(cfg) int32 words; unclosed
             # lanes are ignored (the peak word is dropped for no-peak FIR)
             tick = t_chunk * tc + tick_i
-            charge32 = rec["charge"].astype(jnp.int32)
-            tover32 = rec["tover"].astype(jnp.int32)
-            w0 = (charge32 << 16) | tover32
+            if "w0" in rec:          # packed layout already carries w0
+                w0 = rec["w0"]
+            else:
+                charge32 = rec["charge"].astype(jnp.int32)
+                tover32 = rec["tover"].astype(jnp.int32)
+                w0 = (charge32 << 16) | tover32
             w2 = jnp.full(closed.shape, tick + 1, jnp.int32)
             if record_words(cfg) == 3:
                 peak32 = rec["peak_adc"].astype(jnp.int32)
@@ -251,6 +302,8 @@ def _tpg_kernel(adc_ref, state_ref, state_out_ref, slots_ref, nclose_ref,
         out = tuple(st[k] for k in keys)
         if is_fir:
             out += tuple(st["fir_prev"])
+        if fir_packed:
+            out += (st["iqr_qpair"], st["iqr_apair"], st["hit_ct"])
         return out + tuple(slot_words) + (nclose,)
 
     carry = jax.lax.fori_loop(0, tc // unroll, body, carry0)
@@ -259,6 +312,20 @@ def _tpg_kernel(adc_ref, state_ref, state_out_ref, slots_ref, nclose_ref,
     if is_fir:
         for j in range(N_FIR_TAPS):
             state_out_ref[0, _FIR_ROW0 + j] = carry[len(keys) + j]
+    if fir_packed:
+        # unpack the SWAR words back into the canonical state rows (the
+        # stack layout is unchanged — packing is kernel-internal)
+        qpair, apair, ct = carry[nst - 3:nst]
+
+        def _wrow(name, v):
+            state_out_ref[0, _STATE_KEYS.index(name)] = v
+        _wrow("quantile25", (qpair & 0xFFFF) - _B)
+        _wrow("quantile75", ((qpair >> 16) & 0xFFFF) - _B)
+        _wrow("accum25", (apair & 0xFFFF) - _B)
+        _wrow("accum75", ((apair >> 16) & 0xFFFF) - _B)
+        _wrow("hit_charge", ct >> 16)
+        _wrow("hit_tover", ct & 0x7FFF)
+        _wrow("prev_was_over", (ct >> 15) & 1)
     for k in range(k_slots):
         slots_ref[0, 0, k] = carry[nst + k]
     nclose_ref[0, 0] = carry[nst + k_slots]
@@ -266,11 +333,13 @@ def _tpg_kernel(adc_ref, state_ref, state_out_ref, slots_ref, nclose_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "tc", "k_slots", "interpret",
-                                    "unroll", "vmem_limit_mb", "time_packed"))
+                                    "unroll", "vmem_limit_mb", "time_packed",
+                                    "fir_packed"))
 def process_window_pallas(adcs, state_stack, cfg: TPGConfig, tc: int = 256,
                           k_slots: int = 4, interpret: bool = False,
                           unroll: int = 1, vmem_limit_mb: int | None = None,
-                          time_packed: bool = False):
+                          time_packed: bool = False,
+                          fir_packed: bool | None = None):
     """Run the fused kernel over a (T, S, 128) int32 window.
 
     Args:
@@ -305,9 +374,21 @@ def process_window_pallas(adcs, state_stack, cfg: TPGConfig, tc: int = 256,
         assert adcs.dtype == dtype, "ADC and state dtypes must match " \
             "(pack_adcs/pack_state with the same dtype)"
 
+    if fir_packed is None:
+        # measured OFF everywhere (BENCH_NOTES round-2c): the SWAR carry
+        # did not clear the whole-block spill cliff (the unrolled body's
+        # working set dominates, not the loop-carried arrays) and the
+        # per-tick extract/repack costs ~2x at the production 8-row
+        # blocks.  Kept as an explicit opt-in layout for future
+        # libtpu/track_peaks configurations.
+        fir_packed = False
+    fir_packed = bool(fir_packed) and cfg.algorithm == Algorithm.FIR \
+        and dtype == jnp.int32
+
     nw = record_words(cfg)
     kernel = functools.partial(_tpg_kernel, cfg=cfg, tc=tc, k_slots=k_slots,
-                               sub=sub, unroll=unroll, time2=time_packed)
+                               sub=sub, unroll=unroll, time2=time_packed,
+                               fir_packed=fir_packed)
     compiler_params = None
     if vmem_limit_mb is not None and not interpret:
         from jax.experimental.pallas import tpu as pltpu

@@ -19,7 +19,8 @@ from .fixedpoint import I32Fx
 INT16_MAX = 32767
 
 
-def frugal_update(m, s, acc, limit: int, xp, mask=None, fx=None):
+def frugal_update(m, s, acc, limit: int, xp, mask=None, fx=None,
+                  acc_bias: int = 0):
     """Frugal-streaming running-median update (UtilsAVX2.hpp:24-74 /
     ProcessNaive.hpp:21-38).  Returns (median, accumulator).
 
@@ -33,6 +34,14 @@ def frugal_update(m, s, acc, limit: int, xp, mask=None, fx=None):
     (wib/tpg/ProcessAVX2.hpp IQR section; wib2/tpg/ProcessNaive.hpp:94-98);
     masked lanes leave acc unchanged, and the post-reset invariant
     |acc| <= limit means they can never bump, so only delta needs masking.
+
+    ``acc_bias`` runs the update in a translated domain: the update is
+    translation-equivariant in (m, s) (delta only sees s - m), and with
+    ``acc_bias=B`` the accumulator is carried as acc+B (reset lands on B).
+    ``frugal_update(m+A, s+A, acc+B, L, acc_bias=B) ==
+    frugal_update(m, s, acc, L) + (A, B)`` exactly — used by the packed
+    SWAR state layouts, where halves are stored biased-unsigned
+    (fir.tpg_tick_fir packed-IQR path); property-tested.
     """
     # python-int literals keep the array dtype (int32 emulation and native
     # int16 mode both flow through unchanged — numpy>=2 / jax weak typing);
@@ -43,10 +52,10 @@ def frugal_update(m, s, acc, limit: int, xp, mask=None, fx=None):
     if mask is not None:
         delta = xp.where(mask, delta, 0)
     acc = acc + delta
-    over = acc > limit
-    under = acc < -limit
+    over = acc > limit + acc_bias
+    under = acc < -limit + acc_bias
     m = xp.where(over, m + 1, xp.where(under, m - 1, m))
-    acc = xp.where(over | under, 0, acc)
+    acc = xp.where(over | under, acc_bias, acc)
     return m, acc
 
 

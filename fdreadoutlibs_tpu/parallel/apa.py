@@ -29,23 +29,24 @@ from ..ops.scan import STATE_KEYS, compact_hits_device, process_window_scan
 N_CH = wibeth.N_CHANNELS
 
 
-def _stack_from_state(st: dict, C: int):
+def _stack_from_state(st: dict, C: int, block_sublanes: int | None = None):
     """jnp equivalent of pallas_tpg.pack_state for one shard: state dict of
-    (C,) arrays -> (1, KSTATE, S, 128) int32."""
+    (C,) arrays -> (NB, KSTATE, SUB, 128) int32."""
     from ..ops.chanstate import FIELDS
     from ..ops.pallas_tpg import KSTATE, LANES, N_FIR_TAPS, pad_sublanes
     S = pad_sublanes(C)
+    sub = block_sublanes or S
     pad = S * LANES - C
     rows = [st[k] for k in FIELDS] + [st["rs_memory_factor"]]
     rows += [st["fir_prev"][j] for j in range(N_FIR_TAPS)]
     stack = jnp.stack([jnp.pad(r, (0, pad)) for r in rows])
-    return stack.reshape(1, KSTATE, S, LANES)
+    return stack.reshape(KSTATE, S // sub, sub, LANES).transpose(1, 0, 2, 3)
 
 
 def _state_from_stack(stack, C: int) -> dict:
     from ..ops.chanstate import FIELDS
     from ..ops.pallas_tpg import KSTATE, N_FIR_TAPS
-    flat = stack.reshape(KSTATE, -1)[:, :C]
+    flat = stack.transpose(1, 0, 2, 3).reshape(KSTATE, -1)[:, :C]
     st = {k: flat[i] for i, k in enumerate(FIELDS)}
     st["rs_memory_factor"] = flat[len(FIELDS)]
     st["fir_prev"] = flat[len(FIELDS) + 1: len(FIELDS) + 1 + N_FIR_TAPS]
@@ -73,8 +74,9 @@ def make_apa_step(mesh: Mesh, cfg: TPGConfig, max_hits_per_link: int = 512,
     """
 
     def _local_pallas(words, state):
-        from ..ops.pallas_tpg import (LANES, auto_tc, pad_sublanes,
-                                      process_window_pallas, record_words)
+        from ..ops.pallas_tpg import (LANES, auto_tc, default_block_sublanes,
+                                      pad_sublanes, process_window_pallas,
+                                      record_words)
         Lloc, T, _ = words.shape
         C = Lloc * N_CH
         adcs = wibeth.unpack_frames_jnp(words)
@@ -87,16 +89,18 @@ def make_apa_step(mesh: Mesh, cfg: TPGConfig, max_hits_per_link: int = 512,
         padded = padded.at[:, :C].set(flat)
         tc = auto_tc(T)
         slots, nclose, stack = process_window_pallas(
-            padded.reshape(T, S, LANES), _stack_from_state(st, C), cfg,
+            padded.reshape(T, S, LANES),
+            _stack_from_state(st, C, default_block_sublanes(cfg, C)), cfg,
             tc=tc, k_slots=k_slots,
             unroll=8 if (not interpret and tc % 8 == 0) else 1,
             interpret=interpret)
-        # per-link device-side decode: slots (1, n_chunks, K, nw, S, 128) —
-        # per-chunk slots fold into one wider slot axis (records carry
+        # per-link device-side decode: slots (NB, n_chunks, K, nw, SUB, 128)
+        # — per-chunk slots fold into one wider slot axis (records carry
         # absolute ticks); nw=2 is the no-peak record layout
         nw = record_words(cfg)
         k_eff = slots.shape[1] * k_slots
-        w = slots.reshape(k_eff, nw, S * LANES)[:, :, :C] \
+        w = slots.transpose(1, 2, 3, 0, 4, 5) \
+            .reshape(k_eff, nw, S * LANES)[:, :, :C] \
             .reshape(k_eff, nw, Lloc, N_CH).transpose(2, 0, 1, 3)
         hits, n_hits = jax.vmap(
             lambda lw: _compact_link_slots(

@@ -186,7 +186,8 @@ class DAPHNEStreamFrameProcessor(TaskRawDataProcessor):
         import jax.numpy as jnp
         from ..ops.chanstate import init_chanstate, seed_chanstate
         from ..ops.ingest import collect_hits, process_packed_daphne
-        from ..ops.pallas_tpg import auto_tc, pack_state
+        from ..ops.pallas_tpg import (auto_tc, default_block_sublanes,
+                                      pack_state)
         C = daphne.STREAM_N_CHANNELS
         N = flat_frames.shape[0]
         T = N * daphne.STREAM_N_SAMPLES
@@ -195,7 +196,9 @@ class DAPHNEStreamFrameProcessor(TaskRawDataProcessor):
                 .astype(np.int32)
             state = seed_chanstate(init_chanstate(C), first,
                                    self.tpg_cfg.rs_memory_factor_x10)
-            self._pallas_stack = pack_state(state, C)
+            self._pallas_stack = pack_state(
+                state, C,
+                block_sublanes=default_block_sublanes(self.tpg_cfg, C))
         words = daphne.stream_frames_bytes_to_u32(flat_frames)[None]
         tc = auto_tc(T, cap=512 if self._interpret else 1024)
         slots, nclose, self._pallas_stack = process_packed_daphne(

@@ -215,12 +215,17 @@ class WIBFrameProcessor(TaskRawDataProcessor):
         whole; decode + both plane kernels run inside one jit."""
         import jax.numpy as jnp
         from ..ops.ingest import collect_hits, process_packed_protowib
-        from ..ops.pallas_tpg import auto_tc, pack_state
+        from ..ops.pallas_tpg import (auto_tc, default_block_sublanes,
+                                      pack_state)
         if self._coll_stack is None:
-            self._coll_stack = pack_state(self._coll_state,
-                                          protowib.N_COLLECTION)
-            self._ind_stack = pack_state(self._ind_state,
-                                         protowib.N_INDUCTION)
+            self._coll_stack = pack_state(
+                self._coll_state, protowib.N_COLLECTION,
+                block_sublanes=default_block_sublanes(
+                    self.coll_cfg, protowib.N_COLLECTION))
+            self._ind_stack = pack_state(
+                self._ind_state, protowib.N_INDUCTION,
+                block_sublanes=default_block_sublanes(
+                    self.ind_cfg, protowib.N_INDUCTION))
         T = flat_frames.shape[0]
         words = jnp.asarray(protowib.frames_bytes_to_u32(flat_frames))
         tc = auto_tc(T, cap=512 if self._interpret else 1024)

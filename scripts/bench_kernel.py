@@ -32,6 +32,13 @@ def main():
     ap.add_argument("--windows", type=int, default=16)
     ap.add_argument("--trials", type=int, default=5)
     ap.add_argument("--vmem", type=int, default=64)
+    ap.add_argument("--sub", type=int, default=0,
+                    help="channel-block sublane rows (0 = one whole block); "
+                         "smaller blocks cut loop-carried vreg pressure for "
+                         "state-heavy kernels (FIR)")
+    ap.add_argument("--fir-packed", default="auto",
+                    choices=["auto", "on", "off"],
+                    help="FIR packed SWAR carry (IQR pairs + ct word)")
     ap.add_argument("--mf-shift", default="auto",
                     help="'auto' (from_raw default), 'none', or an int")
     ap.add_argument("--track-peaks", action="store_true",
@@ -67,14 +74,18 @@ def main():
     rmf = cfg.rs_memory_factor_x10
     if args.mf_mixed:
         rmf = np.where(np.arange(C) % 2 == 0, 0, rmf)
-    state0 = pack_state(seed_chanstate(init_chanstate(C), adcs[0], rmf), C)
+    state0 = pack_state(seed_chanstate(init_chanstate(C), adcs[0], rmf), C,
+                        block_sublanes=args.sub or None)
+
+    fir_packed = {"auto": None, "on": True, "off": False}[args.fir_packed]
 
     @jax.jit
     def multi_window(s):
         def body(s, _):
             slots, nclose, s = process_window_pallas(
                 packed, s, cfg, tc=args.tc, k_slots=args.k,
-                unroll=args.unroll, vmem_limit_mb=args.vmem)
+                unroll=args.unroll, vmem_limit_mb=args.vmem,
+                fir_packed=fir_packed)
             return s, jnp.sum(nclose)
         s, counts = jax.lax.scan(body, s, None, length=args.windows)
         return s, counts
@@ -88,7 +99,7 @@ def main():
 
     slots, nclose, _ = process_window_pallas(
         packed, state0, cfg, tc=args.tc, k_slots=args.k,
-        unroll=args.unroll, vmem_limit_mb=args.vmem)
+        unroll=args.unroll, vmem_limit_mb=args.vmem, fir_packed=fir_packed)
     hits, dropped = decode_pallas_hits(slots, nclose, C)
     chain(1, state0)  # compile multi_window
 
@@ -106,6 +117,7 @@ def main():
     rtf = (T / (62.5e6 / 32)) / dt
     print(json.dumps({
         "alg": args.alg, "tc": args.tc, "k": args.k, "unroll": args.unroll,
+        "sub": args.sub or None, "fir_packed": args.fir_packed,
         "channels": C, "mf_shift": cfg.rs_mf_shift, "mf_mixed": args.mf_mixed,
         "track_peaks": cfg.track_peaks,
         "ms_per_window": round(dt * 1e3, 4), "gsps": round(gsps, 1),

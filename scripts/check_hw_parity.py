@@ -43,4 +43,33 @@ for alg, thr, kw in [("AbsRS", 150, {}), ("SimpleThreshold", 150, {}),
     floor_hits = int((got["charge"] == -32768).sum())
     print(f"{alg}: {len(got)} hits bit-exact, state bit-exact, "
           f"charge-floor hits: {floor_hits}")
+
+# FIR production layout on hardware: 8-row channel blocks (nb > 1,
+# default_block_sublanes) and the packed-SWAR opt-in carry
+from fdreadoutlibs_tpu.ops.pallas_tpg import default_block_sublanes
+C2, T2 = 1280, 512
+adcs2 = (900 + rng.normal(0, 30, size=(T2, C2))).astype(np.int32)
+for _ in range(150):
+    c, t0 = rng.integers(0, C2), rng.integers(0, T2 - 16)
+    adcs2[t0:t0 + 8, c] += rng.integers(300, 3000)
+fir = TPGConfig.from_raw("FIR", threshold=5, track_peaks=False)
+ref2, ref_st2 = run_reference(adcs2, fir)
+st2 = seed_chanstate(init_chanstate(C2), adcs2[0], fir.rs_memory_factor_x10)
+for label, sub, fp in [("blocked", default_block_sublanes(fir, C2), None),
+                       ("packed", None, True)]:
+    slots, nclose, stack = process_window_pallas(
+        jnp.asarray(pack_adcs(adcs2)),
+        pack_state(st2, C2, block_sublanes=sub), fir,
+        tc=256, k_slots=16, unroll=8, vmem_limit_mb=64, fir_packed=fp)
+    got2, dropped2 = decode_pallas_hits(slots, nclose, C2)
+    assert dropped2 == 0, (label, dropped2)
+    np.testing.assert_array_equal(got2, ref2)
+    got_st2 = unpack_state(stack, C2)
+    for k in ref_st2:
+        if k in got_st2:
+            np.testing.assert_array_equal(
+                np.asarray(got_st2[k]).ravel(),
+                np.asarray(ref_st2[k]).ravel(), err_msg=f"FIR-{label}:{k}")
+    print(f"FIR {label} ({'sub=' + str(sub) if sub else 'whole'}): "
+          f"{len(got2)} hits bit-exact, state bit-exact")
 print("HW PARITY OK")

@@ -97,6 +97,57 @@ class TestFIRBackendParity:
         np.testing.assert_array_equal(st_pal["fir_prev"][:, :48],
                                       st_ref["fir_prev"])
 
+    def test_pallas_multiblock_default(self):
+        """FIR defaults to 8-row channel blocks above one block (register
+        pressure — pallas_tpg.default_block_sublanes); the blocked grid
+        must stay bit-exact vs the oracle."""
+        from fdreadoutlibs_tpu.ops.pallas_tpg import default_block_sublanes
+        C = 1024 + 256
+        assert default_block_sublanes(FIR_CFG, C) == 8
+        assert default_block_sublanes(FIR_CFG, 64) is None  # single block
+        adcs = random_stream(64, C, seed=37, noise=4, base=900, n_signals=400)
+        h_ref, _ = run_reference(adcs, FIR_CFG)
+        h_pal, _, dropped = run_pallas(adcs, FIR_CFG, tc=32, k_slots=4,
+                                       block_sublanes=8)
+        assert dropped == 0
+        assert len(h_ref) > 0
+        assert h_ref["channel"].max() >= 1024   # hits beyond block 0
+        np.testing.assert_array_equal(h_pal, h_ref)
+
+    def test_pallas_packed_swar_layout(self):
+        """The packed SWAR carry (IQR pairs + charge|tover|prev word) is
+        bit-exact vs the oracle, including carried state across windows."""
+        adcs = random_stream(96, 48, seed=41, noise=4, base=900, n_signals=40)
+        h_ref, st_ref = run_reference(adcs, FIR_CFG, window=96)
+        h_pk, st_pk, dropped = run_pallas(adcs, FIR_CFG, tc=32, window=32,
+                                          fir_packed=True)
+        assert dropped == 0
+        assert len(h_ref) > 0
+        np.testing.assert_array_equal(h_pk, h_ref)
+        for k in ("quantile25", "quantile75", "accum25", "accum75",
+                  "pedestals", "accum", "hit_charge", "hit_tover",
+                  "prev_was_over"):
+            np.testing.assert_array_equal(st_pk[k][:48],
+                                          np.asarray(st_ref[k]), err_msg=k)
+
+    def test_frugal_acc_bias_equivariance(self):
+        """frugal_update(m+A, s+A, acc+B, L, acc_bias=B) ==
+        frugal_update(m, s, acc, L) + (A, B) — the property the packed
+        (biased-unsigned) SWAR halves rely on."""
+        from fdreadoutlibs_tpu.ops.step import frugal_update
+        rng = np.random.default_rng(7)
+        m = rng.integers(-100, 16400, size=256)
+        s = rng.integers(-100, 16400, size=256)
+        acc = rng.integers(-11, 12, size=256)
+        mask = rng.random(256) < 0.5
+        A, B = 1 << 15, 1 << 15
+        for mk in (None, mask):
+            m1, a1 = frugal_update(m, s, acc, 10, np, mask=mk)
+            m2, a2 = frugal_update(m + A, s + A, acc + B, 10, np, mask=mk,
+                                   acc_bias=B)
+            np.testing.assert_array_equal(m2 - A, m1)
+            np.testing.assert_array_equal(a2 - B, a1)
+
     def test_window_invariance_with_fir_state(self):
         """The FIR ring buffer must carry across window boundaries."""
         adcs = random_stream(384, 8, seed=35, noise=4, base=900, n_signals=30)
