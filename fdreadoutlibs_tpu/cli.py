@@ -11,7 +11,9 @@ Covers the reference's documented tooling (docs/README.md:20-121):
 * ``frame-modifier``   — wibeth_binary_frame_modifier: patch ADCs/headers;
 * ``compare-backends`` — compare_avx_vs_naive.py: cross-check hit lists
   between backends (here: reference vs scan vs pallas);
-* ``make-zeros``       — generate the all-zeros asset file.
+* ``make-zeros``       — generate the all-zeros asset file;
+* ``profile``          — beyond the reference's wall-clock timing runs:
+  capture a jax.profiler device trace of the production kernel.
 
 Run: ``python -m fdreadoutlibs_tpu.cli <command> -h``.
 """
@@ -243,6 +245,60 @@ def cmd_tde_file_creator(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """Capture a jax.profiler (TensorBoard/Perfetto) trace of the production
+    kernel over a synthetic APA stream — the reference's analogue is the
+    core-pinned emulator timing runs (docs/README.md:22); this one captures
+    per-op device timelines instead of wall clock only."""
+    import jax
+    import jax.numpy as jnp
+    from .ops import TPGConfig
+    from .ops.chanstate import init_chanstate, seed_chanstate
+    from .ops.pallas_tpg import (auto_tc, default_block_sublanes, pack_adcs,
+                                 pack_state, process_window_pallas)
+
+    on_tpu = jax.default_backend() == "tpu"
+    C, T = args.channels, args.ticks
+    cfg = TPGConfig.from_raw(args.algorithm, threshold=args.threshold,
+                             **({"track_peaks": False}
+                                if args.algorithm == "FIR" else {}))
+    rng = np.random.default_rng(0)
+    adcs = (900 + rng.normal(0, 30, size=(T, C))).astype(np.int32)
+    for _ in range(max(1, C // 16)):
+        c, t0 = rng.integers(0, C), rng.integers(0, T - 16)
+        adcs[t0:t0 + 8, c] += rng.integers(300, 3000)
+    packed = jnp.asarray(pack_adcs(adcs))
+    state = pack_state(
+        seed_chanstate(init_chanstate(C), adcs[0], cfg.rs_memory_factor_x10),
+        C, block_sublanes=default_block_sublanes(cfg, C))
+    tc = auto_tc(T, cap=args.tc)
+
+    def run(s):
+        slots, nclose, s = process_window_pallas(
+            packed, s, cfg, tc=tc, k_slots=args.k_slots,
+            unroll=args.unroll if (on_tpu and tc % args.unroll == 0) else 1,
+            vmem_limit_mb=64 if on_tpu else None, interpret=not on_tpu)
+        return slots, nclose, s
+
+    run(state)                      # compile outside the trace
+    t0 = time.perf_counter()
+    with jax.profiler.trace(args.output):
+        s = state
+        for _ in range(args.windows):
+            _, nclose, s = run(s)
+        jax.block_until_ready(s)
+    dt = time.perf_counter() - t0
+    gsps = args.windows * T * C / dt / 1e9
+    print(json.dumps({
+        "trace_dir": args.output, "backend": jax.default_backend(),
+        "algorithm": args.algorithm, "channels": C, "ticks": T,
+        "windows": args.windows, "wall_s": round(dt, 4),
+        "gsps_wall": round(gsps, 6),
+        "note": "open with TensorBoard profile plugin or Perfetto "
+                "(trace.json.gz under the trace dir)"}))
+    return 0
+
+
 def cmd_channel_map(args) -> int:
     """Dump a channel map's (crate, slot, stream) -> offline/plane layout —
     the inspection the reference logs via RegisterToChannelNumber's
@@ -369,6 +425,21 @@ def build_parser() -> argparse.ArgumentParser:
                          "(wib2 = 2 links x 256 ch per WIB)")
     cm.add_argument("--json", action="store_true")
     cm.set_defaults(fn=cmd_channel_map)
+
+    pr = sub.add_parser("profile",
+                        help="capture a jax.profiler device trace of the "
+                             "production kernel")
+    pr.add_argument("-a", "--algorithm", default="AbsRS",
+                    choices=["SimpleThreshold", "AbsRS", "StandardRS", "FIR"])
+    pr.add_argument("-t", "--threshold", type=int, default=150)
+    pr.add_argument("-o", "--output", default="/tmp/fdreadout_trace")
+    pr.add_argument("--channels", type=int, default=2560)
+    pr.add_argument("--ticks", type=int, default=2048)
+    pr.add_argument("--windows", type=int, default=4)
+    pr.add_argument("--tc", type=int, default=512)
+    pr.add_argument("--k-slots", type=int, default=1)
+    pr.add_argument("--unroll", type=int, default=32)
+    pr.set_defaults(fn=cmd_profile)
     return p
 
 

@@ -123,3 +123,18 @@ class TestCompareTpFiles:
         assert cli_main(["compare-tp-files", str(a), str(b)]) == 0
         b.write_text(hdr + "1,100,32,110,500,250,1\n")
         assert cli_main(["compare-tp-files", str(a), str(b)]) == 1
+
+
+class TestProfile:
+    def test_profile_writes_trace(self, tmp_path, capsys):
+        """`cli profile` captures a jax.profiler trace dir + prints stats."""
+        out = tmp_path / "trace"
+        assert cli_main(["profile", "-a", "SimpleThreshold",
+                         "--channels", "128", "--ticks", "64",
+                         "--windows", "2", "-o", str(out)]) == 0
+        import json as _json
+        rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["windows"] == 2 and rep["gsps_wall"] > 0
+        # trace dir exists and holds at least one profile artifact
+        files = list(out.rglob("*"))
+        assert any(f.is_file() for f in files), files
