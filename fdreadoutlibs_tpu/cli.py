@@ -296,7 +296,36 @@ def cmd_profile(args) -> int:
         "gsps_wall": round(gsps, 6),
         "note": "open with TensorBoard profile plugin or Perfetto "
                 "(trace.json.gz under the trace dir)"}))
+    if args.top:
+        for line in summarize_trace(args.output, args.top):
+            print(line)
     return 0
+
+
+def summarize_trace(trace_dir: str, top: int = 10):
+    """Aggregate the captured Chrome-trace events by name and yield the
+    top-N rows by total duration (self-contained — no TensorBoard)."""
+    import glob
+    import gzip
+
+    paths = sorted(glob.glob(
+        f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))
+    if not paths:
+        yield "# no trace.json.gz found under trace dir"
+        return
+    with gzip.open(paths[-1], "rt") as f:
+        events = json.load(f).get("traceEvents", [])
+    total: dict[str, float] = {}
+    count: dict[str, int] = {}
+    for ev in events:
+        if ev.get("ph") == "X" and "dur" in ev:
+            name = ev.get("name", "?")
+            total[name] = total.get(name, 0.0) + ev["dur"]
+            count[name] = count.get(name, 0) + 1
+    yield "# top ops by total device/host time"
+    yield "#   us_total  calls  name"
+    for name in sorted(total, key=total.get, reverse=True)[:top]:
+        yield f"{total[name]:11.1f}  {count[name]:5d}  {name[:90]}"
 
 
 def cmd_channel_map(args) -> int:
@@ -439,6 +468,9 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--tc", type=int, default=512)
     pr.add_argument("--k-slots", type=int, default=1)
     pr.add_argument("--unroll", type=int, default=32)
+    pr.add_argument("--top", type=int, default=10,
+                    help="print the top-N trace ops by total time "
+                         "(0 = skip the summary)")
     pr.set_defaults(fn=cmd_profile)
     return p
 

@@ -133,8 +133,18 @@ class TestProfile:
                          "--channels", "128", "--ticks", "64",
                          "--windows", "2", "-o", str(out)]) == 0
         import json as _json
-        rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        lines = [ln for ln in capsys.readouterr().out.splitlines()
+                 if ln.startswith("{")]
+        rep = _json.loads(lines[-1])
         assert rep["windows"] == 2 and rep["gsps_wall"] > 0
         # trace dir exists and holds at least one profile artifact
         files = list(out.rglob("*"))
         assert any(f.is_file() for f in files), files
+
+    def test_profile_summary(self, tmp_path, capsys):
+        out = tmp_path / "trace"
+        assert cli_main(["profile", "-a", "AbsRS", "--channels", "128",
+                         "--ticks", "64", "--windows", "1",
+                         "-o", str(out), "--top", "5"]) == 0
+        text = capsys.readouterr().out
+        assert "# top ops by total device/host time" in text
