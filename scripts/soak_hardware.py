@@ -1,6 +1,8 @@
 #!/usr/bin/env python
-"""Hardware soak: production AbsRS (threshold-on-collection) over a long
-carried-state stream, with a mid-stream checkpoint/resume equivalence check.
+"""Hardware soak: a production configuration (default AbsRS with
+threshold-on-collection; --alg FIR runs the legacy family on its blocked
+layout) over a long carried-state stream, with a mid-stream
+checkpoint/resume equivalence check.
 
 Runs N windows of T ticks x C channels through the compiled Pallas kernel
 with deterministic injected pulses; asserts (a) the exact expected hit
@@ -27,6 +29,9 @@ def main():
     ap.add_argument("--windows", type=int, default=200)
     ap.add_argument("--ticks", type=int, default=4096)
     ap.add_argument("--channels", type=int, default=2560)
+    ap.add_argument("--alg", default="AbsRS",
+                    choices=["AbsRS", "SimpleThreshold", "StandardRS",
+                             "FIR"])
     args = ap.parse_args()
 
     import jax
@@ -34,12 +39,18 @@ def main():
     from fdreadoutlibs_tpu.ops import TPGConfig
     from fdreadoutlibs_tpu.ops.chanstate import init_chanstate, seed_chanstate
     from fdreadoutlibs_tpu.ops.pallas_tpg import (
-        decode_pallas_hits, pack_adcs, pack_state, process_window_pallas)
+        decode_pallas_hits, default_block_sublanes, pack_adcs, pack_state,
+        process_window_pallas)
 
     assert jax.default_backend() == "tpu", "soak needs the real chip"
     C, T, W = args.channels, args.ticks, args.windows
-    cfg = TPGConfig.from_raw("AbsRS", threshold=150)
-    rmf = np.where(np.arange(C) % 8 < 3, 0, cfg.rs_memory_factor_x10)
+    if args.alg == "FIR":
+        cfg = TPGConfig.from_raw("FIR", threshold=5, track_peaks=False)
+        rmf = np.full(C, cfg.rs_memory_factor_x10)
+    else:
+        cfg = TPGConfig.from_raw(args.alg, threshold=150)
+        rmf = np.where(np.arange(C) % 8 < 3, 0, cfg.rs_memory_factor_x10) \
+            if args.alg == "AbsRS" else np.full(C, cfg.rs_memory_factor_x10)
 
     rng = np.random.default_rng(42)
     base = (900 + rng.normal(0, 10, size=(T, C))).astype(np.int32)
@@ -69,7 +80,8 @@ def main():
         return expected_per_window[0] + (n - 1) * expected_per_window[1]
 
     packed = jnp.asarray(pack_adcs(adcs))
-    state0 = pack_state(seed_chanstate(init_chanstate(C), adcs[0], rmf), C)
+    state0 = pack_state(seed_chanstate(init_chanstate(C), adcs[0], rmf), C,
+                        block_sublanes=default_block_sublanes(cfg, C))
 
     def run(stack, n_windows):
         hits_total = 0

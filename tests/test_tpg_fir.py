@@ -130,6 +130,20 @@ class TestFIRBackendParity:
             np.testing.assert_array_equal(st_pk[k][:48],
                                           np.asarray(st_ref[k]), err_msg=k)
 
+    def test_pallas_multiblock_window_carry(self):
+        """Blocked (nb>1) state write-back must carry bit-exactly across
+        kernel launches — hits spanning a window boundary close right."""
+        C = 1024 + 256
+        adcs = random_stream(64, C, seed=43, noise=4, base=900, n_signals=300)
+        h_one, st_one, _ = run_pallas(adcs, FIR_CFG, tc=32, k_slots=4,
+                                      block_sublanes=8)
+        h_two, st_two, _ = run_pallas(adcs, FIR_CFG, tc=32, k_slots=4,
+                                      block_sublanes=8, window=32)
+        np.testing.assert_array_equal(h_one, h_two)
+        for k in st_one:
+            np.testing.assert_array_equal(np.asarray(st_one[k]),
+                                          np.asarray(st_two[k]), err_msg=k)
+
     def test_frugal_acc_bias_equivariance(self):
         """frugal_update(m+A, s+A, acc+B, L, acc_bias=B) ==
         frugal_update(m, s, acc, L) + (A, B) — the property the packed
