@@ -51,7 +51,7 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    from fdreadoutlibs_tpu.ops import Algorithm, TPGConfig
+    from fdreadoutlibs_tpu.ops import TPGConfig
     from fdreadoutlibs_tpu.ops.chanstate import init_chanstate, seed_chanstate
     from fdreadoutlibs_tpu.ops.pallas_tpg import (
         decode_pallas_hits, pack_adcs, pack_state, process_window_pallas)
