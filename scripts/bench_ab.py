@@ -9,7 +9,8 @@ Usage:
       --config "tc=512,unroll=16,sub=8" --config "tc=512,unroll=64,sub=8"
 
 Config keys: tc, k, unroll, sub (0 = whole block), packed (0/1 fir SWAR),
-vmem.  Unset keys fall back to --tc/--k/--unroll defaults.
+mfmix (1 = threshold-on-collection mixed memory factors), vmem.  Unset
+keys fall back to --tc/--k/--unroll defaults.
 """
 
 import argparse
@@ -64,14 +65,15 @@ def main():
         c, t0 = rng.integers(0, C), rng.integers(0, T - 16)
         adcs[t0:t0 + 8, c] += rng.integers(300, 3000)
     packed = jnp.asarray(pack_adcs(adcs))
-    state = seed_chanstate(init_chanstate(C), adcs[0],
-                           cfg.rs_memory_factor_x10)
 
     defaults = {"tc": args.tc, "k": args.k, "unroll": args.unroll,
-                "sub": 0, "packed": -1, "vmem": 64}
+                "sub": 0, "packed": -1, "mfmix": 0, "vmem": 64}
     configs = [parse_config(s, defaults) for s in args.config]
     fns, states = [], []
     for c_ in configs:
+        rmf = np.where(np.arange(C) % 8 < 3, 0, cfg.rs_memory_factor_x10) \
+            if c_["mfmix"] else cfg.rs_memory_factor_x10
+        state = seed_chanstate(init_chanstate(C), adcs[0], rmf)
         st0 = pack_state(state, C, block_sublanes=c_["sub"] or None)
         fp = None if c_["packed"] < 0 else bool(c_["packed"])
 
