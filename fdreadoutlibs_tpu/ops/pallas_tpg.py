@@ -109,15 +109,17 @@ def default_block_sublanes(cfg: TPGConfig, n_channels: int,
 
     The FIR family carries ~17 live arrays through the tick loop (three
     frugal chains + the 8-row FIR ring + hit state); on a whole-APA block
-    (24 sublane rows = 3 vregs per carried array) that blows past the VPU
-    register file and the loop spills to VMEM every tick.  8-row blocks
-    keep each carried array to one vreg: measured +23% at 2560 channels
-    (BENCH_NOTES round-2c ablation — the same ablation shows freezing the
-    two IQR chains, i.e. dropping 4 carried arrays, is worth 1.8-2.9x,
-    which is register pressure, not op count).  The threshold/RS families
-    carry <= 10 arrays and are latency-bound: one whole-channel block
-    stays ~2.5x faster there (splitting serializes the per-tick chain per
-    block).
+    (24 sublane rows = 3 vregs per carried array) that risks spilling the
+    VPU register file — the round-2c ablation showed freezing the two IQR
+    chains (dropping 4 carried arrays) was worth 1.8-2.9x, which is
+    register pressure, not op count, and 8-row blocks measured +23%
+    against that kernel.  After the packed-branch restructure the
+    whole-vs-8-row gap is within tunnel noise (BENCH_NOTES round-2c,
+    final A/Bs: +8%/-7%); 8-row blocks stay the default as the
+    never-worse choice with one vreg per carried array.  The threshold/RS
+    families carry <= 10 arrays and are latency-bound: one whole-channel
+    block stays ~2.5x faster there (splitting serializes the per-tick
+    chain per block).
     """
     g = _granule(dtype)
     S = pad_sublanes(n_channels, g)
