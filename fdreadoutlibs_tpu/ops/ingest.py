@@ -184,8 +184,9 @@ class StreamingIngest:
     remote-device deployments.
     """
 
-    def __init__(self, cfg: TPGConfig, n_links: int, tc: int = 512,
-                 k_slots: int = 4, unroll: int = 32, interpret: bool = False,
+    def __init__(self, cfg: TPGConfig, n_links: int, tc: int | None = None,
+                 k_slots: int = 4, unroll: int | None = None,
+                 interpret: bool = False,
                  format: str = "wibeth", device_compact: bool = False,
                  max_hits: int = 1024, rs_memory_factor=None):
         from ..formats import daphne, wib2
@@ -211,9 +212,15 @@ class StreamingIngest:
         else:
             raise ValueError(f"unknown format {format!r}")
         self.n_channels = n_links * self._ch_per_link
-        self.tc = tc
+        # knob resolution: explicit args win; else a tuned-config file
+        # (FDREADOUT_TUNED, scripts/autotune.py); else the shipped
+        # v5e-lite defaults (CLAUDE.md knobs)
+        from ..utils.tuning import kernel_knobs
+        knobs = kernel_knobs(cfg, self.n_channels, tc=512, unroll=32)
+        self.tc = tc if tc is not None else knobs["tc"]
         self.k_slots = k_slots
-        self.unroll = unroll
+        self.unroll = unroll if unroll is not None else knobs["unroll"]
+        self._block_sublanes = knobs["block_sublanes"]
         self.interpret = interpret
         self.device_compact = device_compact
         self.max_hits = max_hits
@@ -235,14 +242,13 @@ class StreamingIngest:
 
     def _ensure_state(self, words0: np.ndarray) -> None:
         from .chanstate import init_chanstate, seed_chanstate
-        from .pallas_tpg import default_block_sublanes, pack_state
+        from .pallas_tpg import pack_state
         first = np.asarray(self._unpack(
             jnp.asarray(words0[:, :1])))[:, 0].reshape(-1)
         state = seed_chanstate(init_chanstate(self.n_channels), first,
                                self.rs_memory_factor)
-        self.stack = pack_state(
-            state, self.n_channels,
-            block_sublanes=default_block_sublanes(self.cfg, self.n_channels))
+        self.stack = pack_state(state, self.n_channels,
+                                block_sublanes=self._block_sublanes)
 
     def submit_words(self, words: np.ndarray):
         """words: (L, rows, W) uint32 packed rows (W=28 wibeth,

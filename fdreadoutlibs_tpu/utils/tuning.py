@@ -1,0 +1,58 @@
+"""Tuned kernel-knob discovery (the consumer side of scripts/autotune.py).
+
+``scripts/autotune.py --out tuned.json`` measures the best
+(block_sublanes, tc, unroll) per algorithm family on the attached chip;
+pointing ``FDREADOUT_TUNED`` at that file (or passing ``path``) makes the
+streaming defaults pick the measured winners instead of the shipped
+v5e-lite knobs.  Absent or partial files fall back field-by-field to the
+built-in defaults, so a tuned file is always safe to deploy.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+_ENV = "FDREADOUT_TUNED"
+_cache: dict[str, dict] = {}
+
+
+def load_tuned(path: Optional[str] = None) -> dict:
+    """Return {algorithm_name: {sub, tc, unroll, ...}} from ``path`` or
+    the FDREADOUT_TUNED env var; {} when neither is set or readable."""
+    path = path or os.environ.get(_ENV)
+    if not path:
+        return {}
+    if path not in _cache:
+        try:
+            with open(path) as f:
+                data = json.load(f)
+            _cache[path] = data if isinstance(data, dict) else {}
+        except (OSError, ValueError):
+            from .logging import log
+            log.warning("ignoring unreadable tuned-config file %s", path)
+            _cache[path] = {}
+    return _cache[path]
+
+
+def kernel_knobs(cfg, n_channels: int, tc: int, unroll: int,
+                 path: Optional[str] = None) -> dict:
+    """Resolve the kernel launch knobs for ``cfg``: tuned values when a
+    tuned file names this algorithm, the passed-in defaults otherwise.
+
+    Returns {"tc", "unroll", "block_sublanes"} ready for
+    process_window_pallas / pack_state.
+    """
+    from ..ops.pallas_tpg import default_block_sublanes, pad_sublanes
+    tuned = load_tuned(path).get(getattr(cfg.algorithm, "value",
+                                         str(cfg.algorithm)), {})
+    sub = tuned.get("sub")
+    block = (sub or None) if sub is not None \
+        else default_block_sublanes(cfg, n_channels)
+    if block and pad_sublanes(n_channels) % block:
+        # tuned block width doesn't tile this channel count — fall back
+        block = default_block_sublanes(cfg, n_channels)
+    return {"tc": int(tuned.get("tc", tc)),
+            "unroll": int(tuned.get("unroll", unroll)),
+            "block_sublanes": block}

@@ -1,0 +1,112 @@
+"""Tuned-knob discovery (utils/tuning.py + scripts/autotune.py plumbing)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from fdreadoutlibs_tpu.ops import Algorithm, TPGConfig
+from fdreadoutlibs_tpu.utils import tuning
+
+
+@pytest.fixture(autouse=True)
+def _clear_cache(monkeypatch):
+    tuning._cache.clear()
+    monkeypatch.delenv("FDREADOUT_TUNED", raising=False)
+    yield
+    tuning._cache.clear()
+
+
+def write_tuned(tmp_path, data):
+    p = tmp_path / "tuned.json"
+    p.write_text(json.dumps(data))
+    return str(p)
+
+
+class TestKernelKnobs:
+    def test_defaults_without_file(self):
+        cfg = TPGConfig(threshold=150)
+        k = tuning.kernel_knobs(cfg, 2560, tc=512, unroll=32)
+        assert k == {"tc": 512, "unroll": 32, "block_sublanes": None}
+
+    def test_fir_default_block(self):
+        cfg = TPGConfig(algorithm=Algorithm.FIR, threshold=5)
+        k = tuning.kernel_knobs(cfg, 2560, tc=512, unroll=32)
+        assert k["block_sublanes"] == 8
+
+    def test_tuned_file_overrides(self, tmp_path, monkeypatch):
+        path = write_tuned(tmp_path, {"AbsRS": {"sub": 8, "tc": 256,
+                                                "unroll": 16}})
+        monkeypatch.setenv("FDREADOUT_TUNED", path)
+        cfg = TPGConfig(algorithm=Algorithm.ABS_RS, threshold=150)
+        k = tuning.kernel_knobs(cfg, 2560, tc=512, unroll=32)
+        assert k == {"tc": 256, "unroll": 16, "block_sublanes": 8}
+        # other algorithms keep their defaults
+        k2 = tuning.kernel_knobs(TPGConfig(threshold=150), 2560,
+                                 tc=512, unroll=32)
+        assert k2["tc"] == 512 and k2["block_sublanes"] is None
+
+    def test_tuned_sub_zero_means_whole_block(self, tmp_path, monkeypatch):
+        path = write_tuned(tmp_path, {"FIR": {"sub": 0}})
+        monkeypatch.setenv("FDREADOUT_TUNED", path)
+        cfg = TPGConfig(algorithm=Algorithm.FIR, threshold=5)
+        k = tuning.kernel_knobs(cfg, 2560, tc=512, unroll=32)
+        assert k["block_sublanes"] is None      # explicit whole-block
+
+    def test_incompatible_block_falls_back(self, tmp_path, monkeypatch):
+        # 2560 ch pads to 24 sublane rows; sub=16 doesn't tile it
+        path = write_tuned(tmp_path, {"FIR": {"sub": 16}})
+        monkeypatch.setenv("FDREADOUT_TUNED", path)
+        cfg = TPGConfig(algorithm=Algorithm.FIR, threshold=5)
+        k = tuning.kernel_knobs(cfg, 2560, tc=512, unroll=32)
+        assert k["block_sublanes"] == 8         # the shipped FIR default
+
+    def test_unreadable_file_ignored(self, tmp_path, monkeypatch):
+        p = tmp_path / "bad.json"
+        p.write_text("{not json")
+        monkeypatch.setenv("FDREADOUT_TUNED", str(p))
+        k = tuning.kernel_knobs(TPGConfig(threshold=150), 2560,
+                                tc=512, unroll=32)
+        assert k["tc"] == 512
+
+
+class TestStreamingIngestPickup:
+    def test_ingest_uses_tuned_knobs(self, tmp_path, monkeypatch):
+        from fdreadoutlibs_tpu.ops.ingest import StreamingIngest
+        path = write_tuned(tmp_path, {"SimpleThreshold":
+                                      {"sub": 0, "tc": 128, "unroll": 4}})
+        monkeypatch.setenv("FDREADOUT_TUNED", path)
+        ing = StreamingIngest(TPGConfig(threshold=150), n_links=1,
+                              interpret=True)
+        assert ing.tc == 128 and ing.unroll == 4
+        # explicit arguments still win over the tuned file
+        ing2 = StreamingIngest(TPGConfig(threshold=150), n_links=1,
+                               tc=64, unroll=2, interpret=True)
+        assert ing2.tc == 64 and ing2.unroll == 2
+
+    def test_ingest_hits_unchanged_by_tuning(self, tmp_path, monkeypatch):
+        """Knobs change scheduling only — hit output is identical."""
+        from fdreadoutlibs_tpu.formats import wibeth
+        from fdreadoutlibs_tpu.ops.ingest import StreamingIngest
+
+        rng = np.random.default_rng(3)
+        frames = wibeth.empty_frames(2)
+        adcs = (800 + rng.normal(0, 20, size=(2, 64, 64))).astype(np.uint16)
+        adcs[0, 20:28, 9] += 2000
+        wibeth.set_adcs(frames, adcs)
+        batch = frames[None]                     # one link
+
+        def run():
+            ing = StreamingIngest(TPGConfig(threshold=120), n_links=1,
+                                  interpret=True)
+            ing.submit(batch)
+            return ing.flush()
+
+        h_default = run()
+        path = write_tuned(tmp_path, {"SimpleThreshold":
+                                      {"tc": 64, "unroll": 1}})
+        monkeypatch.setenv("FDREADOUT_TUNED", path)
+        tuning._cache.clear()
+        h_tuned = run()
+        np.testing.assert_array_equal(h_default[0], h_tuned[0])
+        assert len(h_default[0]) > 0
