@@ -95,13 +95,15 @@ class APAReadoutApp:
         ingest: packed bytes -> on-device unpack -> Pallas TPG)."""
         import jax.numpy as jnp
         from ..ops.ingest import host_words, process_packed_frames
-        from ..ops.pallas_tpg import (auto_tc, default_block_sublanes,
-                                      pack_state)
+        from ..ops.pallas_tpg import auto_tc, pack_state
+        from ..utils.tuning import kernel_knobs
         L, N, _ = frames_links.shape
         T = N * wibeth.N_TIME_SAMPLES
         C = L * wibeth.N_CHANNELS
         words = host_words(frames_links.reshape(-1, wibeth.FRAME_SIZE)) \
             .reshape(L, T, 28)
+        # shipped v5e knobs, overridable by a tuned file (FDREADOUT_TUNED)
+        knobs = kernel_knobs(self.cfg, C, tc=512, unroll=16)
         if self._stack is None:
             first = np.asarray(wibeth.unpack_frames_jnp(
                 jnp.asarray(words[:, :1])))[:, 0].reshape(-1)
@@ -112,11 +114,12 @@ class APAReadoutApp:
                                   for p in self.procs])
             state = seed_chanstate(init_chanstate(C), first, rmf)
             self._stack = pack_state(
-                state, C, block_sublanes=default_block_sublanes(self.cfg, C))
-        tc = auto_tc(T)
+                state, C, block_sublanes=knobs["block_sublanes"])
+        tc = auto_tc(T, cap=knobs["tc"])
+        u = knobs["unroll"]
         slots, nclose, self._stack = process_packed_frames(
             jnp.asarray(words), self._stack, self.cfg, C, tc=tc, k_slots=4,
-            unroll=16 if tc % 16 == 0 else (8 if tc % 8 == 0 else 1))
+            unroll=u if tc % u == 0 else (8 if tc % 8 == 0 else 1))
         # device-side compaction: only the hit list crosses to the host
         # (~40x less transfer than the raw slot buffers; BENCH_NOTES);
         # overflow beyond the auto max_hits is counted in `dropped`
