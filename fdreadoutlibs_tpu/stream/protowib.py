@@ -228,8 +228,12 @@ class WIBFrameProcessor(TaskRawDataProcessor):
                     self.ind_cfg, protowib.N_INDUCTION))
         T = flat_frames.shape[0]
         words = jnp.asarray(protowib.frames_bytes_to_u32(flat_frames))
-        tc = auto_tc(T, cap=512 if self._interpret else 1024)
-        unroll = 8 if (not self._interpret and tc % 8 == 0) else 1
+        from ..utils.tuning import kernel_knobs
+        knobs = kernel_knobs(self.coll_cfg, protowib.N_COLLECTION,
+                             tc=1024, unroll=8)
+        tc = auto_tc(T, cap=512 if self._interpret else knobs["tc"])
+        u = knobs["unroll"]
+        unroll = u if (not self._interpret and tc % u == 0) else 1
         (c_slots, c_n, self._coll_stack), (i_slots, i_n, self._ind_stack) = \
             process_packed_protowib(words, self._coll_stack, self._ind_stack,
                                     self.coll_cfg, self.ind_cfg, tc=tc,

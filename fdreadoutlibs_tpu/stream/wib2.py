@@ -137,11 +137,14 @@ class WIB2FrameProcessor(WIBEthFrameProcessor):
             self._pallas_stack = pack_state(
                 self._state, C,
                 block_sublanes=default_block_sublanes(self.tpg_cfg, C))
-        tc = auto_tc(T, cap=512 if self._interpret else 1024)
+        from ..utils.tuning import kernel_knobs
+        knobs = kernel_knobs(self.tpg_cfg, C, tc=1024, unroll=8)
+        tc = auto_tc(T, cap=512 if self._interpret else knobs["tc"])
+        u = knobs["unroll"]
         slots, nclose, self._pallas_stack = process_packed_wib2(
             jnp.asarray(words), self._pallas_stack, self.tpg_cfg, C, tc=tc,
             k_slots=self.k_slots,
-            unroll=8 if (not self._interpret and tc % 8 == 0) else 1,
+            unroll=u if (not self._interpret and tc % u == 0) else 1,
             interpret=self._interpret)
         hits, dropped = collect_hits(slots, nclose, C,
                                      max_hits=self._max_hits,

@@ -258,10 +258,13 @@ class WIBEthFrameProcessor(TaskRawDataProcessor):
             self._pallas_stack = pack_state(
                 self._state, C,
                 block_sublanes=default_block_sublanes(self.tpg_cfg, C))
-        tc = auto_tc(T, cap=512 if self._interpret else 1024)
+        from ..utils.tuning import kernel_knobs
+        knobs = kernel_knobs(self.tpg_cfg, C, tc=1024, unroll=16)
+        tc = auto_tc(T, cap=512 if self._interpret else knobs["tc"])
         unroll = 1
         if not self._interpret:
-            unroll = 16 if tc % 16 == 0 else (8 if tc % 8 == 0 else 1)
+            u = knobs["unroll"]
+            unroll = u if tc % u == 0 else (8 if tc % 8 == 0 else 1)
         slots, nclose, self._pallas_stack = process_packed_frames(
             jnp.asarray(words.reshape(1, T, 28)), self._pallas_stack,
             self.tpg_cfg, C, tc=tc, k_slots=self.k_slots,
