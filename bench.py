@@ -118,18 +118,23 @@ def main():
         # collection-like is a stand-in plane split at bench scale
         return np.where(np.arange(C) % 8 < 3, 0, cfg.rs_memory_factor_x10)
 
+    from fdreadoutlibs_tpu.ops.pallas_tpg import SHIPPED_KNOBS
+
+    def knobs(cfg):
+        k = SHIPPED_KNOBS[cfg.algorithm]
+        return k["tc"], 1, k["unroll"]
+
     prod = TPGConfig.from_raw("AbsRS", threshold=150)
+    simple = TPGConfig.from_raw("SimpleThreshold", threshold=150)
+    std = TPGConfig.from_raw("StandardRS", threshold=150)
+    # reference-shaped FIR records: the WIB/WIB2 consumers derive
+    # peaks at TP assembly, so the kernel skips peak tracking
+    fir = TPGConfig.from_raw("FIR", threshold=5, track_peaks=False)
     runs = {
-        "AbsRS_production": (prod, 512, 1, 32, mixed_rmf(prod)),
-        "SimpleThreshold": (TPGConfig.from_raw("SimpleThreshold",
-                                               threshold=150),
-                            512, 1, 32, None),
-        "StandardRS": (TPGConfig.from_raw("StandardRS", threshold=150),
-                       512, 1, 32, None),
-        # reference-shaped FIR records: the WIB/WIB2 consumers derive
-        # peaks at TP assembly, so the kernel skips peak tracking
-        "FIR": (TPGConfig.from_raw("FIR", threshold=5, track_peaks=False),
-                512, 1, 32, None),
+        "AbsRS_production": (prod, *knobs(prod), mixed_rmf(prod)),
+        "SimpleThreshold": (simple, *knobs(simple), None),
+        "StandardRS": (std, *knobs(std), None),
+        "FIR": (fir, *knobs(fir), None),
     }
     if not on_tpu:  # smoke-test shapes: tc must divide T
         runs = {k: (cfg, 256, 2, 8, rmf)

@@ -103,7 +103,7 @@ class APAReadoutApp:
         words = host_words(frames_links.reshape(-1, wibeth.FRAME_SIZE)) \
             .reshape(L, T, 28)
         # shipped v5e knobs, overridable by a tuned file (FDREADOUT_TUNED)
-        knobs = kernel_knobs(self.cfg, C, tc=512, unroll=16)
+        knobs = kernel_knobs(self.cfg, C)
         if self._stack is None:
             first = np.asarray(wibeth.unpack_frames_jnp(
                 jnp.asarray(words[:, :1])))[:, 0].reshape(-1)
@@ -116,7 +116,10 @@ class APAReadoutApp:
             self._stack = pack_state(
                 state, C, block_sublanes=knobs["block_sublanes"])
         tc = auto_tc(T, cap=knobs["tc"])
-        u = knobs["unroll"]
+        # unrolling only pays on the real chip; off-TPU (CPU tests,
+        # interpret mode) the unrolled compiles are minutes-slow
+        import jax
+        u = knobs["unroll"] if jax.default_backend() == "tpu" else 1
         slots, nclose, self._stack = process_packed_frames(
             jnp.asarray(words), self._stack, self.cfg, C, tc=tc, k_slots=4,
             unroll=u if tc % u == 0 else (8 if tc % 8 == 0 else 1))

@@ -216,7 +216,7 @@ class StreamingIngest:
         # (FDREADOUT_TUNED, scripts/autotune.py); else the shipped
         # v5e-lite defaults (CLAUDE.md knobs)
         from ..utils.tuning import kernel_knobs
-        knobs = kernel_knobs(cfg, self.n_channels, tc=512, unroll=32)
+        knobs = kernel_knobs(cfg, self.n_channels)
         self.tc = tc if tc is not None else knobs["tc"]
         self.k_slots = k_slots
         self.unroll = unroll if unroll is not None else knobs["unroll"]

@@ -103,28 +103,39 @@ def _granule(dtype) -> int:
     return 16 if np.dtype(dtype).itemsize == 2 else SUBLANES
 
 
+# Shipped kernel-launch knobs per algorithm family (TPU v5e-lite;
+# re-derive on other chips with scripts/autotune.py, consumed through
+# utils/tuning.kernel_knobs).  sub=0 means one whole-channel block.
+# History (BENCH_NOTES round-2c): the RS/Simple families are latency-bound
+# and always prefer whole blocks (splitting is ~2.5x slower); AbsRS
+# tc=256 beat tc=512 in two independent interleaved A/Bs (+18%, +49%)
+# and lifted the production bench 13.7x -> 16.3x, while StandardRS and
+# SimpleThreshold confirmed tc=512.  FIR is BIMODAL between
+# (whole-block, tc=256) and (8-row blocks, tc=512): interleaved A/Bs
+# split (+11%/+60% for whole-256 vs +9% for blocked-512 with rotated
+# order), and bench.py recorded 9.9x for whole-256 vs 15.8x for
+# blocked-512 — the blocked config ships because its bench floor never
+# fell below the 10x north star.  Re-examine per libtpu release
+# (scripts/autotune.py).
+SHIPPED_KNOBS = {
+    Algorithm.SIMPLE_THRESHOLD: {"sub": 0, "tc": 512, "unroll": 32},
+    Algorithm.ABS_RS: {"sub": 0, "tc": 256, "unroll": 32},
+    Algorithm.STANDARD_RS: {"sub": 0, "tc": 512, "unroll": 32},
+    Algorithm.FIR: {"sub": 8, "tc": 512, "unroll": 32},
+}
+
+
 def default_block_sublanes(cfg: TPGConfig, n_channels: int,
                            dtype=np.int32) -> int | None:
-    """Channel-block row count for pack_state, by algorithm family.
-
-    The FIR family carries ~17 live arrays through the tick loop (three
-    frugal chains + the 8-row FIR ring + hit state); on a whole-APA block
-    (24 sublane rows = 3 vregs per carried array) that risks spilling the
-    VPU register file — the round-2c ablation showed freezing the two IQR
-    chains (dropping 4 carried arrays) was worth 1.8-2.9x, which is
-    register pressure, not op count, and 8-row blocks measured +23%
-    against that kernel.  After the packed-branch restructure the
-    whole-vs-8-row gap is within tunnel noise (BENCH_NOTES round-2c,
-    final A/Bs: +8%/-7%); 8-row blocks stay the default as the
-    never-worse choice with one vreg per carried array.  The threshold/RS
-    families carry <= 10 arrays and are latency-bound: one whole-channel
-    block stays ~2.5x faster there (splitting serializes the per-tick
-    chain per block).
-    """
+    """Channel-block row count for pack_state, by algorithm family —
+    reads SHIPPED_KNOBS (see the table's history note).  Returns None for
+    one whole block, or a row count that tiles the padded channel
+    axis."""
     g = _granule(dtype)
     S = pad_sublanes(n_channels, g)
-    if cfg.algorithm == Algorithm.FIR and S > g:
-        return g
+    sub = SHIPPED_KNOBS[cfg.algorithm]["sub"]
+    if sub and S > sub and S % sub == 0:
+        return sub
     return None
 
 

@@ -229,8 +229,7 @@ class WIBFrameProcessor(TaskRawDataProcessor):
         T = flat_frames.shape[0]
         words = jnp.asarray(protowib.frames_bytes_to_u32(flat_frames))
         from ..utils.tuning import kernel_knobs
-        knobs = kernel_knobs(self.coll_cfg, protowib.N_COLLECTION,
-                             tc=1024, unroll=8)
+        knobs = kernel_knobs(self.coll_cfg, protowib.N_COLLECTION)
         tc = auto_tc(T, cap=512 if self._interpret else knobs["tc"])
         u = knobs["unroll"]
         unroll = u if (not self._interpret and tc % u == 0) else 1

@@ -138,7 +138,7 @@ class WIB2FrameProcessor(WIBEthFrameProcessor):
                 self._state, C,
                 block_sublanes=default_block_sublanes(self.tpg_cfg, C))
         from ..utils.tuning import kernel_knobs
-        knobs = kernel_knobs(self.tpg_cfg, C, tc=1024, unroll=8)
+        knobs = kernel_knobs(self.tpg_cfg, C)
         tc = auto_tc(T, cap=512 if self._interpret else knobs["tc"])
         u = knobs["unroll"]
         slots, nclose, self._pallas_stack = process_packed_wib2(

@@ -259,7 +259,7 @@ class WIBEthFrameProcessor(TaskRawDataProcessor):
                 self._state, C,
                 block_sublanes=default_block_sublanes(self.tpg_cfg, C))
         from ..utils.tuning import kernel_knobs
-        knobs = kernel_knobs(self.tpg_cfg, C, tc=1024, unroll=16)
+        knobs = kernel_knobs(self.tpg_cfg, C)
         tc = auto_tc(T, cap=512 if self._interpret else knobs["tc"])
         unroll = 1
         if not self._interpret:

@@ -36,15 +36,20 @@ def load_tuned(path: Optional[str] = None) -> dict:
     return _cache[path]
 
 
-def kernel_knobs(cfg, n_channels: int, tc: int, unroll: int,
+def kernel_knobs(cfg, n_channels: int, tc: Optional[int] = None,
+                 unroll: Optional[int] = None,
                  path: Optional[str] = None) -> dict:
-    """Resolve the kernel launch knobs for ``cfg``: tuned values when a
-    tuned file names this algorithm, the passed-in defaults otherwise.
+    """Resolve the kernel launch knobs for ``cfg``: tuned-file values when
+    one names this algorithm, the shipped per-algorithm table
+    (pallas_tpg.SHIPPED_KNOBS) otherwise; ``tc``/``unroll`` arguments
+    override the shipped values (legacy call shape).
 
     Returns {"tc", "unroll", "block_sublanes"} ready for
     process_window_pallas / pack_state.
     """
-    from ..ops.pallas_tpg import default_block_sublanes, pad_sublanes
+    from ..ops.pallas_tpg import (SHIPPED_KNOBS, default_block_sublanes,
+                                  pad_sublanes)
+    shipped = SHIPPED_KNOBS[cfg.algorithm]
     tuned = load_tuned(path).get(getattr(cfg.algorithm, "value",
                                          str(cfg.algorithm)), {})
     sub = tuned.get("sub")
@@ -53,6 +58,8 @@ def kernel_knobs(cfg, n_channels: int, tc: int, unroll: int,
     if block and pad_sublanes(n_channels) % block:
         # tuned block width doesn't tile this channel count — fall back
         block = default_block_sublanes(cfg, n_channels)
-    return {"tc": int(tuned.get("tc", tc)),
-            "unroll": int(tuned.get("unroll", unroll)),
+    return {"tc": int(tuned.get("tc", shipped["tc"] if tc is None else tc)),
+            "unroll": int(tuned.get("unroll",
+                                    shipped["unroll"] if unroll is None
+                                    else unroll)),
             "block_sublanes": block}

@@ -99,10 +99,13 @@ def main():
         return time.perf_counter() - t0
 
     per = [[] for _ in configs]
-    for _ in range(args.trials):
-        for i, fn in enumerate(fns):
-            t_a = chain(fn, 1, states[i])
-            t_b = chain(fn, 6, states[i])
+    n = len(fns)
+    for t in range(args.trials):
+        # rotate the visit order each cycle so periodic tunnel drift
+        # cannot systematically favor one slot in the round-robin
+        for i in [(t + j) % n for j in range(n)]:
+            t_a = chain(fns[i], 1, states[i])
+            t_b = chain(fns[i], 6, states[i])
             slope = (t_b - t_a) / 5 / args.windows
             if slope > 0:
                 per[i].append(slope)

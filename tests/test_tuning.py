@@ -29,10 +29,14 @@ class TestKernelKnobs:
         k = tuning.kernel_knobs(cfg, 2560, tc=512, unroll=32)
         assert k == {"tc": 512, "unroll": 32, "block_sublanes": None}
 
-    def test_fir_default_block(self):
+    def test_shipped_table_governs(self):
+        from fdreadoutlibs_tpu.ops.pallas_tpg import SHIPPED_KNOBS
         cfg = TPGConfig(algorithm=Algorithm.FIR, threshold=5)
-        k = tuning.kernel_knobs(cfg, 2560, tc=512, unroll=32)
-        assert k["block_sublanes"] == 8
+        k = tuning.kernel_knobs(cfg, 2560)
+        shipped = SHIPPED_KNOBS[Algorithm.FIR]
+        assert k["tc"] == shipped["tc"]
+        assert k["unroll"] == shipped["unroll"]
+        assert k["block_sublanes"] == (shipped["sub"] or None)
 
     def test_tuned_file_overrides(self, tmp_path, monkeypatch):
         path = write_tuned(tmp_path, {"AbsRS": {"sub": 8, "tc": 256,
@@ -58,8 +62,9 @@ class TestKernelKnobs:
         path = write_tuned(tmp_path, {"FIR": {"sub": 16}})
         monkeypatch.setenv("FDREADOUT_TUNED", path)
         cfg = TPGConfig(algorithm=Algorithm.FIR, threshold=5)
+        from fdreadoutlibs_tpu.ops.pallas_tpg import default_block_sublanes
         k = tuning.kernel_knobs(cfg, 2560, tc=512, unroll=32)
-        assert k["block_sublanes"] == 8         # the shipped FIR default
+        assert k["block_sublanes"] == default_block_sublanes(cfg, 2560)
 
     def test_unreadable_file_ignored(self, tmp_path, monkeypatch):
         p = tmp_path / "bad.json"
