@@ -32,7 +32,8 @@ class MultiAPAScheduler:
     """
 
     def __init__(self, cfg: TPGConfig, n_apas: int, n_links: int = 40,
-                 tc: int = 512, k_slots: int = 2, unroll: int = 16,
+                 tc: int | None = None, k_slots: int = 2,
+                 unroll: int | None = None,
                  interpret: bool = False, vmem_limit_mb: int | None = None,
                  rs_memory_factor=None):
         self.cfg = cfg
@@ -50,13 +51,18 @@ class MultiAPAScheduler:
         self.n_apas = n_apas
         self.n_links = n_links
         self.n_channels = n_links * wibeth.N_CHANNELS
+        # explicit args win; else tuned file (FDREADOUT_TUNED); else
+        # the shipped per-algorithm table
+        from ..utils.tuning import kernel_knobs
+        knobs = kernel_knobs(cfg, self.n_channels, tc=tc, unroll=unroll)
+        tc = knobs["tc"]
         self.tc = tc
         # tc=1024 needs ~24M scoped VMEM; the default 16M limit only covers
         # tc<=512 (BENCH_NOTES.md: best config is tc=1024 + vmem 64)
         self.vmem_limit_mb = vmem_limit_mb if vmem_limit_mb is not None \
             else (64 if tc > 512 else None)
         self.k_slots = k_slots
-        self.unroll = unroll
+        self.unroll = knobs["unroll"]
         self.interpret = interpret
         self._stacks = [None] * n_apas          # per-APA device state
         self._pending = [None] * n_apas         # (slots, nclose, tick_off)
@@ -66,15 +72,16 @@ class MultiAPAScheduler:
     def _ensure_state(self, apa: int, words: np.ndarray) -> None:
         import jax.numpy as jnp
         from ..ops.chanstate import init_chanstate, seed_chanstate
-        from ..ops.pallas_tpg import default_block_sublanes, pack_state
+        from ..ops.pallas_tpg import pack_state
         first = np.asarray(wibeth.unpack_frames_jnp(
             jnp.asarray(words[:, :1])))[:, 0].reshape(-1)
         state = seed_chanstate(init_chanstate(self.n_channels), first,
                                self.rs_memory_factor)
+        from ..utils.tuning import kernel_knobs
         self._stacks[apa] = pack_state(
             state, self.n_channels,
-            block_sublanes=default_block_sublanes(self.cfg,
-                                                  self.n_channels))
+            block_sublanes=kernel_knobs(
+                self.cfg, self.n_channels)["block_sublanes"])
 
     def submit(self, apa: int, frames_links: np.ndarray):
         """frames_links: (L, N, 7200) one batch for one APA.  Returns the

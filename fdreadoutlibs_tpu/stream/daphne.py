@@ -186,8 +186,7 @@ class DAPHNEStreamFrameProcessor(TaskRawDataProcessor):
         import jax.numpy as jnp
         from ..ops.chanstate import init_chanstate, seed_chanstate
         from ..ops.ingest import collect_hits, process_packed_daphne
-        from ..ops.pallas_tpg import (auto_tc, default_block_sublanes,
-                                      pack_state)
+        from ..ops.pallas_tpg import auto_tc, pack_state
         C = daphne.STREAM_N_CHANNELS
         N = flat_frames.shape[0]
         T = N * daphne.STREAM_N_SAMPLES
@@ -196,9 +195,10 @@ class DAPHNEStreamFrameProcessor(TaskRawDataProcessor):
                 .astype(np.int32)
             state = seed_chanstate(init_chanstate(C), first,
                                    self.tpg_cfg.rs_memory_factor_x10)
+            from ..utils.tuning import kernel_knobs
+            knobs = kernel_knobs(self.tpg_cfg, C)
             self._pallas_stack = pack_state(
-                state, C,
-                block_sublanes=default_block_sublanes(self.tpg_cfg, C))
+                state, C, block_sublanes=knobs["block_sublanes"])
         words = daphne.stream_frames_bytes_to_u32(flat_frames)[None]
         from ..utils.tuning import kernel_knobs
         knobs = kernel_knobs(self.tpg_cfg, C)

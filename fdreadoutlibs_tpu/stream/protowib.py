@@ -215,21 +215,19 @@ class WIBFrameProcessor(TaskRawDataProcessor):
         whole; decode + both plane kernels run inside one jit."""
         import jax.numpy as jnp
         from ..ops.ingest import collect_hits, process_packed_protowib
-        from ..ops.pallas_tpg import (auto_tc, default_block_sublanes,
-                                      pack_state)
+        from ..ops.pallas_tpg import auto_tc, pack_state
+        from ..utils.tuning import kernel_knobs
+        knobs = kernel_knobs(self.coll_cfg, protowib.N_COLLECTION)
         if self._coll_stack is None:
             self._coll_stack = pack_state(
                 self._coll_state, protowib.N_COLLECTION,
-                block_sublanes=default_block_sublanes(
-                    self.coll_cfg, protowib.N_COLLECTION))
+                block_sublanes=knobs["block_sublanes"])
+            ind_knobs = kernel_knobs(self.ind_cfg, protowib.N_INDUCTION)
             self._ind_stack = pack_state(
                 self._ind_state, protowib.N_INDUCTION,
-                block_sublanes=default_block_sublanes(
-                    self.ind_cfg, protowib.N_INDUCTION))
+                block_sublanes=ind_knobs["block_sublanes"])
         T = flat_frames.shape[0]
         words = jnp.asarray(protowib.frames_bytes_to_u32(flat_frames))
-        from ..utils.tuning import kernel_knobs
-        knobs = kernel_knobs(self.coll_cfg, protowib.N_COLLECTION)
         tc = auto_tc(T, cap=512 if self._interpret else knobs["tc"])
         u = knobs["unroll"]
         unroll = u if (not self._interpret and tc % u == 0) else 1

@@ -127,18 +127,16 @@ class WIB2FrameProcessor(WIBEthFrameProcessor):
         """Fused device ingest: packed 112-word rows, unpack on device."""
         import jax.numpy as jnp
         from ..ops.ingest import collect_hits, process_packed_wib2
-        from ..ops.pallas_tpg import (auto_tc, default_block_sublanes,
-                                      pack_state, unpack_state)
+        from ..ops.pallas_tpg import auto_tc, pack_state, unpack_state
         C = self.N_CHANNELS
         words = np.ascontiguousarray(wib2.adc_region_u32(frames)) \
             .reshape(1, -1, wib2.ADC_WORDS)
         T = words.shape[1]
-        if self._pallas_stack is None:
-            self._pallas_stack = pack_state(
-                self._state, C,
-                block_sublanes=default_block_sublanes(self.tpg_cfg, C))
         from ..utils.tuning import kernel_knobs
         knobs = kernel_knobs(self.tpg_cfg, C)
+        if self._pallas_stack is None:
+            self._pallas_stack = pack_state(
+                self._state, C, block_sublanes=knobs["block_sublanes"])
         tc = auto_tc(T, cap=512 if self._interpret else knobs["tc"])
         u = knobs["unroll"]
         slots, nclose, self._pallas_stack = process_packed_wib2(

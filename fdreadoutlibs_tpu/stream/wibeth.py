@@ -250,16 +250,14 @@ class WIBEthFrameProcessor(TaskRawDataProcessor):
         """Fused device ingest for one link: (N, 64, 28) packed words."""
         import jax.numpy as jnp
         from ..ops.ingest import collect_hits, process_packed_frames
-        from ..ops.pallas_tpg import (auto_tc, default_block_sublanes,
-                                      pack_state, unpack_state)
+        from ..ops.pallas_tpg import auto_tc, pack_state, unpack_state
         C = wibeth.N_CHANNELS
         T = words.shape[0] * wibeth.N_TIME_SAMPLES
-        if self._pallas_stack is None:
-            self._pallas_stack = pack_state(
-                self._state, C,
-                block_sublanes=default_block_sublanes(self.tpg_cfg, C))
         from ..utils.tuning import kernel_knobs
         knobs = kernel_knobs(self.tpg_cfg, C)
+        if self._pallas_stack is None:
+            self._pallas_stack = pack_state(
+                self._state, C, block_sublanes=knobs["block_sublanes"])
         tc = auto_tc(T, cap=512 if self._interpret else knobs["tc"])
         unroll = 1
         if not self._interpret:

@@ -36,13 +36,26 @@ def load_tuned(path: Optional[str] = None) -> dict:
     return _cache[path]
 
 
+def _tuned_int(tuned: dict, key: str, minimum: int):
+    """A tuned field, or None when absent/malformed (bad fields fall back
+    per-field — a tuned file must always be safe to deploy)."""
+    v = tuned.get(key)
+    if isinstance(v, bool) or not isinstance(v, int) or v < minimum:
+        if v is not None:
+            from .logging import log
+            log.warning("ignoring tuned %s=%r (not an int >= %d)",
+                        key, v, minimum)
+        return None
+    return v
+
+
 def kernel_knobs(cfg, n_channels: int, tc: Optional[int] = None,
                  unroll: Optional[int] = None,
                  path: Optional[str] = None) -> dict:
-    """Resolve the kernel launch knobs for ``cfg``: tuned-file values when
-    one names this algorithm, the shipped per-algorithm table
-    (pallas_tpg.SHIPPED_KNOBS) otherwise; ``tc``/``unroll`` arguments
-    override the shipped values (legacy call shape).
+    """Resolve the kernel launch knobs for ``cfg``, in precedence order:
+    explicit ``tc``/``unroll`` arguments -> tuned-file values (when one
+    names this algorithm and the field is well-formed) -> the shipped
+    per-algorithm table (pallas_tpg.SHIPPED_KNOBS).
 
     Returns {"tc", "unroll", "block_sublanes"} ready for
     process_window_pallas / pack_state.
@@ -52,14 +65,18 @@ def kernel_knobs(cfg, n_channels: int, tc: Optional[int] = None,
     shipped = SHIPPED_KNOBS[cfg.algorithm]
     tuned = load_tuned(path).get(getattr(cfg.algorithm, "value",
                                          str(cfg.algorithm)), {})
-    sub = tuned.get("sub")
+    if not isinstance(tuned, dict):
+        tuned = {}
+    sub = _tuned_int(tuned, "sub", 0)
     block = (sub or None) if sub is not None \
         else default_block_sublanes(cfg, n_channels)
     if block and pad_sublanes(n_channels) % block:
         # tuned block width doesn't tile this channel count — fall back
         block = default_block_sublanes(cfg, n_channels)
-    return {"tc": int(tuned.get("tc", shipped["tc"] if tc is None else tc)),
-            "unroll": int(tuned.get("unroll",
-                                    shipped["unroll"] if unroll is None
-                                    else unroll)),
+    t_tc = _tuned_int(tuned, "tc", 1)
+    t_un = _tuned_int(tuned, "unroll", 1)
+    return {"tc": tc if tc is not None else
+            (t_tc if t_tc is not None else shipped["tc"]),
+            "unroll": unroll if unroll is not None else
+            (t_un if t_un is not None else shipped["unroll"]),
             "block_sublanes": block}

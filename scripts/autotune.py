@@ -2,9 +2,9 @@
 """Kernel auto-tuner: sweep (block_sublanes, tc, unroll) per algorithm on
 the CURRENT hardware and emit the best configs as JSON.
 
-The library ships defaults tuned for TPU v5e-lite (CLAUDE.md knobs:
-whole-channel blocks for Simple/RS, 8-row blocks for FIR, tc=512,
-unroll=32) — this harness re-derives them on whatever chip is attached,
+The library ships per-algorithm defaults tuned for TPU v5e-lite
+(pallas_tpg.SHIPPED_KNOBS) — this harness re-derives them on whatever
+chip is attached,
 using the interleaved-trial slope-timing method that BENCH_NOTES
 established as the only trustworthy measurement over the remote tunnel
 (round-robin trials so drift hits every candidate equally; medians).
@@ -35,7 +35,10 @@ ALGS = ["SimpleThreshold", "AbsRS", "StandardRS", "FIR"]
 
 def candidate_space(quick: bool):
     subs = [0, 8]
-    tcs = [512] if quick else [256, 512, 1024]
+    # quick mode must still span the shipped winners (SHIPPED_KNOBS uses
+    # both tc=256 and tc=512), or its tuned.json could override a better
+    # shipped default
+    tcs = [256, 512] if quick else [256, 512, 1024]
     unrolls = [32] if quick else [16, 32]
     return [{"sub": s, "tc": tc, "unroll": u}
             for s, tc, u in itertools.product(subs, tcs, unrolls)]

@@ -110,14 +110,19 @@ def main():
             if slope > 0:
                 per[i].append(slope)
 
-    base = float(np.median(per[0])) if per[0] else float("nan")
+    base = float(np.median(per[0])) if per[0] else None
     for i, c_ in enumerate(configs):
-        dt = float(np.median(per[i])) if per[i] else float("nan")
+        if not per[i]:          # no positive slope survived (wedged link)
+            print(json.dumps({"config": args.config[i], "ms": None,
+                              "n": 0}))
+            continue
+        dt = float(np.median(per[i]))
         print(json.dumps({
             "config": args.config[i], "ms": round(dt * 1e3, 4),
             "gsps": round(T * C / dt / 1e9, 1),
             "rtf": round((T / (62.5e6 / 32)) / dt, 2),
-            "vs_first": round(base / dt, 3), "n": len(per[i])}))
+            "vs_first": round(base / dt, 3) if base else None,
+            "n": len(per[i])}))
 
 
 if __name__ == "__main__":

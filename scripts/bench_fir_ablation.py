@@ -119,6 +119,9 @@ def main():
     ap.add_argument("--ticks", type=int, default=8192)
     ap.add_argument("--windows", type=int, default=16)
     ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--sub", type=int, default=0,
+                    help="channel-block rows (0 = whole block); use 8 to "
+                         "ablate the shipped blocked FIR layout")
     args = ap.parse_args()
 
     import jax
@@ -139,7 +142,8 @@ def main():
         adcs[t0:t0 + 8, c] += rng.integers(300, 3000)
     packed = jnp.asarray(pack_adcs(adcs))
     state0 = pack_state(seed_chanstate(init_chanstate(C), adcs[0],
-                                       cfg.rs_memory_factor_x10), C)
+                                       cfg.rs_memory_factor_x10), C,
+                        block_sublanes=args.sub or None)
 
     orig = fir_mod.tpg_tick_fir
     variants = ["base", "noconv", "noiqr", "noq75", "nofrugal"]

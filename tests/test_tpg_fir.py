@@ -98,15 +98,14 @@ class TestFIRBackendParity:
                                       st_ref["fir_prev"])
 
     def test_pallas_multiblock_default(self):
-        """The blocked (nb>1) grid must stay bit-exact vs the oracle; the
-        shipped default is whole-block for every family on current
-        hardware (pallas_tpg.SHIPPED_KNOBS history note) but blocked
-        layouts remain a supported tuning choice."""
-        from fdreadoutlibs_tpu.ops.pallas_tpg import (SHIPPED_KNOBS,
-                                                      default_block_sublanes)
+        """The blocked (nb>1) grid must stay bit-exact vs the oracle.
+        FIR ships 8-row channel blocks (pallas_tpg.SHIPPED_KNOBS — the
+        whole-block alternative is bimodal across sessions, BENCH_NOTES
+        round-2c); the expectations are pinned so a knob change must
+        consciously update this test."""
+        from fdreadoutlibs_tpu.ops.pallas_tpg import default_block_sublanes
         C = 1024 + 256
-        assert default_block_sublanes(FIR_CFG, C) == \
-            (SHIPPED_KNOBS[FIR_CFG.algorithm]["sub"] or None)
+        assert default_block_sublanes(FIR_CFG, C) == 8
         assert default_block_sublanes(FIR_CFG, 64) is None  # single block
         adcs = random_stream(64, C, seed=37, noise=4, base=900, n_signals=400)
         h_ref, _ = run_reference(adcs, FIR_CFG)

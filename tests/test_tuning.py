@@ -39,15 +39,17 @@ class TestKernelKnobs:
         assert k["block_sublanes"] == (shipped["sub"] or None)
 
     def test_tuned_file_overrides(self, tmp_path, monkeypatch):
-        path = write_tuned(tmp_path, {"AbsRS": {"sub": 8, "tc": 256,
+        path = write_tuned(tmp_path, {"AbsRS": {"sub": 8, "tc": 128,
                                                 "unroll": 16}})
         monkeypatch.setenv("FDREADOUT_TUNED", path)
         cfg = TPGConfig(algorithm=Algorithm.ABS_RS, threshold=150)
-        k = tuning.kernel_knobs(cfg, 2560, tc=512, unroll=32)
-        assert k == {"tc": 256, "unroll": 16, "block_sublanes": 8}
+        k = tuning.kernel_knobs(cfg, 2560)
+        assert k == {"tc": 128, "unroll": 16, "block_sublanes": 8}
+        # explicit arguments beat the tuned file (documented precedence)
+        k_exp = tuning.kernel_knobs(cfg, 2560, tc=512, unroll=32)
+        assert k_exp["tc"] == 512 and k_exp["unroll"] == 32
         # other algorithms keep their defaults
-        k2 = tuning.kernel_knobs(TPGConfig(threshold=150), 2560,
-                                 tc=512, unroll=32)
+        k2 = tuning.kernel_knobs(TPGConfig(threshold=150), 2560)
         assert k2["tc"] == 512 and k2["block_sublanes"] is None
 
     def test_tuned_sub_zero_means_whole_block(self, tmp_path, monkeypatch):
@@ -70,9 +72,31 @@ class TestKernelKnobs:
         p = tmp_path / "bad.json"
         p.write_text("{not json")
         monkeypatch.setenv("FDREADOUT_TUNED", str(p))
-        k = tuning.kernel_knobs(TPGConfig(threshold=150), 2560,
-                                tc=512, unroll=32)
+        k = tuning.kernel_knobs(TPGConfig(threshold=150), 2560)
         assert k["tc"] == 512
+
+    def test_malformed_fields_fall_back_per_field(self, tmp_path,
+                                                  monkeypatch):
+        """Bad tuned values must never crash deployment — each field
+        falls back independently (kernel_knobs docs)."""
+        from fdreadoutlibs_tpu.ops.pallas_tpg import SHIPPED_KNOBS
+        cfg = TPGConfig(algorithm=Algorithm.FIR, threshold=5)
+        shipped = SHIPPED_KNOBS[Algorithm.FIR]
+        for bad in ({"tc": None}, {"tc": "512"}, {"sub": "8"},
+                    {"sub": -8}, {"unroll": 0}, {"tc": True}, "notadict"):
+            tuning._cache.clear()
+            path = write_tuned(tmp_path, {"FIR": bad})
+            monkeypatch.setenv("FDREADOUT_TUNED", path)
+            k = tuning.kernel_knobs(cfg, 2560)
+            assert k["tc"] == shipped["tc"], bad
+            assert k["unroll"] == shipped["unroll"], bad
+            assert k["block_sublanes"] == (shipped["sub"] or None), bad
+        # a good field next to a bad one still applies
+        tuning._cache.clear()
+        path = write_tuned(tmp_path, {"FIR": {"tc": 128, "unroll": None}})
+        monkeypatch.setenv("FDREADOUT_TUNED", path)
+        k = tuning.kernel_knobs(cfg, 2560)
+        assert k["tc"] == 128 and k["unroll"] == shipped["unroll"]
 
 
 class TestStreamingIngestPickup:
