@@ -139,3 +139,20 @@ class TestStreamingIngestPickup:
         h_tuned = run()
         np.testing.assert_array_equal(h_default[0], h_tuned[0])
         assert len(h_default[0]) > 0
+
+
+def test_autotune_quick_space_spans_shipped_winners():
+    """--quick must be able to reproduce every shipped winner, or its
+    tuned.json could override a better default (review finding)."""
+    import importlib.util
+    import pathlib
+    spec = importlib.util.spec_from_file_location(
+        "autotune", pathlib.Path(__file__).parent.parent /
+        "scripts" / "autotune.py")
+    autotune = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(autotune)
+    from fdreadoutlibs_tpu.ops.pallas_tpg import SHIPPED_KNOBS
+    quick = {(c["sub"], c["tc"], c["unroll"])
+             for c in autotune.candidate_space(quick=True)}
+    for alg, k in SHIPPED_KNOBS.items():
+        assert (k["sub"], k["tc"], k["unroll"]) in quick, alg
