@@ -100,6 +100,11 @@ def main():
     from fdreadoutlibs_tpu.ops import TPGConfig
 
     on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        # fail fast (with both build strings) on libtpu client/terminal
+        # skew instead of deep inside the first device_put (VERDICT r2 #8)
+        from fdreadoutlibs_tpu.utils.preflight import device_preflight
+        device_preflight()
     C = 2560
     T = 8192 if on_tpu else 512      # interpret mode is a smoke test only
     N_WINDOWS = 16 if on_tpu else 1

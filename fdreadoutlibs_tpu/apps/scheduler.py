@@ -44,8 +44,10 @@ class MultiAPAScheduler:
         else:
             rs_memory_factor = np.asarray(rs_memory_factor)
             n_ch = n_links * wibeth.N_CHANNELS
-            assert rs_memory_factor.shape == (n_ch,), \
-                f"rs_memory_factor must be scalar or ({n_ch},)"
+            if rs_memory_factor.shape != (n_ch,):
+                raise ValueError(
+                    f"rs_memory_factor must be scalar or ({n_ch},), "
+                    f"got shape {rs_memory_factor.shape}")
             cfg.check_memory_factors(rs_memory_factor)
         self.rs_memory_factor = rs_memory_factor
         self.n_apas = n_apas

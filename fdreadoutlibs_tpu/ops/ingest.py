@@ -231,8 +231,10 @@ class StreamingIngest:
             rs_memory_factor = cfg.rs_memory_factor_x10
         else:
             rs_memory_factor = np.asarray(rs_memory_factor)
-            assert rs_memory_factor.shape == (self.n_channels,), \
-                f"rs_memory_factor must be scalar or ({self.n_channels},)"
+            if rs_memory_factor.shape != (self.n_channels,):
+                raise ValueError(
+                    f"rs_memory_factor must be scalar or "
+                    f"({self.n_channels},), got {rs_memory_factor.shape}")
             cfg.check_memory_factors(rs_memory_factor)
         self.rs_memory_factor = rs_memory_factor
         self.stack = None

@@ -190,18 +190,16 @@ class DAPHNEStreamFrameProcessor(TaskRawDataProcessor):
         C = daphne.STREAM_N_CHANNELS
         N = flat_frames.shape[0]
         T = N * daphne.STREAM_N_SAMPLES
+        from ..utils.tuning import kernel_knobs
+        knobs = kernel_knobs(self.tpg_cfg, C)
         if self._pallas_stack is None:
             first = daphne.stream_get_adcs(flat_frames[:1])[0, 0] \
                 .astype(np.int32)
             state = seed_chanstate(init_chanstate(C), first,
                                    self.tpg_cfg.rs_memory_factor_x10)
-            from ..utils.tuning import kernel_knobs
-            knobs = kernel_knobs(self.tpg_cfg, C)
             self._pallas_stack = pack_state(
                 state, C, block_sublanes=knobs["block_sublanes"])
         words = daphne.stream_frames_bytes_to_u32(flat_frames)[None]
-        from ..utils.tuning import kernel_knobs
-        knobs = kernel_knobs(self.tpg_cfg, C)
         tc = auto_tc(T, cap=512 if self._interpret else knobs["tc"])
         u = knobs["unroll"]
         slots, nclose, self._pallas_stack = process_packed_daphne(

@@ -15,25 +15,34 @@ import os
 from typing import Optional
 
 _ENV = "FDREADOUT_TUNED"
-_cache: dict[str, dict] = {}
+_cache: dict[tuple, dict] = {}
 
 
 def load_tuned(path: Optional[str] = None) -> dict:
     """Return {algorithm_name: {sub, tc, unroll, ...}} from ``path`` or
-    the FDREADOUT_TUNED env var; {} when neither is set or readable."""
+    the FDREADOUT_TUNED env var; {} when neither is set or readable.
+
+    Cached per (path, mtime): rewriting the file (e.g. after re-running
+    autotune) is picked up by long-running processes on the next call.
+    """
     path = path or os.environ.get(_ENV)
     if not path:
         return {}
-    if path not in _cache:
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = None
+    key = (path, mtime)
+    if key not in _cache:
         try:
             with open(path) as f:
                 data = json.load(f)
-            _cache[path] = data if isinstance(data, dict) else {}
+            _cache[key] = data if isinstance(data, dict) else {}
         except (OSError, ValueError):
             from .logging import log
             log.warning("ignoring unreadable tuned-config file %s", path)
-            _cache[path] = {}
-    return _cache[path]
+            _cache[key] = {}
+    return _cache[key]
 
 
 def _tuned_int(tuned: dict, key: str, minimum: int):
@@ -51,7 +60,7 @@ def _tuned_int(tuned: dict, key: str, minimum: int):
 
 def kernel_knobs(cfg, n_channels: int, tc: Optional[int] = None,
                  unroll: Optional[int] = None,
-                 path: Optional[str] = None) -> dict:
+                 path: Optional[str] = None, dtype=None) -> dict:
     """Resolve the kernel launch knobs for ``cfg``, in precedence order:
     explicit ``tc``/``unroll`` arguments -> tuned-file values (when one
     names this algorithm and the field is well-formed) -> the shipped
@@ -60,8 +69,11 @@ def kernel_knobs(cfg, n_channels: int, tc: Optional[int] = None,
     Returns {"tc", "unroll", "block_sublanes"} ready for
     process_window_pallas / pack_state.
     """
-    from ..ops.pallas_tpg import (SHIPPED_KNOBS, default_block_sublanes,
-                                  pad_sublanes)
+    import numpy as np
+
+    from ..ops.pallas_tpg import (SHIPPED_KNOBS, _granule,
+                                  default_block_sublanes, pad_sublanes)
+    dtype = dtype or np.int32
     shipped = SHIPPED_KNOBS[cfg.algorithm]
     tuned = load_tuned(path).get(getattr(cfg.algorithm, "value",
                                          str(cfg.algorithm)), {})
@@ -69,10 +81,13 @@ def kernel_knobs(cfg, n_channels: int, tc: Optional[int] = None,
         tuned = {}
     sub = _tuned_int(tuned, "sub", 0)
     block = (sub or None) if sub is not None \
-        else default_block_sublanes(cfg, n_channels)
-    if block and pad_sublanes(n_channels) % block:
-        # tuned block width doesn't tile this channel count — fall back
-        block = default_block_sublanes(cfg, n_channels)
+        else default_block_sublanes(cfg, n_channels, dtype)
+    if block and (pad_sublanes(n_channels, _granule(dtype)) % block
+                  or block % _granule(dtype)):
+        # tuned block width doesn't tile this channel count, or violates
+        # the dtype's sublane tile granule (Mosaic 8-row int32 / 16-row
+        # int16 tiling) — fall back so a tuned file is always deployable
+        block = default_block_sublanes(cfg, n_channels, dtype)
     t_tc = _tuned_int(tuned, "tc", 1)
     t_un = _tuned_int(tuned, "unroll", 1)
     return {"tc": tc if tc is not None else

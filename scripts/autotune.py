@@ -129,6 +129,8 @@ def main():
 
     import jax
     assert jax.default_backend() == "tpu", "autotune needs the real chip"
+    from fdreadoutlibs_tpu.utils.preflight import device_preflight
+    device_preflight()   # fail fast on libtpu client/terminal skew
 
     winners = {}
     for alg in ([args.alg] if args.alg else ALGS):

@@ -43,6 +43,8 @@ def main():
         process_window_pallas)
 
     assert jax.default_backend() == "tpu", "soak needs the real chip"
+    from fdreadoutlibs_tpu.utils.preflight import device_preflight
+    device_preflight()   # fail fast on libtpu client/terminal skew
     C, T, W = args.channels, args.ticks, args.windows
     if args.alg == "FIR":
         cfg = TPGConfig.from_raw("FIR", threshold=5, track_peaks=False)

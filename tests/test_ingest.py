@@ -80,7 +80,8 @@ class TestStreamingIngest:
         np.testing.assert_array_equal(got, ref)
         # shape and promise violations are rejected loudly
         import pytest
-        with pytest.raises(AssertionError, match="rs_memory_factor"):
+        # ValueError (not assert) so the check survives python -O
+        with pytest.raises(ValueError, match="rs_memory_factor"):
             StreamingIngest(cfg, n_links=L, rs_memory_factor=rmf[:10])
         with pytest.raises(ValueError, match="rs_mf_shift"):
             StreamingIngest(cfg, n_links=L,
