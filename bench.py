@@ -95,6 +95,114 @@ def bench_algorithm(cfg, tc, k_slots, unroll, on_tpu, adcs, rmf,
     return (T / sample_hz) / dt
 
 
+def _slope_rtf(multi_window, state0, T, n_windows, trials, sync):
+    import time as _t
+    per_call = []
+    for _ in range(2 * trials):
+        t0 = _t.perf_counter()
+        s, _ = multi_window(state0)
+        sync(s)
+        t_a = _t.perf_counter() - t0
+        t0 = _t.perf_counter()
+        s = state0
+        for _ in range(6):
+            s, _ = multi_window(s)
+        sync(s)
+        t_b = _t.perf_counter() - t0
+        slope = (t_b - t_a) / 5 / n_windows
+        if slope > 0:
+            per_call.append(slope)
+        if len(per_call) >= trials:
+            break
+    assert per_call, "all timing trials inverted; tunnel too unstable"
+    dt = float(np.median(per_call))
+    return (T / (62.5e6 / 32)) / dt
+
+
+def bench_fresh_and_ingest(cfg, tc, k_slots, unroll, adcs, rmf,
+                           n_windows, trials=5, n_distinct=4):
+    """Two production-config variants the headline never pays (VERDICT r2
+    #3): (a) fresh-data — every scanned window reads a DISTINCT resident
+    ADC window (rotating buffer inside the jit); (b) ingest-inclusive —
+    the fused byte-ingest path (packed 14-bit frame words -> on-device
+    unpack -> kernel) on distinct resident byte windows, so the on-device
+    unpack/reshape cost at APA scale becomes a number.
+    """
+    import jax
+    import jax.numpy as jnp
+    from fdreadoutlibs_tpu.formats import wibeth
+    from fdreadoutlibs_tpu.ops.chanstate import init_chanstate, seed_chanstate
+    from fdreadoutlibs_tpu.ops.ingest import process_packed_frames
+    from fdreadoutlibs_tpu.ops.pallas_tpg import (
+        default_block_sublanes, pack_adcs, pack_state)
+    from fdreadoutlibs_tpu.ops.pallas_tpg import process_window_pallas
+
+    T, C = adcs.shape
+    L = C // wibeth.N_CHANNELS
+    n_frames = T // wibeth.N_TIME_SAMPLES
+    rng = np.random.default_rng(42)
+
+    # n_distinct variants of the stream (shifted noise + moved pulses)
+    variants = [adcs]
+    for _ in range(n_distinct - 1):
+        v = np.roll(adcs, rng.integers(1, T), axis=0)
+        variants.append(v)
+    windows = jnp.stack([jnp.asarray(pack_adcs(v)) for v in variants])
+
+    # byte-ingest inputs: encode each variant into WIBEth frame words
+    def to_words(v):
+        frames = wibeth.empty_frames(L * n_frames)
+        a = v.reshape(n_frames, wibeth.N_TIME_SAMPLES, L,
+                      wibeth.N_CHANNELS).transpose(2, 0, 1, 3)
+        wibeth.set_adcs(frames, a.reshape(L * n_frames,
+                                          wibeth.N_TIME_SAMPLES,
+                                          wibeth.N_CHANNELS)
+                        .astype(np.uint16))
+        w = wibeth.frames_bytes_to_u32(frames)
+        return w.reshape(L, T, wibeth.ADC_WORDS_PER_TS * 2)
+    words = jnp.stack([jnp.asarray(to_words(v)) for v in variants])
+
+    state0 = pack_state(seed_chanstate(init_chanstate(C), adcs[0], rmf), C,
+                        block_sublanes=default_block_sublanes(cfg, C))
+
+    @jax.jit
+    def fresh_multi(s):
+        def body(carry, _):
+            s, i = carry
+            w = jax.lax.dynamic_index_in_dim(windows, i % n_distinct, 0,
+                                             keepdims=False)
+            slots, nclose, s = process_window_pallas(
+                w, s, cfg, tc=tc, k_slots=k_slots, unroll=unroll,
+                vmem_limit_mb=64)
+            return (s, i + 1), jnp.sum(nclose)
+        (s, _), counts = jax.lax.scan(body, (s, 0), None, length=n_windows)
+        return s, counts
+
+    @jax.jit
+    def ingest_multi(s):
+        def body(carry, _):
+            s, i = carry
+            w = jax.lax.dynamic_index_in_dim(words, i % n_distinct, 0,
+                                             keepdims=False)
+            slots, nclose, s = process_packed_frames(
+                w, s, cfg, C, tc=tc, k_slots=k_slots, unroll=unroll,
+                vmem_limit_mb=64)
+            return (s, i + 1), jnp.sum(nclose)
+        (s, _), counts = jax.lax.scan(body, (s, 0), None, length=n_windows)
+        return s, counts
+
+    def sync(s):
+        _ = float(jnp.sum(s[:, 0]))
+
+    out = {}
+    for name, fn in [("fresh_data", fresh_multi),
+                     ("ingest_inclusive", ingest_multi)]:
+        fn(state0)[0].block_until_ready()           # compile
+        out[name] = round(_slope_rtf(fn, state0, T, n_windows, trials,
+                                     sync), 2)
+    return out
+
+
 def main():
     import jax
     from fdreadoutlibs_tpu.ops import TPGConfig
@@ -127,7 +235,7 @@ def main():
 
     def knobs(cfg):
         k = SHIPPED_KNOBS[cfg.algorithm]
-        return k["tc"], 1, k["unroll"]
+        return k["tc"], k.get("k", 1), k["unroll"]
 
     prod = TPGConfig.from_raw("AbsRS", threshold=150)
     simple = TPGConfig.from_raw("SimpleThreshold", threshold=150)
@@ -156,14 +264,32 @@ def main():
             cfg, tc, k, unroll, on_tpu, adcs, rmf, N_WINDOWS,
             trials=trials), 2)
 
+    # production config again, but paying what the headline never pays:
+    # distinct data per window, and the fused byte-ingest path (on-device
+    # 14-bit unpack at APA scale) — VERDICT r2 #3
+    extra = {}
+    if on_tpu:
+        cfg, tc, k, unroll, rmf = runs["AbsRS_production"]
+        try:
+            extra = bench_fresh_and_ingest(cfg, tc, k, unroll, adcs, rmf,
+                                           N_WINDOWS)
+        except Exception as e:  # noqa: BLE001 — keep the headline robust
+            extra = {"ingest_bench_error": str(e)[-200:]}
+
     rtf = results["AbsRS_production"]
-    print(json.dumps({
+    out = {
         "metric": "apa_realtime_factor_swtpg_production",
         "value": rtf,
         "unit": "x_realtime_2560ch_APA",
         "vs_baseline": rtf,
         "algorithms": results,
-    }))
+    }
+    if extra:
+        out["production_variants"] = extra
+        f, g = extra.get("fresh_data"), extra.get("ingest_inclusive")
+        if f and g:
+            out["unpack_overhead_pct"] = round(100 * (f / g - 1), 1)
+    print(json.dumps(out))
     return 0
 
 

@@ -24,10 +24,12 @@ wib/tpg/TPGConstants.hpp:17-46, wib/tpg/FrameExpand.hpp:151-235):
   register position are the tables in src/wib/tpg/FrameExpand.cpp:205-299
   (ported below as data).
 
-Timestamp: WIB header words — timestamp split as 13-bit low field in word 0
-plus word 1 (the reference accesses it via WIBFrame::get_timestamp; here
-the canonical packing is ts[62:0] across header words 2 (low 32) and
-3 (high 31), with get/set symmetric, which is what the adapter exercises).
+Timestamp: the real fddetdataformats WIBHeader layout — ts[31:0] in header
+word 2, ts[47:32] in word 3 bits [15:0], and ts[62:48] in the wib_counter_1
+field (word 3 bits [30:16]) gated on the z bit (bit 31): z=0 means the
+counter field extends the timestamp, z=1 means it is an independent WIB
+counter and the timestamp is 48-bit.  See get_timestamp/set_timestamp and
+the byte-position round-trip test (tests/test_formats_all.py).
 """
 
 from __future__ import annotations
@@ -123,17 +125,54 @@ def _words(frames: np.ndarray) -> np.ndarray:
     return frames.view("<u4")
 
 
+# WIBHeader bit layout (fddetdataformats WIBFrame.hpp, the struct behind
+# the get_wib_header()/get_timestamp() calls in
+# WIBFrameProcessor.hpp:352-394 and the fake_* adapter methods):
+#   word 0: sof:8 | version:5 | fiber_no:3 | crate_no:5 | slot_no:3 | rsvd:8
+#   word 1: mm:1 | oos:1 | rsvd:14 | wib_errors:16
+#   word 2: timestamp_1 (timestamp bits [31:0])
+#   word 3: timestamp_2:16 (bits [47:32]) | wib_counter_1:15 | z:1
+# get_timestamp() ORs wib_counter_1 in as bits [62:48] only when z == 0;
+# set_timestamp() writes wib_counter_1 only when z == 0 (z set means the
+# counter word carries an independent WIB counter, not timestamp bits).
+
 def get_timestamp(frames: np.ndarray) -> np.ndarray:
     w = _words(frames)
-    return w[..., 2].astype(np.uint64) | \
-        ((w[..., 3].astype(np.uint64) & np.uint64(0x7FFFFFFF)) << np.uint64(32))
+    w3 = w[..., 3].astype(np.uint64)
+    ts = w[..., 2].astype(np.uint64) | \
+        ((w3 & np.uint64(0xFFFF)) << np.uint64(32))
+    z = (w3 >> np.uint64(31)) & np.uint64(1)
+    counter = (w3 >> np.uint64(16)) & np.uint64(0x7FFF)
+    return ts | np.where(z == 0, counter << np.uint64(48), np.uint64(0))
 
 
 def set_timestamp(frames: np.ndarray, ts) -> None:
     w = _words(frames)
     ts = np.asarray(ts, dtype=np.uint64)
     w[..., 2] = (ts & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-    w[..., 3] = ((ts >> np.uint64(32)) & np.uint64(0x7FFFFFFF)).astype(np.uint32)
+    ts2 = ((ts >> np.uint64(32)) & np.uint64(0xFFFF)).astype(np.uint32)
+    counter = ((ts >> np.uint64(48)) & np.uint64(0x7FFF)).astype(np.uint32)
+    old = w[..., 3]
+    z = old & np.uint32(0x80000000)
+    # z=0: counter field carries ts bits [62:48]; z=1: leave it untouched
+    keep = np.where(z != 0, old & np.uint32(0x7FFF0000), counter << 16)
+    w[..., 3] = z | keep.astype(np.uint32) | ts2
+
+
+def get_geo(frames: np.ndarray) -> dict:
+    """crate/slot/fiber from header word 0 (WIBHeader bitfields)."""
+    w0 = _words(frames)[..., 0]
+    return {"fiber": (w0 >> 13) & 0x7, "crate": (w0 >> 16) & 0x1F,
+            "slot": (w0 >> 21) & 0x7}
+
+
+def set_geo(frames: np.ndarray, crate: int = 0, slot: int = 0,
+            fiber: int = 0) -> None:
+    """fake_geoid (ProtoWIBSuperChunkTypeAdapter.hpp fake_geoid)."""
+    w = _words(frames)
+    w[..., 0] = (w[..., 0] & np.uint32(0xFF001FFF)) | \
+        np.uint32(((fiber & 0x7) << 13) | ((crate & 0x1F) << 16)
+                  | ((slot & 0x7) << 21))
 
 
 def set_wib_errors(frames: np.ndarray, errors: int) -> None:

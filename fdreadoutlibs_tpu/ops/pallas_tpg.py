@@ -118,10 +118,10 @@ def _granule(dtype) -> int:
 # fell below the 10x north star.  Re-examine per libtpu release
 # (scripts/autotune.py).
 SHIPPED_KNOBS = {
-    Algorithm.SIMPLE_THRESHOLD: {"sub": 0, "tc": 512, "unroll": 32},
-    Algorithm.ABS_RS: {"sub": 0, "tc": 256, "unroll": 32},
-    Algorithm.STANDARD_RS: {"sub": 0, "tc": 512, "unroll": 32},
-    Algorithm.FIR: {"sub": 8, "tc": 512, "unroll": 32},
+    Algorithm.SIMPLE_THRESHOLD: {"sub": 0, "tc": 512, "unroll": 32, "k": 1},
+    Algorithm.ABS_RS: {"sub": 0, "tc": 256, "unroll": 32, "k": 1},
+    Algorithm.STANDARD_RS: {"sub": 0, "tc": 512, "unroll": 32, "k": 1},
+    Algorithm.FIR: {"sub": 8, "tc": 512, "unroll": 32, "k": 1},
 }
 
 

@@ -39,6 +39,18 @@ class TDEFrameProcessor(TaskRawDataProcessor):
                 threshold=config.get("tpg_threshold", 500))
             self.det_id = config.get("det_id", 0)
             self.backend = config.get("tpg_backend", "reference")
+            # vertical-drift channel map: TPs carry offline channels when a
+            # map is configured (channel_map_name, like the HD processors);
+            # crate/slot locate this link in the VD geometry
+            self._offline = None
+            map_name = config.get("channel_map_name")
+            if map_name:
+                from ..utils.channel_map import make_map
+                ch_map = make_map(map_name,
+                                  **config.get("channel_map_args", {}))
+                self._offline = ch_map.offline_channels(
+                    config.get("crate_id", 0), config.get("slot_id", 0),
+                    config.get("link_id", 0), tde.N_CHANNELS_PER_LINK)
             self.add_postprocess_task(self.find_hits)
 
     def start(self, args=None) -> None:
@@ -87,7 +99,9 @@ class TDEFrameProcessor(TaskRawDataProcessor):
         tps["time_peak"] = (t_begin + clocks *
                             hits["peak_time"].astype(np.int64)).astype(np.uint64)
         tps["time_over_threshold"] = hits["tover"].astype(np.uint64) * clocks
-        tps["channel"] = active[hits["channel"]]
+        link_ch = active[hits["channel"]]
+        tps["channel"] = link_ch if self._offline is None \
+            else self._offline[link_ch]
         tps["adc_integral"] = hits["charge"]
         tps["adc_peak"] = hits["peak_adc"]
         tps["detid"] = self.det_id

@@ -90,8 +90,10 @@ def kernel_knobs(cfg, n_channels: int, tc: Optional[int] = None,
         block = default_block_sublanes(cfg, n_channels, dtype)
     t_tc = _tuned_int(tuned, "tc", 1)
     t_un = _tuned_int(tuned, "unroll", 1)
+    t_k = _tuned_int(tuned, "k", 1)
     return {"tc": tc if tc is not None else
             (t_tc if t_tc is not None else shipped["tc"]),
             "unroll": unroll if unroll is not None else
             (t_un if t_un is not None else shipped["unroll"]),
+            "k_slots": t_k if t_k is not None else shipped.get("k", 1),
             "block_sublanes": block}

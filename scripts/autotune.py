@@ -40,8 +40,14 @@ def candidate_space(quick: bool):
     # shipped default
     tcs = [256, 512] if quick else [256, 512, 1024]
     unrolls = [32] if quick else [16, 32]
-    return [{"sub": s, "tc": tc, "unroll": u}
-            for s, tc, u in itertools.product(subs, tcs, unrolls)]
+    # k_slots: per-channel hit capacity per time chunk.  The round-2
+    # whole-window K-sweep (K=2 beat K=1 at tc=1024) predates the
+    # per-chunk slot redesign, so k is re-swept here (VERDICT r2 #4);
+    # at equal capacity density prefer halving tc over doubling k
+    # (BENCH_NOTES round-2 A/B)
+    ks = [1, 2] if quick else [1, 2, 4]
+    return [{"sub": s, "tc": tc, "unroll": u, "k": k}
+            for s, tc, u, k in itertools.product(subs, tcs, unrolls, ks)]
 
 
 def measure_candidates(alg, cands, channels, ticks, windows, trials,
@@ -78,7 +84,8 @@ def measure_candidates(alg, cands, channels, ticks, windows, trials,
             def mw(s, _c=cand):
                 def body(s, _):
                     slots, nclose, s = process_window_pallas(
-                        packed, s, cfg, tc=_c["tc"], k_slots=1,
+                        packed, s, cfg, tc=_c["tc"],
+                        k_slots=_c.get("k", 1),
                         unroll=_c["unroll"], vmem_limit_mb=64)
                     return s, jnp.sum(nclose)
                 s, counts = jax.lax.scan(body, s, None, length=windows)

@@ -6,6 +6,7 @@ the documented electronics geometry (utils/channel_map.HDAPAChannelMap).
 """
 
 import numpy as np
+import pytest
 
 from fdreadoutlibs_tpu.utils.channel_map import (
     HDAPAChannelMap, TableChannelMap, make_map, register_map_via_expansion)
@@ -254,3 +255,152 @@ class TestProcessorIntegration:
             p.register_memory_factor,
             np.where(planes == 0, 0, p.tpg_cfg.rs_memory_factor_x10))
         np.testing.assert_array_equal(p.register_channels, offl)
+
+
+class TestVDTDEChannelMap:
+    def test_crp_coverage_bijective(self):
+        from fdreadoutlibs_tpu.utils.channel_map import VDTDEChannelMap
+        m = VDTDEChannelMap()
+        seen = set()
+        for crate in range(4):
+            for slot in range(12):
+                offl = m.offline_channels(crate, slot, 0)
+                seen.update(offl.tolist())
+        assert seen == set(range(3072))
+        # second CRP offsets by 3072
+        assert m.get_offline_channel_from_crate_slot_stream_chan(
+            4, 0, 0, 0) == 3072
+
+    def test_plane_split_sizes(self):
+        from fdreadoutlibs_tpu.utils.channel_map import VDTDEChannelMap
+        m = VDTDEChannelMap()
+        planes = m.planes(np.arange(3072))
+        assert int(np.sum(planes == 1)) == 952     # induction-1
+        assert int(np.sum(planes == 2)) == 952     # induction-2
+        assert int(np.sum(planes == 0)) == 1168    # collection
+
+    def test_permutation_injection_and_validation(self):
+        from fdreadoutlibs_tpu.utils.channel_map import VDTDEChannelMap
+        perm = np.arange(3072)[::-1]
+        m = VDTDEChannelMap(permutation=perm)
+        assert m.get_offline_channel_from_crate_slot_stream_chan(
+            0, 0, 0, 0) == 3071
+        with pytest.raises(ValueError, match="permutation"):
+            VDTDEChannelMap(permutation=np.zeros(3072, dtype=int))
+        with pytest.raises(ValueError, match="geometry mismatch"):
+            VDTDEChannelMap(n_slots=10)
+
+    def test_registry(self):
+        from fdreadoutlibs_tpu.utils.channel_map import (VDTDEChannelMap,
+                                                         make_map)
+        assert isinstance(make_map("VDTopChannelMap"), VDTDEChannelMap)
+
+
+class TestFidelityHarness:
+    def _write_dump(self, path, ch_map, crate=0, perturb=None):
+        """Write a detchannelmaps-format dump from a map (offline crate
+        slot stream chan plane, DUNE plane convention)."""
+        native_to_dune = {1: 0, 2: 1, 0: 2}
+        with open(path, "w") as f:
+            f.write("# offline crate slot stream chan plane\n")
+            for slot in range(5):
+                for stream in range(8):
+                    offl = ch_map.offline_channels(crate, slot, stream, 64)
+                    for chan, off in enumerate(offl.tolist()):
+                        if perturb and (slot, stream, chan) in perturb:
+                            off = perturb[(slot, stream, chan)]
+                        plane = native_to_dune[
+                            ch_map.get_plane_from_offline_channel(off)
+                            if not perturb else
+                            HDAPAChannelMap().get_plane_from_offline_channel(off)]
+                        f.write(f"{off} {crate} {slot} {stream} "
+                                f"{chan} {plane}\n")
+
+    def test_cross_check_confirms_matching_dump(self, tmp_path):
+        from fdreadoutlibs_tpu.utils.channel_map import (TableChannelMap,
+                                                         cross_check_maps)
+        geo = HDAPAChannelMap()
+        p = tmp_path / "dump.txt"
+        self._write_dump(p, geo)
+        tbl = TableChannelMap.from_file(p)
+        keys = [(0, s, st) for s in range(5) for st in range(8)]
+        rep = cross_check_maps(tbl, geo, keys)
+        assert rep["match"] and rep["n_checked"] == 2560
+        assert rep["n_offline_mismatch"] == 0
+
+    def test_cross_check_pins_exact_divergence(self, tmp_path):
+        from fdreadoutlibs_tpu.utils.channel_map import (TableChannelMap,
+                                                         cross_check_maps)
+        geo = HDAPAChannelMap()
+        p = tmp_path / "dump.txt"
+        # swap two offline numbers in one stream
+        a = int(geo.offline_channels(0, 2, 3, 64)[10])
+        b = int(geo.offline_channels(0, 2, 3, 64)[11])
+        self._write_dump(p, geo, perturb={(2, 3, 10): b, (2, 3, 11): a})
+        tbl = TableChannelMap.from_file(p)
+        keys = [(0, s, st) for s in range(5) for st in range(8)]
+        rep = cross_check_maps(tbl, geo, keys)
+        assert not rep["match"] and rep["n_offline_mismatch"] == 2
+        locs = {(m["slot"], m["stream"], m["chan"])
+                for m in rep["mismatches"]}
+        assert locs == {(2, 3, 10), (2, 3, 11)}
+
+    def test_femb_table_derivation_roundtrip(self, tmp_path):
+        """A dump that fits the per-FEMB parametrization derives a
+        femb_table that reproduces it exactly."""
+        from fdreadoutlibs_tpu.utils.channel_map import (cross_check_maps,
+                                                         femb_table_from_dump)
+        # a non-default but FEMB-uniform table: interleave the planes
+        plane = np.concatenate([np.full(40, 1), np.full(40, 2),
+                                np.full(48, 0)])
+        idx = np.concatenate([np.arange(40), np.arange(40), np.arange(48)])
+        order = np.argsort(np.arange(128) % 3, kind="stable")
+        table = np.stack([plane, idx], axis=1)[order]
+        truth = HDAPAChannelMap(femb_table=table)
+        p = tmp_path / "dump.txt"
+        self._write_dump(p, truth)
+        derived = femb_table_from_dump(str(p))
+        np.testing.assert_array_equal(derived, table)
+        keys = [(0, s, st) for s in range(5) for st in range(8)]
+        rep = cross_check_maps(HDAPAChannelMap(femb_table=derived), truth,
+                               keys)
+        assert rep["match"]
+
+    def test_femb_table_derivation_rejects_nonuniform(self, tmp_path):
+        from fdreadoutlibs_tpu.utils.channel_map import femb_table_from_dump
+        geo = HDAPAChannelMap()
+        p = tmp_path / "dump.txt"
+        # swap across FEMBs so no single femb_table can fit
+        a = int(geo.offline_channels(0, 0, 0, 64)[0])   # femb 0
+        b = int(geo.offline_channels(0, 1, 0, 64)[0])   # femb 4
+        self._write_dump(p, geo, perturb={(0, 0, 0): b, (1, 0, 0): a})
+        with pytest.raises(ValueError, match="FEMB"):
+            femb_table_from_dump(str(p))
+
+
+class TestTDEOfflineChannels:
+    def test_tde_processor_resolves_offline_channels(self):
+        """TDE TPs carry VD offline channels when a map is configured."""
+        from fdreadoutlibs_tpu.formats import tde
+        from fdreadoutlibs_tpu.stream.tde import TDEFrameProcessor
+        from fdreadoutlibs_tpu.stream.transport import QueueSender
+        from fdreadoutlibs_tpu.utils.channel_map import VDTDEChannelMap
+
+        sink = QueueSender()
+        p = TDEFrameProcessor(tp_sink=sink)
+        p.conf({"enable_tpg": True, "tpg_threshold": 400,
+                "channel_map_name": "VDTDEChannelMap",
+                "crate_id": 1, "slot_id": 2, "link_id": 0})
+        p.start()
+        frames = tde.empty_frames(64)
+        tde.set_channel(frames, np.arange(64))
+        tde.fake_timestamps(frames, 5000)
+        samples = np.full((64, tde.TOT_ADC16_SAMPLES), 700, np.uint16)
+        samples[13, 100:110] += 2000                   # pulse on channel 13
+        tde.set_adc_samples(frames, samples)
+        p.process(frames)
+        tps = np.concatenate(sink.drain())
+        m = VDTDEChannelMap()
+        expect = m.get_offline_channel_from_crate_slot_stream_chan(
+            1, 2, 0, 13)
+        assert expect in set(tps["channel"].tolist())

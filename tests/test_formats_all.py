@@ -104,6 +104,43 @@ class TestProtoWIB:
         protowib.set_timestamp(frames, (1 << 63) - 12345)
         assert protowib.get_timestamp(frames)[0] == (1 << 63) - 12345
 
+    def test_wibheader_byte_positions(self):
+        """Pin the real fddetdataformats WIBHeader layout: ts[31:0] in
+        word 2, ts[47:32] in word 3 low half, ts[62:48] in wib_counter_1
+        (word 3 bits [30:16]) gated on z (bit 31)."""
+        ts = 0x5A3C_1122_3344_5566
+        frames = protowib.empty_frames(1)
+        protowib.set_timestamp(frames, ts)
+        w = frames.view("<u4")[0]
+        assert w[2] == 0x33445566
+        assert w[3] & 0xFFFF == 0x1122
+        assert (w[3] >> 16) & 0x7FFF == 0x5A3C
+        assert w[3] >> 31 == 0                       # z untouched (0)
+        # hand-built byte pattern decodes to the documented value
+        raw = protowib.empty_frames(1)
+        raw.view("<u4")[0, 2] = 0xDEADBEEF
+        raw.view("<u4")[0, 3] = (0x7001 << 16) | 0xCAFE
+        assert protowib.get_timestamp(raw)[0] == \
+            (0x7001 << 48) | (0xCAFE << 32) | 0xDEADBEEF
+
+    def test_wibheader_z_bit_gates_counter(self):
+        """z=1: wib_counter_1 is an independent counter — get returns a
+        48-bit ts and set must preserve the counter field."""
+        frames = protowib.empty_frames(1)
+        w = frames.view("<u4")
+        w[0, 3] = np.uint32(0x80000000 | (0x1234 << 16))   # z=1, counter
+        protowib.set_timestamp(frames, (0x7FFF << 48) | (0xAB << 32) | 7)
+        assert w[0, 3] >> 31 == 1
+        assert (w[0, 3] >> 16) & 0x7FFF == 0x1234          # preserved
+        assert protowib.get_timestamp(frames)[0] == (0xAB << 32) | 7
+
+    def test_geo_fields(self):
+        frames = protowib.empty_frames(2)
+        protowib.set_geo(frames, crate=21, slot=5, fiber=3)
+        g = protowib.get_geo(frames)
+        assert (g["crate"] == 21).all() and (g["slot"] == 5).all() \
+            and (g["fiber"] == 3).all()
+
 
 class TestDAPHNE:
     def test_sizes(self):

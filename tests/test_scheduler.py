@@ -86,7 +86,7 @@ def test_per_channel_memory_factors():
     assert len(ref) > 0 and dropped == 0
     np.testing.assert_array_equal(sort_hits(hits), sort_hits(ref))
     import pytest
-    with pytest.raises(AssertionError, match="rs_memory_factor"):
+    with pytest.raises(ValueError, match="rs_memory_factor"):
         MultiAPAScheduler(cfg, n_apas=1, n_links=L,
                           rs_memory_factor=rmf[:5])
 

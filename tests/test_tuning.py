@@ -27,7 +27,8 @@ class TestKernelKnobs:
     def test_defaults_without_file(self):
         cfg = TPGConfig(threshold=150)
         k = tuning.kernel_knobs(cfg, 2560, tc=512, unroll=32)
-        assert k == {"tc": 512, "unroll": 32, "block_sublanes": None}
+        assert k == {"tc": 512, "unroll": 32, "k_slots": 1,
+                     "block_sublanes": None}
 
     def test_shipped_table_governs(self):
         from fdreadoutlibs_tpu.ops.pallas_tpg import SHIPPED_KNOBS
@@ -44,13 +45,43 @@ class TestKernelKnobs:
         monkeypatch.setenv("FDREADOUT_TUNED", path)
         cfg = TPGConfig(algorithm=Algorithm.ABS_RS, threshold=150)
         k = tuning.kernel_knobs(cfg, 2560)
-        assert k == {"tc": 128, "unroll": 16, "block_sublanes": 8}
+        assert k == {"tc": 128, "unroll": 16, "k_slots": 1,
+                     "block_sublanes": 8}
         # explicit arguments beat the tuned file (documented precedence)
         k_exp = tuning.kernel_knobs(cfg, 2560, tc=512, unroll=32)
         assert k_exp["tc"] == 512 and k_exp["unroll"] == 32
         # other algorithms keep their defaults
         k2 = tuning.kernel_knobs(TPGConfig(threshold=150), 2560)
         assert k2["tc"] == 512 and k2["block_sublanes"] is None
+
+    def test_tuned_k_slots(self, tmp_path, monkeypatch):
+        path = write_tuned(tmp_path, {"AbsRS": {"k": 2}})
+        monkeypatch.setenv("FDREADOUT_TUNED", path)
+        cfg = TPGConfig(algorithm=Algorithm.ABS_RS, threshold=150)
+        assert tuning.kernel_knobs(cfg, 2560)["k_slots"] == 2
+        # other fields still fall back to shipped
+        assert tuning.kernel_knobs(cfg, 2560)["tc"] == 256
+
+    def test_granule_violating_sub_falls_back(self, tmp_path, monkeypatch):
+        # sub=4 divides the 24-row padded axis but violates the int32
+        # 8-row tile granule — must fall back, not reach Mosaic (ADVICE r2)
+        path = write_tuned(tmp_path, {"FIR": {"sub": 4}})
+        monkeypatch.setenv("FDREADOUT_TUNED", path)
+        cfg = TPGConfig(algorithm=Algorithm.FIR, threshold=5)
+        k = tuning.kernel_knobs(cfg, 2560)
+        assert k["block_sublanes"] in (None, 8)
+
+    def test_mtime_cache_picks_up_rewrites(self, tmp_path, monkeypatch):
+        path = write_tuned(tmp_path, {"AbsRS": {"tc": 128}})
+        monkeypatch.setenv("FDREADOUT_TUNED", path)
+        cfg = TPGConfig(algorithm=Algorithm.ABS_RS, threshold=150)
+        assert tuning.kernel_knobs(cfg, 2560)["tc"] == 128
+        import os
+        import time as _t
+        _t.sleep(0.01)
+        write_tuned(tmp_path, {"AbsRS": {"tc": 64}})
+        os.utime(path)                              # ensure mtime moves
+        assert tuning.kernel_knobs(cfg, 2560)["tc"] == 64
 
     def test_tuned_sub_zero_means_whole_block(self, tmp_path, monkeypatch):
         path = write_tuned(tmp_path, {"FIR": {"sub": 0}})
