@@ -65,7 +65,9 @@ def make_apa_step(mesh: Mesh, cfg: TPGConfig, max_hits_per_link: int = 512,
 
     step(words (L, T, 28) uint32, state {k: (L, 64) int32}) ->
       (hits (L, max_hits, 6) int32, n_hits (L,) int32, total_hits scalar,
-       new_state)
+       dropped scalar, new_state) — ``dropped`` counts closes lost to
+      per-channel capacity (K-slot chunks in the pallas backend,
+      max_hits_per_link overflow in the scan backend)
 
     Links shard over the mesh 'link' axis; the only collective is the psum
     for the monitoring total.  backend="pallas" runs the production fused
@@ -107,12 +109,17 @@ def make_apa_step(mesh: Mesh, cfg: TPGConfig, max_hits_per_link: int = 512,
                 lw[:, 0], lw[:, 1] if nw == 3 else None, lw[:, -1],
                 max_hits_per_link))(w)
         total = jax.lax.psum(jnp.sum(n_hits), "link")
+        # closes beyond the per-chunk slot capacity are dropped per
+        # channel — surface them (the silent-drop parity gap found by
+        # scripts/check_sharded_pallas_hw.py: 9 closes at K=8)
+        dropped = jax.lax.psum(
+            jnp.sum(jnp.maximum(nclose - k_slots, 0)), "link")
         new_st = _state_from_stack(stack, C)
         new_state = {k: (new_st[k].reshape(-1, Lloc, N_CH).transpose(1, 0, 2)
                          if k == "fir_prev"
                          else new_st[k].reshape(Lloc, N_CH))
                      for k in STATE_KEYS}
-        return hits, n_hits, total, new_state
+        return hits, n_hits, total, dropped, new_state
 
     def _local(words, state):
         # words: (Lloc, T, 28); state values: (Lloc, 64)
@@ -128,23 +135,24 @@ def make_apa_step(mesh: Mesh, cfg: TPGConfig, max_hits_per_link: int = 512,
         closed_l = closed.reshape(T, Lloc, N_CH).transpose(1, 0, 2)
         records_l = {f: records[f].reshape(T, Lloc, N_CH).transpose(1, 0, 2)
                      for f in records}
-        hits, n_hits, _ = jax.vmap(
+        hits, n_hits, drops = jax.vmap(
             lambda c, r: compact_hits_device(c, r,
                                              max_hits=max_hits_per_link)
         )(closed_l, records_l)
         total = jax.lax.psum(jnp.sum(n_hits), "link")
+        dropped = jax.lax.psum(jnp.sum(drops), "link")
         new_state = {k: (new_st[k].reshape(-1, Lloc, N_CH).transpose(1, 0, 2)
                          if k == "fir_prev"
                          else new_st[k].reshape(Lloc, N_CH))
                      for k in STATE_KEYS}
-        return hits, n_hits, total, new_state
+        return hits, n_hits, total, dropped, new_state
 
     state_spec = {k: P("link") for k in STATE_KEYS}
     local = _local_pallas if backend == "pallas" else _local
     step = shard_map(
         local, mesh=mesh,
         in_specs=(P("link"), state_spec),
-        out_specs=(P("link"), P("link"), P(), state_spec),
+        out_specs=(P("link"), P("link"), P(), P(), state_spec),
         check_vma=False,
     )
     return jax.jit(step)
@@ -166,6 +174,7 @@ class APAPipeline:
         self.step = make_apa_step(self.mesh, cfg, max_hits_per_link,
                                   backend=backend, interpret=interpret)
         self.state = None
+        self.dropped_hits = 0      # cumulative capacity-dropped closes
 
     def init_state(self, first_samples: np.ndarray,
                    rs_memory_factor=None) -> None:
@@ -199,5 +208,7 @@ class APAPipeline:
             self.init_state(adcs0)
         sharding = NamedSharding(self.mesh, P("link"))
         words = jax.device_put(np.ascontiguousarray(words), sharding)
-        hits, n_hits, total, self.state = self.step(words, self.state)
+        hits, n_hits, total, dropped, self.state = self.step(words,
+                                                             self.state)
+        self.dropped_hits += int(dropped)
         return hits, n_hits, int(total)

@@ -214,6 +214,20 @@ class DAPHNEStreamFrameProcessor(TaskRawDataProcessor):
             self.metrics.inc("num_hits_dropped", dropped)
         return hits
 
+    def current_state(self):
+        """Live ChanState for checkpointing: the pallas path carries state
+        only in the device stack, so materialize it on demand (the scan/
+        reference backends keep ._state fresh already)."""
+        if self._pallas_stack is not None:
+            from ..ops.pallas_tpg import unpack_state
+            st = unpack_state(self._pallas_stack,
+                              daphne.STREAM_N_CHANNELS)
+            if self._state is None:
+                self._state = st
+            else:
+                self._state.update(st)
+        return self._state
+
     def timestamp_check(self, superchunks: np.ndarray) -> None:
         """DAPHNEStreamFrameProcessor.cpp:39-49: fixed +64/frame cadence."""
         if superchunks.shape[0] == 0:

@@ -127,7 +127,7 @@ class WIB2FrameProcessor(WIBEthFrameProcessor):
         """Fused device ingest: packed 112-word rows, unpack on device."""
         import jax.numpy as jnp
         from ..ops.ingest import collect_hits, process_packed_wib2
-        from ..ops.pallas_tpg import auto_tc, pack_state, unpack_state
+        from ..ops.pallas_tpg import auto_tc, pack_state
         C = self.N_CHANNELS
         words = np.ascontiguousarray(wib2.adc_region_u32(frames)) \
             .reshape(1, -1, wib2.ADC_WORDS)
@@ -149,7 +149,7 @@ class WIB2FrameProcessor(WIBEthFrameProcessor):
                                      device=self._device_compact)
         if dropped:
             self.metrics.inc("num_hits_dropped", dropped)
-        self._state.update(unpack_state(self._pallas_stack, C))
+        self._state_stale = True        # lazily materialized (current_state)
         return hits
 
     # ------------------------------------------------------- TP assembly

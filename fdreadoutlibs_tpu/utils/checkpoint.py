@@ -43,7 +43,10 @@ def checkpoint_processor(proc, path) -> Path:
     """Checkpoint a frame processor's full streaming context."""
     meta = {k: getattr(proc, k, 0) for k in _META_KEYS}
     meta["first_hit"] = getattr(proc, "_first_hit", True)
-    state = getattr(proc, "_state", None) or {}
+    if hasattr(proc, "current_state"):   # lazily-materialized device state
+        state = proc.current_state() or {}
+    else:
+        state = getattr(proc, "_state", None) or {}
     if getattr(proc, "register_channels", None) is not None:
         meta["register_channels"] = np.asarray(proc.register_channels)
         meta["register_memory_factor"] = np.asarray(proc.register_memory_factor)
@@ -79,6 +82,7 @@ def restore_processor(proc, path) -> None:
     if len(state):
         proc._state = state
         proc._pallas_stack = None
+        proc._state_stale = False
     for k in _META_KEYS:
         if k in meta:
             setattr(proc, k, int(meta[k]))

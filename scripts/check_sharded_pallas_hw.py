@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Run the sharded (shard_map) Pallas production step COMPILED on the real
+chip, on a 1-device TPU mesh (VERDICT r2 #7).
+
+The multi-chip dryrun exercises the Pallas backend only in interpret mode
+on virtual CPU devices; single-chip compiled Pallas runs outside
+shard_map.  This closes the remaining gap — Mosaic-under-shard_map
+actually compiling and executing — without multi-chip hardware, and
+checks the hits against the scan backend on the same mesh.
+
+Usage: python scripts/check_sharded_pallas_hw.py [--links 8] [--batches 2]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--links", type=int, default=8)
+    ap.add_argument("--batches", type=int, default=2)
+    ap.add_argument("--frames", type=int, default=4,
+                    help="WIBEth frames per link per batch (64 ticks each)")
+    args = ap.parse_args()
+
+    import jax
+    from fdreadoutlibs_tpu.formats import wibeth
+    from fdreadoutlibs_tpu.ops import Algorithm, TPGConfig
+    from fdreadoutlibs_tpu.parallel import APAPipeline, make_link_mesh
+    from fdreadoutlibs_tpu.utils.preflight import device_preflight
+
+    assert jax.default_backend() == "tpu", "needs the real chip"
+    device_preflight()
+
+    mesh = make_link_mesh(1, backend="tpu")
+    assert mesh.devices.flatten()[0].platform == "tpu", \
+        "mesh fell back to CPU — tunnel unhealthy?"
+    # threshold 150 keeps noise channels below the per-chunk K-slot
+    # capacity (at 120, hot noise channels close >8 hits per 256-tick
+    # chunk and the pallas backend's documented capacity drop breaks
+    # strict parity; the dropped counter is asserted zero below)
+    cfg = TPGConfig(algorithm=Algorithm.ABS_RS, threshold=150)
+    pipes = {
+        "pallas": APAPipeline(args.links, cfg, mesh=mesh, backend="pallas"),
+        "scan": APAPipeline(args.links, cfg, mesh=mesh, backend="scan"),
+    }
+
+    T = args.frames * wibeth.N_TIME_SAMPLES
+    rng = np.random.default_rng(11)
+    totals = {"pallas": [], "scan": []}
+    for b in range(args.batches):
+        words = np.zeros((args.links, T, 28), dtype=np.uint32)
+        for l in range(args.links):
+            frames = wibeth.empty_frames(args.frames)
+            adcs = (800 + rng.normal(0, 20, size=(args.frames, 64, 64))) \
+                .astype(np.uint16)
+            adcs[1, 10:20, (5 * l + b) % 64] += 2500
+            wibeth.set_adcs(frames, adcs)
+            words[l] = wibeth.frames_bytes_to_u32(frames).reshape(T, 28)
+        res = {}
+        for name, pipe in pipes.items():
+            hits, n_hits, total = pipe.process(words)
+            res[name] = (np.asarray(hits), np.asarray(n_hits), total)
+            totals[name].append(total)
+        assert pipes["pallas"].dropped_hits == 0, \
+            f"capacity drops ({pipes['pallas'].dropped_hits}) — raise " \
+            "threshold or k_slots for a strict-parity check"
+        # hit-level parity between the compiled sharded Pallas step and
+        # the scan backend, per link (row sets; padding rows are zero)
+        for l in range(args.links):
+            hp = {tuple(r) for r in res["pallas"][0][l]
+                  [: res["pallas"][1][l]].tolist()}
+            hs = {tuple(r) for r in res["scan"][0][l]
+                  [: res["scan"][1][l]].tolist()}
+            assert hp == hs, f"batch {b} link {l}: {hp ^ hs}"
+
+    print(json.dumps({
+        "ok": True, "links": args.links, "batches": args.batches,
+        "hits_per_batch": totals["pallas"],
+        "note": "compiled Mosaic under shard_map on a 1-device TPU mesh; "
+                "hit-parity vs scan backend",
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
