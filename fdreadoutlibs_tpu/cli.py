@@ -354,6 +354,37 @@ def cmd_channel_map(args) -> int:
     return 0
 
 
+def cmd_validate_map(args) -> int:
+    """Cross-check a detchannelmaps-format dump file against the
+    geometry-derived map (the channel-map fidelity harness): confirms the
+    derivation or pins the exact divergences; optionally derives the
+    production femb_table from the dump."""
+    from .utils.channel_map import (HDAPAChannelMap, TableChannelMap,
+                                    cross_check_maps, femb_table_from_dump)
+    tbl = TableChannelMap.from_file(args.file)
+    geo = HDAPAChannelMap(frontend=args.frontend)
+    n_streams = 2 if args.frontend == "wib2" else 8
+    width = 256 if args.frontend == "wib2" else 64
+    keys = [(args.crate, s, st) for s in range(HDAPAChannelMap.N_WIBS)
+            for st in range(n_streams)
+            if (args.crate, s, st) in tbl.table]
+    rep = cross_check_maps(tbl, geo, keys, n_channels=width)
+    out = dict(rep)
+    if args.derive_femb_table:
+        try:
+            table = femb_table_from_dump(args.file, crate=args.crate,
+                                         frontend=args.frontend)
+            out["femb_table"] = table.tolist()
+            derived = HDAPAChannelMap(femb_table=table,
+                                      frontend=args.frontend)
+            out["derived_matches"] = cross_check_maps(
+                tbl, derived, keys, n_channels=width)["match"]
+        except ValueError as e:
+            out["femb_table_error"] = str(e)
+    print(json.dumps(out))
+    return 0 if rep["match"] or args.derive_femb_table else 1
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="fdreadoutlibs_tpu",
                                 description=__doc__,
@@ -454,6 +485,18 @@ def build_parser() -> argparse.ArgumentParser:
                          "(wib2 = 2 links x 256 ch per WIB)")
     cm.add_argument("--json", action="store_true")
     cm.set_defaults(fn=cmd_channel_map)
+
+    vm = sub.add_parser("validate-map",
+                        help="cross-check a detchannelmaps dump file "
+                             "against the geometry-derived HD map")
+    vm.add_argument("-f", "--file", required=True)
+    vm.add_argument("--crate", type=int, default=0)
+    vm.add_argument("--frontend", default="wibeth",
+                    choices=["wibeth", "wib2"])
+    vm.add_argument("--derive-femb-table", action="store_true",
+                    help="also derive the exact femb_table from the dump "
+                         "(for HDAPAChannelMap(femb_table=...) injection)")
+    vm.set_defaults(fn=cmd_validate_map)
 
     pr = sub.add_parser("profile",
                         help="capture a jax.profiler device trace of the "

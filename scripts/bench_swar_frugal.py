@@ -121,8 +121,10 @@ def main():
                   np.int32)
     a0p = np.full((S // 2, LANES), _BC | (_BC << 16), np.int32)
 
-    def build(kern, data, m, a, tc):
+    def build(kern, data, m, a):
         rows = data.shape[1]
+        tc = 512                       # VMEM-safe chunk (6 MB ADC block)
+        chunks = data.reshape(-1, tc, rows, LANES)
         fn = pl.pallas_call(
             functools.partial(kern, tc=tc),
             out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.int32)] * 2,
@@ -130,18 +132,22 @@ def main():
 
         @jax.jit
         def run(m, a):
-            def body(carry, _):
-                m, a = carry
-                m, a = fn(data, m, a)
-                return (m, a), 0
-            (m, a), _ = jax.lax.scan(body, (m, a), None, length=args.reps)
+            def window(carry, _):
+                def chunk(carry, d):
+                    m, a = carry
+                    m, a = fn(d, m, a)
+                    return (m, a), 0
+                carry, _ = jax.lax.scan(chunk, carry, chunks)
+                return carry, 0
+            (m, a), _ = jax.lax.scan(window, (m, a), None,
+                                     length=args.reps)
             return m, a
         return run
 
     d_up = jnp.asarray(up)
     d_pk = jnp.asarray(pk)
-    run_u = build(_unpacked_kernel, d_up, m0, a0, T)
-    run_p = build(_packed_kernel, d_pk, m0p, a0p, T)
+    run_u = build(_unpacked_kernel, d_up, m0, a0)
+    run_p = build(_packed_kernel, d_pk, m0p, a0p)
 
     # bit-exactness: one rep of packed == unpacked (biased halves undone)
     mu, au = run_u(jnp.asarray(m0), jnp.asarray(a0))

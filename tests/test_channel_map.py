@@ -404,3 +404,34 @@ class TestTDEOfflineChannels:
         expect = m.get_offline_channel_from_crate_slot_stream_chan(
             1, 2, 0, 13)
         assert expect in set(tps["channel"].tolist())
+
+
+class TestValidateMapCLI:
+    def test_validate_map_roundtrip(self, tmp_path, capsys):
+        import json as _json
+        from fdreadoutlibs_tpu.cli import main as cli_main
+        geo = HDAPAChannelMap()
+        p = tmp_path / "dump.txt"
+        TestFidelityHarness._write_dump(TestFidelityHarness(), p, geo)
+        rc = cli_main(["validate-map", "-f", str(p),
+                       "--derive-femb-table"])
+        out = _json.loads(capsys.readouterr().out.strip())
+        assert rc == 0 and out["match"] and out["derived_matches"]
+        np.testing.assert_array_equal(
+            np.array(out["femb_table"]),
+            HDAPAChannelMap.default_femb_table())
+
+    def test_validate_map_divergence_exit_code(self, tmp_path, capsys):
+        import json as _json
+        from fdreadoutlibs_tpu.cli import main as cli_main
+        geo = HDAPAChannelMap()
+        a = int(geo.offline_channels(0, 2, 3, 64)[10])
+        b = int(geo.offline_channels(0, 2, 3, 64)[11])
+        p = tmp_path / "dump.txt"
+        TestFidelityHarness._write_dump(
+            TestFidelityHarness(), p, geo,
+            perturb={(2, 3, 10): b, (2, 3, 11): a})
+        rc = cli_main(["validate-map", "-f", str(p)])
+        out = _json.loads(capsys.readouterr().out.strip())
+        assert rc == 1 and not out["match"]
+        assert out["n_offline_mismatch"] == 2
