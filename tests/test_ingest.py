@@ -295,3 +295,42 @@ def test_fused_ingest_fuzz_all_formats():
         tc=64, k_slots=8, unroll=1, interpret=True)
     hits, _ = decode_pallas_hits(cs, cn, 96)
     np.testing.assert_array_equal(hits, ref)
+
+
+def test_bench_ingest_encoding_roundtrip():
+    """bench.py's ingest-inclusive mode encodes the ADC stream into WIBEth
+    byte words link-major; the fused ingest must yield hits identical to
+    the direct packed-ADC path (pins the bench's to_words layout)."""
+    import jax.numpy as jnp
+    from fdreadoutlibs_tpu.formats import wibeth
+    from fdreadoutlibs_tpu.ops import TPGConfig
+    from fdreadoutlibs_tpu.ops.chanstate import init_chanstate, seed_chanstate
+    from fdreadoutlibs_tpu.ops.ingest import process_packed_frames
+    from fdreadoutlibs_tpu.ops.pallas_tpg import (
+        decode_pallas_hits, pack_adcs, pack_state, process_window_pallas)
+
+    C, T = 128, 256
+    L, n_frames = C // 64, T // 64
+    cfg = TPGConfig.from_raw("AbsRS", threshold=150)
+    rng = np.random.default_rng(0)
+    adcs = (900 + rng.normal(0, 30, size=(T, C))).astype(np.int32)
+    adcs[40:48, 17] += 2000
+    adcs[100:120, 70] += 1500
+    frames = wibeth.empty_frames(L * n_frames)
+    a = adcs.reshape(n_frames, 64, L, 64).transpose(2, 0, 1, 3)
+    wibeth.set_adcs(frames,
+                    a.reshape(L * n_frames, 64, 64).astype(np.uint16))
+    words = wibeth.frames_bytes_to_u32(frames).reshape(L, T, 28)
+
+    st = seed_chanstate(init_chanstate(C), adcs[0], cfg.rs_memory_factor_x10)
+    s0 = pack_state(st, C)
+    slots1, ncl1, _ = process_window_pallas(
+        jnp.asarray(pack_adcs(adcs)), s0, cfg, tc=128, k_slots=2,
+        interpret=True)
+    h1, _ = decode_pallas_hits(slots1, ncl1, C)
+    slots2, ncl2, _ = process_packed_frames(
+        jnp.asarray(words), s0, cfg, C, tc=128, k_slots=2, unroll=1,
+        interpret=True)
+    h2, _ = decode_pallas_hits(slots2, ncl2, C)
+    assert len(h1) > 10
+    np.testing.assert_array_equal(h1, h2)
