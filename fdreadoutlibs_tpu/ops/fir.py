@@ -123,11 +123,15 @@ def tpg_tick_fir(st: dict, s_raw, cfg: TPGConfig, xp, taps: tuple, fx=None):
         # mutually exclusive, so at most ONE of the q25/q75 chains moves
         # per tick — one shared delta/bump datapath with select-in /
         # select-out replaces two full frugal chains (~6 fewer ops; the
-        # gains are in the tick's serial critical path).  Bit-exact vs
-        # the two-chain form: gated lanes see exactly their own (q, acc)
-        # and the un-gated chain can never bump because the stored
-        # accumulator obeys |acc| <= limit post-reset (frugal_update
-        # docs), so a zero delta never crosses the bump threshold.
+        # gains are in the tick's serial critical path; measured +11.5%
+        # and +25.1% with the deferred threshold wrap, BENCH_NOTES r3).
+        # Bit-exact vs the two-chain form: gated lanes see exactly their
+        # own (q, acc) and the un-gated chain can never bump because the
+        # stored accumulator obeys |acc| <= limit post-reset
+        # (frugal_update docs; init seeds 0 and every update preserves
+        # it, so the invariant holds for any state reachable through the
+        # API, including checkpoints taken from it — only a hand-crafted
+        # state with |acc| > limit could tell the two forms apart).
         lt = s_raw < med0
         gt = s_raw > med0
         q25, q75 = st["quantile25"], st["quantile75"]

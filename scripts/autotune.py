@@ -116,7 +116,7 @@ def measure_candidates(alg, cands, channels, ticks, windows, trials,
     for r in runs:
         ms = float(np.median(r["slopes"])) * 1e3 if r["slopes"] else \
             float("nan")
-        out.append({k: r[k] for k in ("sub", "tc", "unroll")} |
+        out.append({k: r[k] for k in ("sub", "tc", "unroll", "k")} |
                    {"ms": round(ms, 4),
                     "gsps": round(T * C / ms / 1e6, 1) if ms == ms else None})
     return out
@@ -150,7 +150,8 @@ def main():
         ok = [r for r in results if r["ms"] == r["ms"]]
         if ok:
             best = min(ok, key=lambda r: r["ms"])
-            winners[alg] = {k: best[k] for k in ("sub", "tc", "unroll")} | \
+            winners[alg] = {k: best[k] for k in ("sub", "tc", "unroll",
+                                                 "k")} | \
                 {"gsps": best["gsps"]}
     print(json.dumps({"tuned": winners}))
     if args.out:
