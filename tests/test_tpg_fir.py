@@ -170,3 +170,78 @@ class TestFIRBackendParity:
         h64, _ = run_scan(adcs, FIR_CFG, window=64)
         h384, _ = run_scan(adcs, FIR_CFG, window=384)
         np.testing.assert_array_equal(h64, h384)
+
+
+class TestMergedQuantileEquivalence:
+    """The round-3 merged active-quantile chain + deferred threshold wrap
+    must be tick-for-tick identical to the round-2 formulation (two
+    independent masked frugal chains, double-wrapped threshold product)
+    over random streams and random API-reachable states."""
+
+    @staticmethod
+    def _r2_iqr_and_thr(st, s_raw, cfg):
+        """Independent implementation of the old formulation."""
+        from fdreadoutlibs_tpu.ops.fixedpoint import I32Fx, wrap_i16
+        from fdreadoutlibs_tpu.ops.step import frugal_update
+        fx = I32Fx.make(np)
+        limit = cfg.accumulator_limit
+        med0 = st["pedestals"]
+        q25, a25 = frugal_update(st["quantile25"], s_raw, st["accum25"],
+                                 limit, np, mask=s_raw < med0, fx=fx)
+        q75, a75 = frugal_update(st["quantile75"], s_raw, st["accum75"],
+                                 limit, np, mask=s_raw > med0, fx=fx)
+        sigma = q75 - q25
+        sigma_c = np.minimum(sigma,
+                             np.int32((1 << 15) // (cfg.multiplier * 5)))
+        thr = wrap_i16(wrap_i16(sigma_c << cfg.tap_exponent)
+                       * np.int32(cfg.threshold))
+        return q25, a25, q75, a75, thr
+
+    def test_random_streams_and_states(self):
+        from fdreadoutlibs_tpu.ops import TPGConfig
+        from fdreadoutlibs_tpu.ops.fir import default_taps, tpg_tick_fir
+        rng = np.random.default_rng(123)
+        C = 512
+        for threshold in (5, 100, 700):     # incl. a wrap-exercising one
+            cfg = TPGConfig.from_raw("FIR", threshold=threshold,
+                                     track_peaks=False)
+            taps = default_taps(cfg)
+            # random API-reachable state: |acc| <= limit, quantiles in
+            # ADC range (seed_chanstate invariants)
+            st = {
+                "pedestals": rng.integers(0, 16384, C),
+                "accum": rng.integers(-10, 11, C),
+                "quantile25": rng.integers(0, 16384, C),
+                "accum25": rng.integers(-10, 11, C),
+                "quantile75": rng.integers(0, 16384, C),
+                "accum75": rng.integers(-10, 11, C),
+                "hit_charge": np.zeros(C, np.int64),
+                "hit_tover": np.zeros(C, np.int64),
+                "prev_was_over": rng.integers(0, 2, C),
+                "fir_prev": tuple(rng.integers(-16384, 16384, C)
+                                  for _ in range(8)),
+            }
+            for t in range(64):
+                s_raw = rng.integers(0, 16384, C)
+                q25, a25, q75, a75, thr = self._r2_iqr_and_thr(
+                    st, s_raw, cfg)
+                new_st, closed, rec = tpg_tick_fir(dict(st), s_raw, cfg,
+                                                   np, taps)
+                np.testing.assert_array_equal(new_st["quantile25"], q25)
+                np.testing.assert_array_equal(new_st["accum25"], a25)
+                np.testing.assert_array_equal(new_st["quantile75"], q75)
+                np.testing.assert_array_equal(new_st["accum75"], a75)
+                st = new_st
+
+    def test_deferred_threshold_wrap_congruence(self):
+        """wrap(wrap(a)*T) == wrap(a*T) whenever a*T fits int32 — the
+        identity behind dropping the intermediate wrap in the threshold
+        product (mod-2^16 congruence through mullo)."""
+        from fdreadoutlibs_tpu.ops.fixedpoint import wrap_i16
+        rng = np.random.default_rng(5)
+        # a spans the worst case |a| <= 2^16 << 6 used by the trace-time
+        # guard; T up to the guard's 511 bound
+        a = rng.integers(-(1 << 22), 1 << 22, 200_000)
+        for T in (1, 5, 320, 511, -511):
+            np.testing.assert_array_equal(
+                wrap_i16(wrap_i16(a) * T), wrap_i16(a * T))
