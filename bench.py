@@ -73,24 +73,15 @@ def bench_algorithm(cfg, tc, k_slots, unroll, on_tpu, adcs, rmf,
     chain(1, state0)
 
     if on_tpu:
-        # slope timing with positive-slope filtering: the tunnel's per-sync
-        # latency is large and variable enough to occasionally invert a
-        # single (short, long) pair
-        per_call = []
-        for _ in range(2 * trials):
-            t_a, _ = chain(1, state0)
-            t_b, _ = chain(6, state0)
-            slope = (t_b - t_a) / 5 / n_windows
-            if slope > 0:
-                per_call.append(slope)
-            if len(per_call) >= trials:
-                break
-        assert per_call, "all timing trials inverted; tunnel too unstable"
-        dt = float(np.median(per_call))
-    else:  # interpret mode is not a performance path; time one call
-        dt, _ = chain(1, state0)
-        dt /= n_windows
-
+        # slope timing with positive-slope filtering (_slope_rtf): the
+        # tunnel's per-sync latency is large and variable enough to
+        # occasionally invert a single (short, long) pair
+        def sync(s):
+            _ = float(jnp.sum(s[:, 0]))
+        return _slope_rtf(multi_window, state0, T, n_windows, trials, sync)
+    # interpret mode is not a performance path; time one call
+    dt, _ = chain(1, state0)
+    dt /= n_windows
     sample_hz = 62.5e6 / 32                     # 1.953125 MHz per channel
     return (T / sample_hz) / dt
 
@@ -165,11 +156,14 @@ def bench_fresh_and_ingest(cfg, tc, k_slots, unroll, adcs, rmf,
     state0 = pack_state(seed_chanstate(init_chanstate(C), adcs[0], rmf), C,
                         block_sublanes=default_block_sublanes(cfg, C))
 
+    # the rotating buffers are jit ARGUMENTS, not closure constants — a
+    # closed-over 400 MB array would be embedded in the (remote) compile
+    # request and rejected (HTTP 413 over the axon tunnel)
     @jax.jit
-    def fresh_multi(s):
+    def fresh_multi(s, wins):
         def body(carry, _):
             s, i = carry
-            w = jax.lax.dynamic_index_in_dim(windows, i % n_distinct, 0,
+            w = jax.lax.dynamic_index_in_dim(wins, i % n_distinct, 0,
                                              keepdims=False)
             slots, nclose, s = process_window_pallas(
                 w, s, cfg, tc=tc, k_slots=k_slots, unroll=unroll,
@@ -179,10 +173,10 @@ def bench_fresh_and_ingest(cfg, tc, k_slots, unroll, adcs, rmf,
         return s, counts
 
     @jax.jit
-    def ingest_multi(s):
+    def ingest_multi(s, ws):
         def body(carry, _):
             s, i = carry
-            w = jax.lax.dynamic_index_in_dim(words, i % n_distinct, 0,
+            w = jax.lax.dynamic_index_in_dim(ws, i % n_distinct, 0,
                                              keepdims=False)
             slots, nclose, s = process_packed_frames(
                 w, s, cfg, C, tc=tc, k_slots=k_slots, unroll=unroll,
@@ -195,10 +189,12 @@ def bench_fresh_and_ingest(cfg, tc, k_slots, unroll, adcs, rmf,
         _ = float(jnp.sum(s[:, 0]))
 
     out = {}
-    for name, fn in [("fresh_data", fresh_multi),
-                     ("ingest_inclusive", ingest_multi)]:
-        fn(state0)[0].block_until_ready()           # compile
-        out[name] = round(_slope_rtf(fn, state0, T, n_windows, trials,
+    for name, fn, data in [("fresh_data", fresh_multi, windows),
+                           ("ingest_inclusive", ingest_multi, words)]:
+        def bound(s, _fn=fn, _d=data):
+            return _fn(s, _d)
+        bound(state0)[0].block_until_ready()        # compile
+        out[name] = round(_slope_rtf(bound, state0, T, n_windows, trials,
                                      sync), 2)
     return out
 
@@ -231,11 +227,13 @@ def main():
         # collection-like is a stand-in plane split at bench scale
         return np.where(np.arange(C) % 8 < 3, 0, cfg.rs_memory_factor_x10)
 
-    from fdreadoutlibs_tpu.ops.pallas_tpg import SHIPPED_KNOBS
+    from fdreadoutlibs_tpu.utils.tuning import kernel_knobs
 
     def knobs(cfg):
-        k = SHIPPED_KNOBS[cfg.algorithm]
-        return k["tc"], k.get("k", 1), k["unroll"]
+        # shipped per-algorithm table, overridable by an autotuned file
+        # (FDREADOUT_TUNED) — including the swept k_slots
+        k = kernel_knobs(cfg, C)
+        return k["tc"], k["k_slots"], k["unroll"]
 
     prod = TPGConfig.from_raw("AbsRS", threshold=150)
     simple = TPGConfig.from_raw("SimpleThreshold", threshold=150)

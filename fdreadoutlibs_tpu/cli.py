@@ -361,13 +361,18 @@ def cmd_validate_map(args) -> int:
     production femb_table from the dump."""
     from .utils.channel_map import (HDAPAChannelMap, TableChannelMap,
                                     cross_check_maps, femb_table_from_dump)
-    tbl = TableChannelMap.from_file(args.file)
-    geo = HDAPAChannelMap(frontend=args.frontend)
     n_streams = 2 if args.frontend == "wib2" else 8
     width = 256 if args.frontend == "wib2" else 64
+    tbl = TableChannelMap.from_file(args.file, channels_per_stream=width)
+    geo = HDAPAChannelMap(frontend=args.frontend)
     keys = [(args.crate, s, st) for s in range(HDAPAChannelMap.N_WIBS)
             for st in range(n_streams)
             if (args.crate, s, st) in tbl.table]
+    if not keys:
+        print(json.dumps({"match": False, "n_checked": 0,
+                          "error": f"dump has no rows for crate "
+                                   f"{args.crate} (pass --crate?)"}))
+        return 2
     rep = cross_check_maps(tbl, geo, keys, n_channels=width)
     out = dict(rep)
     if args.derive_femb_table:

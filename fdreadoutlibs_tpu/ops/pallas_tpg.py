@@ -134,7 +134,9 @@ def default_block_sublanes(cfg: TPGConfig, n_channels: int,
     g = _granule(dtype)
     S = pad_sublanes(n_channels, g)
     sub = SHIPPED_KNOBS[cfg.algorithm]["sub"]
-    if sub and S > sub and S % sub == 0:
+    # the block must also respect the dtype's sublane tile granule (the
+    # shipped sub=8 is int32-tuned; int16 tiles are 16 rows)
+    if sub and S > sub and S % sub == 0 and sub % g == 0:
         return sub
     return None
 

@@ -109,11 +109,17 @@ def make_apa_step(mesh: Mesh, cfg: TPGConfig, max_hits_per_link: int = 512,
                 lw[:, 0], lw[:, 1] if nw == 3 else None, lw[:, -1],
                 max_hits_per_link))(w)
         total = jax.lax.psum(jnp.sum(n_hits), "link")
-        # closes beyond the per-chunk slot capacity are dropped per
-        # channel — surface them (the silent-drop parity gap found by
-        # scripts/check_sharded_pallas_hw.py: 9 closes at K=8)
-        dropped = jax.lax.psum(
-            jnp.sum(jnp.maximum(nclose - k_slots, 0)), "link")
+        # surface BOTH loss modes (the silent-drop parity gap found by
+        # scripts/check_sharded_pallas_hw.py): closes beyond the
+        # per-chunk slot capacity, and stored records truncated by the
+        # per-link compaction bound (compact_slot_words clamps to
+        # max_hits_per_link without its own overflow count)
+        cap_drops = jnp.sum(jnp.maximum(nclose - k_slots, 0))
+        stored = jnp.sum(jnp.minimum(nclose, k_slots)
+                         .transpose(1, 0, 2, 3).reshape(-1, S * LANES),
+                         axis=0)[:C].reshape(Lloc, N_CH).sum(axis=1)
+        trunc = jnp.sum(jnp.maximum(stored - max_hits_per_link, 0))
+        dropped = jax.lax.psum(cap_drops + trunc, "link")
         new_st = _state_from_stack(stack, C)
         new_state = {k: (new_st[k].reshape(-1, Lloc, N_CH).transpose(1, 0, 2)
                          if k == "fir_prev"

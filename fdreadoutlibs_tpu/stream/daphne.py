@@ -113,6 +113,8 @@ class DAPHNEStreamFrameProcessor(TaskRawDataProcessor):
     def __init__(self, error_registry=None, tp_sink=None):
         super().__init__(error_registry)
         self.tp_sink = tp_sink
+        self._state = None
+        self._pallas_stack = None
 
     def conf(self, config: dict) -> None:
         super().conf(config)
@@ -193,10 +195,14 @@ class DAPHNEStreamFrameProcessor(TaskRawDataProcessor):
         from ..utils.tuning import kernel_knobs
         knobs = kernel_knobs(self.tpg_cfg, C)
         if self._pallas_stack is None:
-            first = daphne.stream_get_adcs(flat_frames[:1])[0, 0] \
-                .astype(np.int32)
-            state = seed_chanstate(init_chanstate(C), first,
-                                   self.tpg_cfg.rs_memory_factor_x10)
+            # a checkpoint-restored ._state resumes exactly; otherwise
+            # seed from this batch's first sample (setState semantics)
+            state = self._state
+            if state is None:
+                first = daphne.stream_get_adcs(flat_frames[:1])[0, 0] \
+                    .astype(np.int32)
+                state = seed_chanstate(init_chanstate(C), first,
+                                       self.tpg_cfg.rs_memory_factor_x10)
             self._pallas_stack = pack_state(
                 state, C, block_sublanes=knobs["block_sublanes"])
         words = daphne.stream_frames_bytes_to_u32(flat_frames)[None]

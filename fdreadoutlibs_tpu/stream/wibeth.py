@@ -45,6 +45,7 @@ class WIBEthFrameProcessor(TaskRawDataProcessor):
         self._state = None
         self._first_hit = True
         self._pallas_stack = None
+        self._state_stale = False
 
     # ------------------------------------------------------------------ conf
     def conf(self, config: dict) -> None:

@@ -377,7 +377,8 @@ def femb_table_from_dump(path: str, crate: int = 0,
     in that case use TableChannelMap.from_file directly (exact for any
     layout).
     """
-    tbl = TableChannelMap.from_file(path)
+    width = 256 if frontend == "wib2" else 64
+    tbl = TableChannelMap.from_file(path, channels_per_stream=width)
     geo = HDAPAChannelMap(frontend=frontend)
     sizes = HDAPAChannelMap.PLANE_SIZES
     offsets = HDAPAChannelMap.PLANE_OFFSETS
@@ -394,6 +395,13 @@ def femb_table_from_dump(path: str, crate: int = 0,
             for chan, off in enumerate(offline.tolist()):
                 femb, femb_chan = geo._femb_coords(slot, stream, chan)
                 in_apa = off - crate * HDAPAChannelMap.CHANNELS_PER_APA
+                if not 0 <= in_apa < HDAPAChannelMap.CHANNELS_PER_APA:
+                    raise ValueError(
+                        f"offline channel {off} at crate={crate} "
+                        f"slot={slot} stream={stream} chan={chan} is "
+                        f"outside crate {crate}'s APA range — wrong "
+                        f"--crate, or the dump does not fit the per-FEMB "
+                        f"parametrization; use TableChannelMap.from_file")
                 plane = next((p for p, o in sorted(offsets.items(),
                                                    key=lambda kv: -kv[1])
                               if in_apa >= o), None)

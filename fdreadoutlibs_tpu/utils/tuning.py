@@ -66,8 +66,14 @@ def kernel_knobs(cfg, n_channels: int, tc: Optional[int] = None,
     names this algorithm and the field is well-formed) -> the shipped
     per-algorithm table (pallas_tpg.SHIPPED_KNOBS).
 
-    Returns {"tc", "unroll", "block_sublanes"} ready for
+    Returns {"tc", "unroll", "k_slots", "block_sublanes"} ready for
     process_window_pallas / pack_state.
+
+    ``k_slots`` is the PERFORMANCE default (bench/kernel consumers; the
+    autotuner sweeps it).  Streaming processors deliberately do NOT take
+    it from here: their ``tpg_k_slots`` config is a per-batch hit
+    CAPACITY choice (short batches need headroom for pathological
+    channels), so a speed-tuned k must never silently cut it.
     """
     import numpy as np
 
