@@ -138,7 +138,7 @@ def bench_fresh_and_ingest(cfg, tc, k_slots, unroll, adcs, rmf,
     for _ in range(n_distinct - 1):
         v = np.roll(adcs, rng.integers(1, T), axis=0)
         variants.append(v)
-    windows = jnp.stack([jnp.asarray(pack_adcs(v)) for v in variants])
+    windows = [jnp.asarray(pack_adcs(v)) for v in variants]
 
     # byte-ingest inputs: encode each variant into WIBEth frame words
     def to_words(v):
@@ -151,39 +151,41 @@ def bench_fresh_and_ingest(cfg, tc, k_slots, unroll, adcs, rmf,
                         .astype(np.uint16))
         w = wibeth.frames_bytes_to_u32(frames)
         return w.reshape(L, T, wibeth.ADC_WORDS_PER_TS * 2)
-    words = jnp.stack([jnp.asarray(to_words(v)) for v in variants])
+    words = [jnp.asarray(to_words(v)) for v in variants]
 
     state0 = pack_state(seed_chanstate(init_chanstate(C), adcs[0], rmf), C,
                         block_sublanes=default_block_sublanes(cfg, C))
 
-    # the rotating buffers are jit ARGUMENTS, not closure constants — a
-    # closed-over 400 MB array would be embedded in the (remote) compile
-    # request and rejected (HTTP 413 over the axon tunnel)
-    @jax.jit
-    def fresh_multi(s, wins):
-        def body(carry, _):
-            s, i = carry
-            w = jax.lax.dynamic_index_in_dim(wins, i % n_distinct, 0,
-                                             keepdims=False)
-            slots, nclose, s = process_window_pallas(
-                w, s, cfg, tc=tc, k_slots=k_slots, unroll=unroll,
-                vmem_limit_mb=64)
-            return (s, i + 1), jnp.sum(nclose)
-        (s, _), counts = jax.lax.scan(body, (s, 0), None, length=n_windows)
-        return s, counts
+    # Harness rules learned the hard way: the rotating buffers are jit
+    # ARGUMENTS, not closure constants (a closed-over 400 MB array is
+    # embedded in the remote compile request -> HTTP 413), and window
+    # selection is a lax.switch over per-window branches, NOT a
+    # dynamic_index_in_dim (the dynamic slice materializes a full window
+    # copy per iteration — 2x HBM traffic — which is harness cost, not
+    # the ingest cost being measured).
+    def rotate_multi(step):
+        @jax.jit
+        def fn(s, *bufs):
+            def body(carry, _):
+                s, i = carry
+                branches = [
+                    (lambda s, w=w: step(w, s)) for w in bufs]
+                slots, nclose, s = jax.lax.switch(i % n_distinct,
+                                                  branches, s)
+                return (s, i + 1), jnp.sum(nclose)
+            (s, _), counts = jax.lax.scan(body, (s, 0), None,
+                                          length=n_windows)
+            return s, counts
+        return fn
 
-    @jax.jit
-    def ingest_multi(s, ws):
-        def body(carry, _):
-            s, i = carry
-            w = jax.lax.dynamic_index_in_dim(ws, i % n_distinct, 0,
-                                             keepdims=False)
-            slots, nclose, s = process_packed_frames(
-                w, s, cfg, C, tc=tc, k_slots=k_slots, unroll=unroll,
-                vmem_limit_mb=64)
-            return (s, i + 1), jnp.sum(nclose)
-        (s, _), counts = jax.lax.scan(body, (s, 0), None, length=n_windows)
-        return s, counts
+    fresh_multi = rotate_multi(
+        lambda w, s: process_window_pallas(
+            w, s, cfg, tc=tc, k_slots=k_slots, unroll=unroll,
+            vmem_limit_mb=64))
+    ingest_multi = rotate_multi(
+        lambda w, s: process_packed_frames(
+            w, s, cfg, C, tc=tc, k_slots=k_slots, unroll=unroll,
+            vmem_limit_mb=64))
 
     def sync(s):
         _ = float(jnp.sum(s[:, 0]))
@@ -192,7 +194,7 @@ def bench_fresh_and_ingest(cfg, tc, k_slots, unroll, adcs, rmf,
     for name, fn, data in [("fresh_data", fresh_multi, windows),
                            ("ingest_inclusive", ingest_multi, words)]:
         def bound(s, _fn=fn, _d=data):
-            return _fn(s, _d)
+            return _fn(s, *_d)
         bound(state0)[0].block_until_ready()        # compile
         out[name] = round(_slope_rtf(bound, state0, T, n_windows, trials,
                                      sync), 2)

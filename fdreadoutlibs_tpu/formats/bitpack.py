@@ -85,13 +85,100 @@ def dump_registers(adcs, per_register: int = 16, fmt: str = "dec") -> str:
     return "\n".join(lines)
 
 
-def unpack_14bit_jnp(words_u32, n_channels: int, bits: int = 14, dtype=jnp.int32):
+def unpack_14bit_jnp(words_u32, n_channels: int, bits: int = 14,
+                     dtype=jnp.int32, impl: str = "shifts"):
     """Unpack little-endian `bits`-bit ADCs from uint32 words (jnp, device).
 
-    Pure static shifts/ors — no gathers, no uint64 — so XLA lowers it to
-    plain vector ops on TPU.  words_u32: (..., W) uint32.
-    Returns (..., n_channels) `dtype`.
+    impl="shifts" (default): pure static shifts/ors — no gathers, no
+    uint64 — XLA lowers it to plain vector ops on TPU, but as
+    ``n_channels`` separate slice fusions stacked on the last axis.
+
+    impl="mxu": the word->channel gather runs as two one-hot matmuls on
+    the (otherwise idle) MXU over the u16 half-words — exact, because
+    each product row sums exactly one value < 2^16 (f32 is exact to
+    2^24) — followed by ONE per-lane shift/or/mask pass on the VPU.
+    Dense output layout, ~6 vector ops total instead of n_channels
+    slice/stack fusions; requires bits <= 16 (a field spans at most two
+    u16 halves).  Bit-exact vs "shifts" (tested).
+
+    words_u32: (..., W) uint32.  Returns (..., n_channels) `dtype`.
     """
+    if impl == "classes":
+        # exploit the word-alignment period: lcm(bits, 32)/bits channels
+        # (16 for 14-bit, 8 for 12-bit) span a whole number of words, so
+        # channel c = g*per + r has the SAME word offset/shift for every
+        # group g — "per" vectorized extracts over (..., G)-wide slices
+        # replace n_channels scalar-indexed ones.  Bit-exact (tested).
+        import math as _math
+        per = _math.lcm(bits, 32) // bits
+        wpg = bits * per // 32
+        if n_channels % per:
+            return unpack_14bit_jnp(words_u32, n_channels, bits, dtype,
+                                    impl="shifts")
+        G = n_channels // per
+        w = words_u32.astype(jnp.uint32)
+        wr = w[..., : G * wpg].reshape(*w.shape[:-1], G, wpg)
+        mask = jnp.uint32((1 << bits) - 1)
+        cols = []
+        for r in range(per):
+            bit = r * bits
+            wi, sh = bit // 32, bit % 32
+            lo = wr[..., wi] >> jnp.uint32(sh) if sh else wr[..., wi]
+            if sh + bits > 32:
+                hi = wr[..., wi + 1] << jnp.uint32(32 - sh)
+                v = (lo | hi) & mask
+            else:
+                v = lo & mask
+            cols.append(v)                                # (..., G)
+        out = jnp.stack(cols, axis=-1)                    # (..., G, per)
+        return out.reshape(*w.shape[:-1], n_channels).astype(dtype)
+    if impl == "gather":
+        # ONE minor-axis gather for the lo/hi u16 halves + one shift/or
+        # pass (per-lane shift amounts) — trades the n_channels slice
+        # fusions for two takes
+        import numpy as _np
+        w = words_u32.astype(jnp.uint32)
+        halves = jnp.stack([w & jnp.uint32(0xFFFF),
+                            w >> jnp.uint32(16)], axis=-1)
+        H = halves.reshape(*w.shape[:-1], -1).astype(jnp.int32)
+        c = _np.arange(n_channels)
+        j = (c * bits) // 16
+        r = (c * bits) % 16
+        lo = jnp.take(H, jnp.asarray(j), axis=-1)
+        hi = jnp.take(H, jnp.asarray(_np.minimum(j + 1, H.shape[-1] - 1)),
+                      axis=-1)
+        hi = hi * jnp.asarray((r + bits > 16).astype(_np.int32))
+        rv = jnp.asarray(r, jnp.int32)
+        v = ((lo >> rv) | (hi << (jnp.int32(16) - rv))) & ((1 << bits) - 1)
+        return v.astype(dtype)
+    if impl == "mxu":
+        assert bits <= 16, "mxu unpack needs fields spanning <= 2 halves"
+        import numpy as _np
+        w = words_u32.astype(jnp.uint32)
+        halves = jnp.stack([w & jnp.uint32(0xFFFF),
+                            w >> jnp.uint32(16)], axis=-1)
+        H = halves.reshape(*w.shape[:-1], -1).astype(jnp.float32)
+        nh = w.shape[-1] * 2
+        c = _np.arange(n_channels)
+        j = (c * bits) // 16
+        r = (c * bits) % 16
+        g1 = _np.zeros((nh, n_channels), _np.float32)
+        g1[j, c] = 1.0
+        g2 = _np.zeros((nh, n_channels), _np.float32)
+        need_hi = r + bits > 16
+        g2[_np.minimum(j + 1, nh - 1), c] = need_hi.astype(_np.float32)
+        # HIGHEST precision is required: the TPU MXU's default bf16 pass
+        # rounds u16 values (8-bit mantissa); the 3-pass f32 emulation is
+        # exact for one-hot x u16 (v = v_hi + v_lo splits exactly)
+        import jax as _jax
+        hp = _jax.lax.Precision.HIGHEST
+        A = jnp.einsum("...h,hc->...c", H, jnp.asarray(g1),
+                       precision=hp).astype(jnp.int32)
+        B = jnp.einsum("...h,hc->...c", H, jnp.asarray(g2),
+                       precision=hp).astype(jnp.int32)
+        rv = jnp.asarray(r, jnp.int32)
+        v = ((A >> rv) | (B << (jnp.int32(16) - rv))) & ((1 << bits) - 1)
+        return v.astype(dtype)
     w = words_u32.astype(jnp.uint32)
     mask = jnp.uint32((1 << bits) - 1)
     cols = []

@@ -152,13 +152,16 @@ def fake_seq_ids(frames: np.ndarray, first_seq_id: int = 0) -> None:
 
 # ---- device-side unpack (ingest path) -----------------------------------------
 
-def unpack_frames_jnp(frames_u32, dtype=jnp.int32):
+def unpack_frames_jnp(frames_u32, dtype=jnp.int32, impl: str = "shifts"):
     """Device unpack: (..., T, 28) uint32 ADC words -> (..., T, 64) ADCs.
 
     Equivalent of expand_wibeth_adcs (FrameExpand.hpp:192-246) but in natural
-    frame-channel order — static shifts only, XLA-fusable.
+    frame-channel order.  impl selects the lowering (bitpack docs):
+    "shifts" = static shift/or slices; "mxu" = one-hot-matmul gather on
+    the MXU + one vector combine pass (bit-exact, tested).
     """
-    return unpack_14bit_jnp(frames_u32, N_CHANNELS, ADC_BITS, dtype=dtype)
+    return unpack_14bit_jnp(frames_u32, N_CHANNELS, ADC_BITS, dtype=dtype,
+                            impl=impl)
 
 
 def frames_bytes_to_u32(frames_u8: np.ndarray) -> np.ndarray:

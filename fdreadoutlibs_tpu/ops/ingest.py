@@ -29,27 +29,74 @@ def host_words(frames: np.ndarray) -> np.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tc", "k_slots",
                                              "unroll", "n_channels",
-                                             "interpret", "vmem_limit_mb"))
+                                             "interpret", "vmem_limit_mb",
+                                             "unpack_impl"))
 def process_packed_frames(words, state_stack, cfg: TPGConfig,
                           n_channels: int, tc: int = 512, k_slots: int = 2,
                           unroll: int = 16, interpret: bool = False,
-                          vmem_limit_mb: int | None = None):
+                          vmem_limit_mb: int | None = None,
+                          unpack_impl: str = "shifts"):
     """words: (L, T, 28) uint32 packed rows for L links of 64 channels.
 
     Returns (slots, nclose, new_state) like process_window_pallas, with
     channels stacked link-major on the lane axis (channel = link*64 + c).
     """
     L, T, _ = words.shape
-    adcs = wibeth.unpack_frames_jnp(words)               # (L, T, 64) int32
-    flat = adcs.transpose(1, 0, 2).reshape(T, L * wibeth.N_CHANNELS)
+    # transpose the PACKED words (1.75 B/sample) to time-major before
+    # unpacking, so the layout copy moves 37 MB/window instead of the
+    # 100 MB unpacked array, and the unpack fuses with the zero-pad into
+    # one output pass (measured on the ingest-inclusive bench, r3)
+    wt = jnp.swapaxes(words, 0, 1)                       # (T, L, 28)
+    adcs = wibeth.unpack_frames_jnp(wt, impl=unpack_impl)  # (T, L, 64)
+    flat = adcs.reshape(T, L * wibeth.N_CHANNELS)
     S = pad_sublanes(n_channels)
-    padded = jnp.zeros((T, S * LANES), jnp.int32)
-    padded = padded.at[:, : L * wibeth.N_CHANNELS].set(flat)
-    packed = padded.reshape(T, S, LANES)
+    packed = jnp.pad(
+        flat, ((0, 0), (0, S * LANES - L * wibeth.N_CHANNELS)))
+    packed = packed.reshape(T, S, LANES)
     return process_window_pallas(packed, state_stack, cfg, tc=tc,
                                  k_slots=k_slots, unroll=unroll,
                                  interpret=interpret,
                                  vmem_limit_mb=vmem_limit_mb)
+
+
+def pack_words14_jnp(words):
+    """Device prep for the fused in-kernel unpack: (L, T, 28) uint32
+    packed rows -> (T, 7, WR, 128) int32 word rows in the words14 layout
+    (pallas_tpg.words14_positions).  One 1.75 B/sample relayout — the
+    only pass over the data outside the kernel."""
+    from .pallas_tpg import LANES
+    L, T, _ = words.shape
+    G = L * 4                                   # 16-channel word groups
+    WR = -(-G // LANES)
+    wt = jnp.swapaxes(words, 0, 1).reshape(T, G, 7)
+    wt = jnp.pad(wt, ((0, 0), (0, WR * LANES - G), (0, 0)))
+    return wt.reshape(T, WR, LANES, 7).transpose(0, 3, 1, 2) \
+        .astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tc", "k_slots",
+                                             "unroll", "n_channels",
+                                             "interpret", "vmem_limit_mb"))
+def process_packed_frames_fused(words, state_stack, cfg: TPGConfig,
+                                n_channels: int, tc: int = 512,
+                                k_slots: int = 2, unroll: int = 16,
+                                interpret: bool = False,
+                                vmem_limit_mb: int | None = None):
+    """Fully fused byte-ingest: packed (L, T, 28) uint32 words -> in-KERNEL
+    14-bit unpack -> TPG, with no materialized unpacked array (the XLA
+    unpack pass costs ~0.7 ms/window at APA scale, BENCH_NOTES r3).
+
+    The state stack must be packed with
+    pack_state(..., positions=words14_positions(n_channels)) and hits
+    decoded with decode_pallas_hits(..., positions=...).
+    """
+    from .pallas_tpg import process_window_pallas
+    W = pack_words14_jnp(words)
+    return process_window_pallas(W, state_stack, cfg, tc=tc,
+                                 k_slots=k_slots, unroll=unroll,
+                                 interpret=interpret,
+                                 vmem_limit_mb=vmem_limit_mb,
+                                 words14=True)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tc", "k_slots",

@@ -142,19 +142,30 @@ def default_block_sublanes(cfg: TPGConfig, n_channels: int,
 
 
 def pack_state(state: dict, n_channels: int, block_sublanes: int | None = None,
-               dtype=np.int32):
+               dtype=np.int32, positions: np.ndarray | None = None):
     """ChanState dict of (C,) arrays -> (NB, KSTATE, SUB, 128) blocked stack.
 
     dtype=np.int16 selects the native-int16 compute mode (the kernel infers
-    the mode from the stack dtype; pack the ADCs with the same dtype)."""
-    S = pad_sublanes(n_channels, _granule(dtype))
+    the mode from the stack dtype; pack the ADCs with the same dtype).
+    ``positions`` places channel c at flat position positions[c] instead
+    of c (the words14 fused-unpack layout); rows then cover max(position).
+    """
+    if positions is not None:
+        S = -(-(int(positions.max()) + 1) // LANES)
+        S = -(-S // _granule(dtype)) * _granule(dtype)
+    else:
+        S = pad_sublanes(n_channels, _granule(dtype))
     sub = block_sublanes or S
     nb = -(-S // sub)
     out = np.zeros((nb, KSTATE, sub, LANES), dtype=dtype)
 
     def put(i, values):
         v = np.zeros(nb * sub * LANES, dtype=dtype)
-        v[:n_channels] = np.asarray(values).astype(dtype)
+        vals = np.asarray(values).astype(dtype)
+        if positions is not None:
+            v[positions] = np.broadcast_to(vals, (n_channels,))
+        else:
+            v[:n_channels] = vals
         out[:, i] = v.reshape(nb, sub, LANES)
 
     for i, k in enumerate(_STATE_KEYS):
@@ -166,12 +177,14 @@ def pack_state(state: dict, n_channels: int, block_sublanes: int | None = None,
     return jnp.asarray(out)
 
 
-def unpack_state(stack, n_channels: int) -> dict:
+def unpack_state(stack, n_channels: int,
+                 positions: np.ndarray | None = None) -> dict:
     arr = np.asarray(stack).astype(np.int32)
     nb, _, sub, _ = arr.shape
     flat = arr.transpose(1, 0, 2, 3).reshape(KSTATE, nb * sub * LANES)
-    st = {k: flat[i][:n_channels].copy() for i, k in enumerate(_STATE_KEYS)}
-    st["fir_prev"] = flat[_FIR_ROW0:_FIR_ROW0 + N_FIR_TAPS, :n_channels].copy()
+    sel = positions if positions is not None else slice(None, n_channels)
+    st = {k: flat[i][sel].copy() for i, k in enumerate(_STATE_KEYS)}
+    st["fir_prev"] = flat[_FIR_ROW0:_FIR_ROW0 + N_FIR_TAPS][:, sel].copy()
     return st
 
 
@@ -211,10 +224,63 @@ def pack_time2_jnp(adcs):
 
 # ---- the kernel ----------------------------------------------------------------
 
+def _unpack14_rows(w):
+    """In-kernel WIBEth 14-bit unpack of one tick's word rows.
+
+    ``w``: (7, WRb, 128) int32 word bit patterns in the words14 layout
+    (channel c = 16g + r lives at row (g//128)*16 + r, lane g%128 — see
+    words14_positions).  The 16-channel/7-word alignment period makes
+    every class r a pure per-lane extract with CLASS-CONSTANT word index
+    and shift — no cross-lane movement, ~4 vector ops per class.
+    Arithmetic shifts are corrected with explicit masks (sign-extension
+    bits would pollute the 14-bit window for shifts > 18).
+    Returns (16*WRb, 128) int32 ADCs.
+    """
+    vs = []
+    for r in range(16):
+        bit = 14 * r
+        j, sh = bit // 32, bit % 32
+        lo = w[j]
+        if sh:
+            lo = (lo >> sh) & ((1 << (32 - sh)) - 1)
+        v = lo
+        if sh + 14 > 32:
+            v = v | (w[j + 1] << (32 - sh))
+        vs.append(v & 0x3FFF)                       # (WRb, 128)
+    # row order wr*16 + r: stack classes on a middle axis then flatten
+    return jnp.stack(vs, axis=1).reshape(-1, LANES)
+
+
+def words14_positions(n_channels: int) -> np.ndarray:
+    """Per-channel flat position in the words14 fused-unpack layout.
+
+    Channel c = 16g + r (g = word group of 7, r = class) sits at
+    row (g // 128) * 16 + r, lane g % 128.  Positions pad the group axis
+    to whole lane rows, so the row count is ceil(G/128)*16 — for a
+    2560-channel APA that is 32 rows (4096 positions, 62.5% occupancy)
+    vs 20 rows canonical: the fused kernel trades ~33% more rows for
+    removing the XLA-level unpack entirely (BENCH_NOTES r3).
+    """
+    assert n_channels % 16 == 0
+    c = np.arange(n_channels)
+    g, r = c // 16, c % 16
+    return ((g // LANES) * 16 + r) * LANES + (g % LANES)
+
+
+def words14_channel_of_position(n_channels: int) -> np.ndarray:
+    """Inverse of words14_positions: flat position -> channel (-1 = dead
+    padding lane)."""
+    pos = words14_positions(n_channels)
+    n_rows = 16 * (-(-(n_channels // 16) // LANES))
+    out = np.full(n_rows * LANES, -1, dtype=np.int64)
+    out[pos] = np.arange(n_channels)
+    return out
+
+
 def _tpg_kernel(adc_ref, state_ref, state_out_ref, slots_ref, nclose_ref,
                 *, cfg: TPGConfig, tc: int, k_slots: int, sub: int,
                 unroll: int = 1, time2: bool = False,
-                fir_packed: bool = False):
+                fir_packed: bool = False, words14: bool = False):
     t_chunk = pl.program_id(1)
     is_fir = cfg.algorithm == Algorithm.FIR
     keys = live_fields(cfg)
@@ -287,6 +353,10 @@ def _tpg_kernel(adc_ref, state_ref, state_out_ref, slots_ref, nclose_ref,
                     s_raw = (word0 << 16) >> 16
                 else:
                     s_raw = word0 >> 16
+            elif words14:
+                # fused byte-ingest: unpack this tick's packed 14-bit
+                # words in-register (no materialized unpacked array)
+                s_raw = _unpack14_rows(adc_ref[tick_i])
             else:
                 s_raw = adc_ref[tick_i]
             st, closed, rec = dispatch_tick(st, s_raw, cfg, jnp, fx=fx)
@@ -349,19 +419,25 @@ def _tpg_kernel(adc_ref, state_ref, state_out_ref, slots_ref, nclose_ref,
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "tc", "k_slots", "interpret",
                                     "unroll", "vmem_limit_mb", "time_packed",
-                                    "fir_packed"))
+                                    "fir_packed", "words14"))
 def process_window_pallas(adcs, state_stack, cfg: TPGConfig, tc: int = 256,
                           k_slots: int = 4, interpret: bool = False,
                           unroll: int = 1, vmem_limit_mb: int | None = None,
                           time_packed: bool = False,
-                          fir_packed: bool | None = None):
+                          fir_packed: bool | None = None,
+                          words14: bool = False):
     """Run the fused kernel over a (T, S, 128) int32 window.
 
     Args:
       adcs: (T, S, 128) int32, T divisible by tc — or, with
         time_packed=True, (T//2, S, 128) time-paired words from
         pack_adcs_time2/pack_time2_jnp (halved ADC HBM traffic; requires
-        int32 state, even unroll, samples < 32768).
+        int32 state, even unroll, samples < 32768) — or, with
+        words14=True, (T, 7, WR, 128) int32 PACKED 14-bit word rows in
+        the words14 layout (ingest.pack_words14): the kernel unpacks
+        in-register per tick and channels live at words14_positions;
+        the state stack must be packed with the same positions and rows
+        S = 16*WR.
       state_stack: (NB, KSTATE, SUB, 128) int32; SUB (from pack_state)
         selects the channel-block width, NB * SUB == S.
       tc: ticks per pipelined grid chunk.
@@ -374,10 +450,17 @@ def process_window_pallas(adcs, state_stack, cfg: TPGConfig, tc: int = 256,
     per-channel number of hits that closed in each time chunk (may exceed
     k_slots, indicating drops).
     """
-    rows, S, _ = adcs.shape
-    T = rows * 2 if time_packed else rows
     nb, kst, sub, _ = state_stack.shape
     dtype = state_stack.dtype
+    if words14:
+        assert not time_packed and dtype == jnp.int32
+        T, seven, WR, _ = adcs.shape
+        assert seven == 7 and adcs.dtype == jnp.int32
+        S = 16 * WR
+        assert sub % 16 == 0, "words14 blocks must be 16-row multiples"
+    else:
+        rows, S, _ = adcs.shape
+        T = rows * 2 if time_packed else rows
     n_chunks = T // tc
     assert T % tc == 0 and kst == KSTATE and nb * sub == S
     assert sub % _granule(dtype) == 0 and tc % unroll == 0
@@ -385,7 +468,7 @@ def process_window_pallas(adcs, state_stack, cfg: TPGConfig, tc: int = 256,
         assert dtype == jnp.int32 and unroll % 2 == 0 and tc % 2 == 0, \
             "time_packed needs int32 state and even unroll/tc"
         assert adcs.dtype == jnp.int32
-    else:
+    elif not words14:
         assert adcs.dtype == dtype, "ADC and state dtypes must match " \
             "(pack_adcs/pack_state with the same dtype)"
 
@@ -403,19 +486,25 @@ def process_window_pallas(adcs, state_stack, cfg: TPGConfig, tc: int = 256,
     nw = record_words(cfg)
     kernel = functools.partial(_tpg_kernel, cfg=cfg, tc=tc, k_slots=k_slots,
                                sub=sub, unroll=unroll, time2=time_packed,
-                               fir_packed=fir_packed)
+                               fir_packed=fir_packed, words14=words14)
     compiler_params = None
     if vmem_limit_mb is not None and not interpret:
         from jax.experimental.pallas import tpu as pltpu
         compiler_params = pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit_mb * 1024 * 1024)
+    if words14:
+        # each channel block covers sub rows = sub//16 word-group rows
+        adc_spec = pl.BlockSpec((tc, 7, sub // 16, LANES),
+                                lambda b, t: (t, 0, b, 0))
+    else:
+        adc_spec = pl.BlockSpec((tc // 2 if time_packed else tc, sub,
+                                 LANES), lambda b, t: (t, b, 0))
     state_out, slots, nclose = pl.pallas_call(
         kernel,
         compiler_params=compiler_params,
         grid=(nb, T // tc),
         in_specs=[
-            pl.BlockSpec((tc // 2 if time_packed else tc, sub, LANES),
-                         lambda b, t: (t, b, 0)),
+            adc_spec,
             pl.BlockSpec((1, KSTATE, sub, LANES), lambda b, t: (b, 0, 0, 0)),
         ],
         out_specs=[
@@ -436,13 +525,15 @@ def process_window_pallas(adcs, state_stack, cfg: TPGConfig, tc: int = 256,
     return slots, nclose, state_out
 
 
-def decode_pallas_hits(slots, nclose, n_channels: int, tick_offset: int = 0):
+def decode_pallas_hits(slots, nclose, n_channels: int, tick_offset: int = 0,
+                       positions: np.ndarray | None = None):
     """Decode per-chunk K-slot outputs into the canonical hit array (host).
 
     slots: (NB, NCH, K, 3, SUB, 128); nclose: (NB, NCH, SUB, 128) — the
     per-chunk layout of process_window_pallas.  Returns (hits, n_dropped)
     where n_dropped counts closes beyond the per-channel per-chunk slot
-    capacity.
+    capacity.  ``positions`` selects the words14 fused layout (channel c
+    lives at flat position positions[c]; dead padding lanes never hit).
     """
     from .hits import HIT_DTYPE, sort_hits
     slots = np.asarray(slots)
@@ -453,8 +544,13 @@ def decode_pallas_hits(slots, nclose, n_channels: int, tick_offset: int = 0):
     # the absolute tick, so chunks just widen the slot dimension; nw=2 is
     # the no-peak FIR record layout [w0, end+1]
     flat = slots.transpose(1, 2, 3, 0, 4, 5).reshape(nch * K, nw, C)
-    flat = flat[:, :, :n_channels]
-    counts = nclose.transpose(1, 0, 2, 3).reshape(nch, C)[:, :n_channels]
+    counts = nclose.transpose(1, 0, 2, 3).reshape(nch, C)
+    if positions is not None:
+        flat = flat[:, :, positions]
+        counts = counts[:, positions]
+    else:
+        flat = flat[:, :, :n_channels]
+        counts = counts[:, :n_channels]
     k_idx, c_idx = np.nonzero(flat[:, -1] != 0)
     hits = np.zeros(len(k_idx), dtype=HIT_DTYPE)
     w0 = flat[k_idx, 0, c_idx]

@@ -112,3 +112,22 @@ class TestWIBEthFrame:
         u32 = wibeth.frames_bytes_to_u32(frames)
         dev = np.asarray(wibeth.unpack_frames_jnp(jnp.asarray(u32)))
         np.testing.assert_array_equal(dev.astype(np.uint16), adcs)
+
+
+def test_mxu_unpack_bit_exact():
+    """Every alternative unpack lowering (classes, gather, mxu) is
+    bit-exact vs the shift lowering and the numpy oracle over full-range
+    random words, for the 14-bit and 12-bit field widths."""
+    import jax.numpy as jnp
+    from fdreadoutlibs_tpu.formats.bitpack import (unpack_14bit,
+                                                   unpack_14bit_jnp)
+    rng = np.random.default_rng(0)
+    for bits, W, C in ((14, 28, 64), (12, 24, 64), (14, 112, 256)):
+        w = rng.integers(0, 1 << 32, size=(9, 5, W),
+                         dtype=np.uint64).astype(np.uint32)
+        ref = unpack_14bit(w, C, bits)
+        for impl in ("classes", "gather", "mxu"):
+            got = np.asarray(unpack_14bit_jnp(jnp.asarray(w), C, bits,
+                                              impl=impl))
+            np.testing.assert_array_equal(got, ref,
+                                          err_msg=f"{impl} {bits}b")

@@ -334,3 +334,84 @@ def test_bench_ingest_encoding_roundtrip():
     h2, _ = decode_pallas_hits(slots2, ncl2, C)
     assert len(h1) > 10
     np.testing.assert_array_equal(h1, h2)
+
+
+class TestFusedWords14:
+    def test_fused_inkernel_unpack_matches_oracle(self):
+        """process_packed_frames_fused (in-KERNEL 14-bit unpack, words14
+        position layout) is bit-exact vs the oracle — hits and carried
+        state — including multi-link channels and the padded dead lanes."""
+        import jax.numpy as jnp
+        from fdreadoutlibs_tpu.ops.ingest import process_packed_frames_fused
+        from fdreadoutlibs_tpu.ops.chanstate import (init_chanstate,
+                                                     seed_chanstate)
+        from fdreadoutlibs_tpu.ops.pallas_tpg import (
+            decode_pallas_hits, pack_state, unpack_state,
+            words14_channel_of_position, words14_positions)
+
+        C, T = 128, 256
+        L, nf = C // 64, T // 64
+        cfg = TPGConfig.from_raw("AbsRS", threshold=150)
+        rng = np.random.default_rng(0)
+        adcs = (900 + rng.normal(0, 30, size=(T, C))).astype(np.int32)
+        adcs[40:48, 17] += 2000
+        adcs[100:120, 70] += 1500
+        frames = wibeth.empty_frames(L * nf)
+        a = adcs.reshape(nf, 64, L, 64).transpose(2, 0, 1, 3)
+        wibeth.set_adcs(frames,
+                        a.reshape(L * nf, 64, 64).astype(np.uint16))
+        words = jnp.asarray(
+            wibeth.frames_bytes_to_u32(frames).reshape(L, T, 28))
+        pos = words14_positions(C)
+        # the inverse map round-trips
+        inv = words14_channel_of_position(C)
+        np.testing.assert_array_equal(inv[pos], np.arange(C))
+        st = seed_chanstate(init_chanstate(C), adcs[0],
+                            cfg.rs_memory_factor_x10)
+        s0 = pack_state(st, C, positions=pos)
+        slots, nclose, s1 = process_packed_frames_fused(
+            words, s0, cfg, C, tc=64, k_slots=16, unroll=1,
+            interpret=True)
+        hits, dropped = decode_pallas_hits(slots, nclose, C, positions=pos)
+        ref, ref_st = run_reference(adcs, cfg, window=T)
+        assert dropped == 0 and len(ref) > 30
+        np.testing.assert_array_equal(hits, ref)
+        got_st = unpack_state(s1, C, positions=pos)
+        for k in ("pedestals", "accum", "rs", "pedestals_rs", "accum_rs",
+                  "hit_charge", "hit_tover", "hit_peak_adc",
+                  "hit_peak_time"):
+            np.testing.assert_array_equal(got_st[k], np.asarray(ref_st[k]),
+                                          err_msg=k)
+
+    def test_fused_blocked_and_simple_threshold(self):
+        """words14 with 16-row channel blocks and the SimpleThreshold
+        family (exercises the block-split of the word-group axis)."""
+        import jax.numpy as jnp
+        from fdreadoutlibs_tpu.ops.ingest import process_packed_frames_fused
+        from fdreadoutlibs_tpu.ops.chanstate import (init_chanstate,
+                                                     seed_chanstate)
+        from fdreadoutlibs_tpu.ops.pallas_tpg import (
+            decode_pallas_hits, pack_state, words14_positions)
+
+        C, T = 192, 128            # 3 links -> G=12 groups, WR=1
+        L, nf = C // 64, T // 64
+        cfg = TPGConfig(threshold=150)
+        rng = np.random.default_rng(5)
+        adcs = (900 + rng.normal(0, 30, size=(T, C))).astype(np.int32)
+        adcs[50:60, 130] += 2000
+        frames = wibeth.empty_frames(L * nf)
+        a = adcs.reshape(nf, 64, L, 64).transpose(2, 0, 1, 3)
+        wibeth.set_adcs(frames,
+                        a.reshape(L * nf, 64, 64).astype(np.uint16))
+        words = jnp.asarray(
+            wibeth.frames_bytes_to_u32(frames).reshape(L, T, 28))
+        pos = words14_positions(C)
+        st = seed_chanstate(init_chanstate(C), adcs[0],
+                            cfg.rs_memory_factor_x10)
+        s0 = pack_state(st, C, positions=pos, block_sublanes=16)
+        slots, nclose, _ = process_packed_frames_fused(
+            words, s0, cfg, C, tc=64, k_slots=8, unroll=1, interpret=True)
+        hits, dropped = decode_pallas_hits(slots, nclose, C, positions=pos)
+        ref, _ = run_reference(adcs, cfg, window=T)
+        assert dropped == 0 and len(ref) > 0
+        np.testing.assert_array_equal(hits, ref)
