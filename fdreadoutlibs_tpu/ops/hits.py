@@ -113,18 +113,26 @@ def compact_slot_words(w0, w1, w2, max_hits: int, channel_base: int = 0,
 
 
 def compact_pallas_slots(slots, nclose, n_channels: int, max_hits: int,
-                         tick_offset: int = 0):
+                         tick_offset: int = 0, positions=None):
     """jit-able: process_window_pallas outputs -> (max_hits, 6) canonical
-    hits + valid count + dropped count, entirely on device."""
+    hits + valid count + dropped count, entirely on device.  ``positions``
+    selects the words14 fused layout (channel c at flat position
+    positions[c]; one small device gather restores canonical order)."""
     import jax.numpy as jnp
     nb, nch, K, nw, sub, lanes = slots.shape
     C = nb * sub * lanes
     flat = slots.transpose(1, 2, 3, 0, 4, 5).reshape(nch * K, nw, C)
-    flat = flat[:, :, :n_channels]
+    counts = nclose.transpose(1, 0, 2, 3).reshape(nch, C)
+    if positions is not None:
+        idx = jnp.asarray(positions)
+        flat = flat[:, :, idx]
+        counts = counts[:, idx]
+    else:
+        flat = flat[:, :, :n_channels]
+        counts = counts[:, :n_channels]
     w1 = flat[:, 1] if nw == 3 else None
     out, n = compact_slot_words(flat[:, 0], w1, flat[:, -1], max_hits,
                                 tick_offset=tick_offset)
-    counts = nclose.transpose(1, 0, 2, 3).reshape(nch, C)[:, :n_channels]
     dropped = jnp.sum(jnp.maximum(counts - K, 0))
     # hits beyond the output capacity are also drops (visible, counted)
     total_valid = jnp.sum((flat[:, -1] != 0).astype(jnp.int32))

@@ -61,7 +61,7 @@ def process_packed_frames(words, state_stack, cfg: TPGConfig,
 
 def pack_words14_jnp(words):
     """Device prep for the fused in-kernel unpack: (L, T, 28) uint32
-    packed rows -> (T, 7, WR, 128) int32 word rows in the words14 layout
+    packed rows -> (T, WR, 7, 128) int32 word rows in the words14 layout
     (pallas_tpg.words14_positions).  One 1.75 B/sample relayout — the
     only pass over the data outside the kernel."""
     from .pallas_tpg import LANES
@@ -70,7 +70,7 @@ def pack_words14_jnp(words):
     WR = -(-G // LANES)
     wt = jnp.swapaxes(words, 0, 1).reshape(T, G, 7)
     wt = jnp.pad(wt, ((0, 0), (0, WR * LANES - G), (0, 0)))
-    return wt.reshape(T, WR, LANES, 7).transpose(0, 3, 1, 2) \
+    return wt.reshape(T, WR, LANES, 7).transpose(0, 1, 3, 2) \
         .astype(jnp.int32)
 
 
@@ -185,10 +185,11 @@ def process_packed_protowib(words, coll_stack, ind_stack,
 
 @functools.partial(jax.jit, static_argnames=("n_channels", "max_hits"))
 def compact_on_device(slots, nclose, tick_offset, n_channels: int,
-                      max_hits: int):
+                      max_hits: int, positions=None):
     from .hits import compact_pallas_slots
     return compact_pallas_slots(slots, nclose, n_channels, max_hits,
-                                tick_offset=tick_offset)
+                                tick_offset=tick_offset,
+                                positions=positions)
 
 
 def collect_hits(slots, nclose, n_channels: int, max_hits: int | None = None,
@@ -235,16 +236,26 @@ class StreamingIngest:
                  k_slots: int = 4, unroll: int | None = None,
                  interpret: bool = False,
                  format: str = "wibeth", device_compact: bool = False,
-                 max_hits: int = 1024, rs_memory_factor=None):
+                 max_hits: int = 1024, rs_memory_factor=None,
+                 fused: bool = False):
         from ..formats import daphne, wib2
         self.cfg = cfg
         self.n_links = n_links
         self.format = format
         self._ticks_per_row = 1            # ticks per packed word row
+        if fused and format != "wibeth":
+            raise ValueError("fused in-kernel unpack supports "
+                             "format='wibeth' only")
+        self._positions = None
         if format == "wibeth":
             self._ch_per_link = wibeth.N_CHANNELS
-            self._fn = process_packed_frames
+            self._fn = process_packed_frames_fused if fused \
+                else process_packed_frames
             self._unpack = wibeth.unpack_frames_jnp
+            if fused:
+                from .pallas_tpg import words14_positions
+                self._positions = words14_positions(
+                    n_links * wibeth.N_CHANNELS)
         elif format == "wib2":
             self._ch_per_link = wib2.N_CHANNELS
             self._fn = process_packed_wib2
@@ -268,6 +279,10 @@ class StreamingIngest:
         self.k_slots = k_slots
         self.unroll = unroll if unroll is not None else knobs["unroll"]
         self._block_sublanes = knobs["block_sublanes"]
+        if self._positions is not None and self._block_sublanes:
+            # words14 blocks must be 16-row multiples (one row per class)
+            self._block_sublanes = max(
+                16, -(-self._block_sublanes // 16) * 16)
         self.interpret = interpret
         self.device_compact = device_compact
         self.max_hits = max_hits
@@ -297,7 +312,8 @@ class StreamingIngest:
         state = seed_chanstate(init_chanstate(self.n_channels), first,
                                self.rs_memory_factor)
         self.stack = pack_state(state, self.n_channels,
-                                block_sublanes=self._block_sublanes)
+                                block_sublanes=self._block_sublanes,
+                                positions=self._positions)
 
     def submit_words(self, words: np.ndarray):
         """words: (L, rows, W) uint32 packed rows (W=28 wibeth,
@@ -322,7 +338,7 @@ class StreamingIngest:
         if self.device_compact:
             self._pending = compact_on_device(
                 slots, nclose, self.tick_offset, self.n_channels,
-                self.max_hits)
+                self.max_hits, positions=self._positions)
         else:
             self._pending = (slots, nclose, self.tick_offset)
         self.tick_offset += T
@@ -356,7 +372,8 @@ class StreamingIngest:
         from .pallas_tpg import decode_pallas_hits
         slots, nclose, tick_offset = self._pending
         hits, dropped = decode_pallas_hits(slots, nclose, self.n_channels,
-                                           tick_offset=tick_offset)
+                                           tick_offset=tick_offset,
+                                           positions=self._positions)
         self._pending = None
         return hits, dropped
 

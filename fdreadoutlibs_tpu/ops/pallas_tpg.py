@@ -227,7 +227,7 @@ def pack_time2_jnp(adcs):
 def _unpack14_rows(w):
     """In-kernel WIBEth 14-bit unpack of one tick's word rows.
 
-    ``w``: (7, WRb, 128) int32 word bit patterns in the words14 layout
+    ``w``: (WRb, 7, 128) int32 word bit patterns in the words14 layout
     (channel c = 16g + r lives at row (g//128)*16 + r, lane g%128 — see
     words14_positions).  The 16-channel/7-word alignment period makes
     every class r a pure per-lane extract with CLASS-CONSTANT word index
@@ -240,12 +240,12 @@ def _unpack14_rows(w):
     for r in range(16):
         bit = 14 * r
         j, sh = bit // 32, bit % 32
-        lo = w[j]
+        lo = w[:, j]
         if sh:
             lo = (lo >> sh) & ((1 << (32 - sh)) - 1)
         v = lo
         if sh + 14 > 32:
-            v = v | (w[j + 1] << (32 - sh))
+            v = v | (w[:, j + 1] << (32 - sh))
         vs.append(v & 0x3FFF)                       # (WRb, 128)
     # row order wr*16 + r: stack classes on a middle axis then flatten
     return jnp.stack(vs, axis=1).reshape(-1, LANES)
@@ -433,7 +433,7 @@ def process_window_pallas(adcs, state_stack, cfg: TPGConfig, tc: int = 256,
         time_packed=True, (T//2, S, 128) time-paired words from
         pack_adcs_time2/pack_time2_jnp (halved ADC HBM traffic; requires
         int32 state, even unroll, samples < 32768) — or, with
-        words14=True, (T, 7, WR, 128) int32 PACKED 14-bit word rows in
+        words14=True, (T, WR, 7, 128) int32 PACKED 14-bit word rows in
         the words14 layout (ingest.pack_words14): the kernel unpacks
         in-register per tick and channels live at words14_positions;
         the state stack must be packed with the same positions and rows
@@ -454,7 +454,7 @@ def process_window_pallas(adcs, state_stack, cfg: TPGConfig, tc: int = 256,
     dtype = state_stack.dtype
     if words14:
         assert not time_packed and dtype == jnp.int32
-        T, seven, WR, _ = adcs.shape
+        T, WR, seven, _ = adcs.shape
         assert seven == 7 and adcs.dtype == jnp.int32
         S = 16 * WR
         assert sub % 16 == 0, "words14 blocks must be 16-row multiples"
@@ -493,9 +493,11 @@ def process_window_pallas(adcs, state_stack, cfg: TPGConfig, tc: int = 256,
         compiler_params = pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit_mb * 1024 * 1024)
     if words14:
-        # each channel block covers sub rows = sub//16 word-group rows
-        adc_spec = pl.BlockSpec((tc, 7, sub // 16, LANES),
-                                lambda b, t: (t, 0, b, 0))
+        # each channel block covers sub rows = sub//16 word-group rows;
+        # the 7-word axis sits second-to-last so the block's trailing
+        # dims equal the array dims (Pallas tiling constraint)
+        adc_spec = pl.BlockSpec((tc, sub // 16, 7, LANES),
+                                lambda b, t: (t, b, 0, 0))
     else:
         adc_spec = pl.BlockSpec((tc // 2 if time_packed else tc, sub,
                                  LANES), lambda b, t: (t, b, 0))

@@ -415,3 +415,32 @@ class TestFusedWords14:
         ref, _ = run_reference(adcs, cfg, window=T)
         assert dropped == 0 and len(ref) > 0
         np.testing.assert_array_equal(hits, ref)
+
+
+def test_streaming_ingest_fused_matches_oracle():
+    """StreamingIngest(fused=True): in-kernel unpack across pipelined
+    batches, host decode AND device compaction, bit-exact vs the oracle."""
+    L, N = 2, 2
+    frames, adcs = make_frames(L, N, pulse=(1, 1, 10, 5, 2000))
+    cfg = TPGConfig(threshold=150)
+    for compact in (False, True):
+        ing = StreamingIngest(cfg, n_links=L, tc=64, k_slots=8,
+                              interpret=True, fused=True,
+                              device_compact=compact)
+        parts, dropped = [], 0
+        for _ in range(2):
+            out = ing.submit(frames)
+            if out:
+                parts.append(out[0])
+                dropped += out[1]
+        out = ing.flush()
+        parts.append(out[0])
+        dropped += out[1]
+        got = concat_hits(parts)
+        stream = np.tile(link_major_stream(adcs), (2, 1))
+        ref, _ = run_reference(stream, cfg, window=N * 64)
+        assert len(ref) > 0 and dropped == 0
+        np.testing.assert_array_equal(got, ref)
+    import pytest
+    with pytest.raises(ValueError, match="fused"):
+        StreamingIngest(cfg, n_links=L, format="wib2", fused=True)
