@@ -123,9 +123,10 @@ def bench_fresh_and_ingest(cfg, tc, k_slots, unroll, adcs, rmf,
     import jax.numpy as jnp
     from fdreadoutlibs_tpu.formats import wibeth
     from fdreadoutlibs_tpu.ops.chanstate import init_chanstate, seed_chanstate
-    from fdreadoutlibs_tpu.ops.ingest import process_packed_frames
+    from fdreadoutlibs_tpu.ops.ingest import (
+        process_packed_frames, process_packed_frames_fused)
     from fdreadoutlibs_tpu.ops.pallas_tpg import (
-        default_block_sublanes, pack_adcs, pack_state)
+        default_block_sublanes, pack_adcs, pack_state, words14_positions)
     from fdreadoutlibs_tpu.ops.pallas_tpg import process_window_pallas
 
     T, C = adcs.shape
@@ -153,8 +154,12 @@ def bench_fresh_and_ingest(cfg, tc, k_slots, unroll, adcs, rmf,
         return w.reshape(L, T, wibeth.ADC_WORDS_PER_TS * 2)
     words = [jnp.asarray(to_words(v)) for v in variants]
 
-    state0 = pack_state(seed_chanstate(init_chanstate(C), adcs[0], rmf), C,
+    seeded = seed_chanstate(init_chanstate(C), adcs[0], rmf)
+    state0 = pack_state(seeded, C,
                         block_sublanes=default_block_sublanes(cfg, C))
+    # the fused in-kernel-unpack path (words14 layout) packs state by
+    # channel POSITION, not channel index (BENCH_NOTES r3 in-kernel unpack)
+    state0_fused = pack_state(seeded, C, positions=words14_positions(C))
 
     # Harness rules learned the hard way: the rotating buffers are jit
     # ARGUMENTS, not closure constants (a closed-over 400 MB array is
@@ -186,17 +191,25 @@ def bench_fresh_and_ingest(cfg, tc, k_slots, unroll, adcs, rmf,
         lambda w, s: process_packed_frames(
             w, s, cfg, C, tc=tc, k_slots=k_slots, unroll=unroll,
             vmem_limit_mb=64))
+    # the shipped fast ingest mode: in-KERNEL 14-bit unpack, no
+    # materialized unpacked array (StreamingIngest(fused=True))
+    fused_multi = rotate_multi(
+        lambda w, s: process_packed_frames_fused(
+            w, s, cfg, C, tc=tc, k_slots=k_slots, unroll=unroll,
+            vmem_limit_mb=64))
 
     def sync(s):
         _ = float(jnp.sum(s[:, 0]))
 
     out = {}
-    for name, fn, data in [("fresh_data", fresh_multi, windows),
-                           ("ingest_inclusive", ingest_multi, words)]:
+    for name, fn, data, s0 in [
+            ("fresh_data", fresh_multi, windows, state0),
+            ("ingest_inclusive", ingest_multi, words, state0),
+            ("ingest_fused", fused_multi, words, state0_fused)]:
         def bound(s, _fn=fn, _d=data):
             return _fn(s, *_d)
-        bound(state0)[0].block_until_ready()        # compile
-        out[name] = round(_slope_rtf(bound, state0, T, n_windows, trials,
+        bound(s0)[0].block_until_ready()            # compile
+        out[name] = round(_slope_rtf(bound, s0, T, n_windows, trials,
                                      sync), 2)
     return out
 
@@ -286,7 +299,10 @@ def main():
     }
     if extra:
         out["production_variants"] = extra
-        f, g = extra.get("fresh_data"), extra.get("ingest_inclusive")
+        # overhead of paying ingest at all, against the best shipped
+        # ingest path (fused in-kernel unpack when present)
+        f = extra.get("fresh_data")
+        g = extra.get("ingest_fused") or extra.get("ingest_inclusive")
         if f and g:
             out["unpack_overhead_pct"] = round(100 * (f / g - 1), 1)
     print(json.dumps(out))

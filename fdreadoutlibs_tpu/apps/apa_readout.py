@@ -43,7 +43,8 @@ class APAReadoutApp:
                  algorithm: str = "SimpleThreshold", threshold: int = 150,
                  backend: str = "pallas", run_number: int = 1,
                  channel_map_name: str = "HDAPAChannelMap",
-                 threshold_on_collection: bool = False):
+                 threshold_on_collection: bool = False,
+                 fused_unpack: bool = False):
         self.n_links = n_links
         self.run_number = run_number
         self.tp_q = QueueSender(capacity=1 << 16)
@@ -86,6 +87,11 @@ class APAReadoutApp:
                                               capacity=4096)
                         for _ in range(n_links)]
 
+        # fused_unpack runs the in-KERNEL 14-bit unpack (words14 layout;
+        # BENCH_NOTES r3): no materialized unpacked array on device,
+        # worth +13-24% on the ingest-inclusive path
+        self.fused_unpack = fused_unpack
+        self._positions = None
         self._stack = None
         self._dropped_total = 0
 
@@ -94,8 +100,9 @@ class APAReadoutApp:
         """frames_links: (L, N, 7200) -> per-link hit arrays (fused device
         ingest: packed bytes -> on-device unpack -> Pallas TPG)."""
         import jax.numpy as jnp
-        from ..ops.ingest import host_words, process_packed_frames
-        from ..ops.pallas_tpg import auto_tc, pack_state
+        from ..ops.ingest import (host_words, process_packed_frames,
+                                  process_packed_frames_fused)
+        from ..ops.pallas_tpg import auto_tc, pack_state, words14_positions
         from ..utils.tuning import kernel_knobs
         L, N, _ = frames_links.shape
         T = N * wibeth.N_TIME_SAMPLES
@@ -113,21 +120,29 @@ class APAReadoutApp:
             rmf = np.concatenate([p.register_memory_factor
                                   for p in self.procs])
             state = seed_chanstate(init_chanstate(C), first, rmf)
-            self._stack = pack_state(
-                state, C, block_sublanes=knobs["block_sublanes"])
+            sub = knobs["block_sublanes"]
+            if self.fused_unpack:
+                self._positions = words14_positions(C)
+                if sub:  # words14 blocks are 16-row multiples (one/class)
+                    sub = max(16, -(-sub // 16) * 16)
+            self._stack = pack_state(state, C, block_sublanes=sub,
+                                     positions=self._positions)
         tc = auto_tc(T, cap=knobs["tc"])
         # unrolling only pays on the real chip; off-TPU (CPU tests,
         # interpret mode) the unrolled compiles are minutes-slow
         import jax
         u = knobs["unroll"] if jax.default_backend() == "tpu" else 1
-        slots, nclose, self._stack = process_packed_frames(
+        fn = process_packed_frames_fused if self.fused_unpack \
+            else process_packed_frames
+        slots, nclose, self._stack = fn(
             jnp.asarray(words), self._stack, self.cfg, C, tc=tc, k_slots=4,
             unroll=u if tc % u == 0 else (8 if tc % 8 == 0 else 1))
         # device-side compaction: only the hit list crosses to the host
         # (~40x less transfer than the raw slot buffers; BENCH_NOTES);
         # overflow beyond the auto max_hits is counted in `dropped`
         from ..ops.ingest import collect_hits
-        hits, dropped = collect_hits(slots, nclose, C)
+        hits, dropped = collect_hits(slots, nclose, C,
+                                     positions=self._positions)
         per_link = []
         for l in range(L):
             lo, hi = l * 64, (l + 1) * 64
@@ -213,12 +228,16 @@ def main(argv=None) -> int:
     ap.add_argument("--threshold-on-collection", action="store_true",
                     help="production config: memoryless RS on collection-"
                          "plane channels")
+    ap.add_argument("--fused-unpack", action="store_true",
+                    help="in-kernel 14-bit unpack (words14 layout; "
+                         "BENCH_NOTES r3)")
     args = ap.parse_args(argv)
 
     app = APAReadoutApp(n_links=args.links, algorithm=args.algorithm,
                         threshold=args.threshold,
                         channel_map_name=args.channel_map,
-                        threshold_on_collection=args.threshold_on_collection)
+                        threshold_on_collection=args.threshold_on_collection,
+                        fused_unpack=args.fused_unpack)
     rng = np.random.default_rng(0)
     ts = 0x1000000
     t_wall = time.perf_counter()

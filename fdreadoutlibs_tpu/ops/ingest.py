@@ -193,7 +193,7 @@ def compact_on_device(slots, nclose, tick_offset, n_channels: int,
 
 
 def collect_hits(slots, nclose, n_channels: int, max_hits: int | None = None,
-                 tick_offset: int = 0, device: bool = True):
+                 tick_offset: int = 0, device: bool = True, positions=None):
     """Kernel slot outputs -> (canonical hit array, dropped count).
 
     device=True (default) compacts on device and ships only the hit list
@@ -203,17 +203,21 @@ def collect_hits(slots, nclose, n_channels: int, max_hits: int | None = None,
 
     max_hits bounds the device-compact output (None -> max(2048, 2x the
     channel count): ~30x above physical APA TP rates per window); overflow
-    beyond it is counted in the returned dropped count."""
+    beyond it is counted in the returned dropped count.
+
+    positions: channel->flat-position map when the slots came from a
+    words14 fused-unpack kernel (pallas_tpg.words14_positions)."""
     if max_hits is None:
         max_hits = max(2048, 2 * n_channels)
     if device:
         from .hits import hits_from_compact
         rows, n, dropped = compact_on_device(slots, nclose, tick_offset,
-                                             n_channels, max_hits)
+                                             n_channels, max_hits,
+                                             positions=positions)
         return hits_from_compact(np.asarray(rows), int(n)), int(dropped)
     from .pallas_tpg import decode_pallas_hits
     return decode_pallas_hits(slots, nclose, n_channels,
-                              tick_offset=tick_offset)
+                              tick_offset=tick_offset, positions=positions)
 
 
 class StreamingIngest:

@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--alg", default="AbsRS",
                     choices=["AbsRS", "SimpleThreshold", "StandardRS",
                              "FIR"])
+    ap.add_argument("--fused", action="store_true",
+                    help="soak the fused byte-ingest path instead "
+                         "(in-kernel words14 unpack; BENCH_NOTES r3)")
     args = ap.parse_args()
 
     import jax
@@ -81,18 +84,55 @@ def main():
     def expected_total(n):
         return expected_per_window[0] + (n - 1) * expected_per_window[1]
 
-    packed = jnp.asarray(pack_adcs(adcs))
-    state0 = pack_state(seed_chanstate(init_chanstate(C), adcs[0], rmf), C,
-                        block_sublanes=default_block_sublanes(cfg, C))
+    seeded = seed_chanstate(init_chanstate(C), adcs[0], rmf)
+    positions = None
+    if args.fused:
+        # fused byte-ingest: the stream enters as packed WIBEth frame
+        # words and the 14-bit unpack happens IN the kernel (words14
+        # layout), so the soak covers encode -> in-kernel decode -> TPG
+        # -> compaction with carried state
+        from fdreadoutlibs_tpu.formats import wibeth
+        from fdreadoutlibs_tpu.ops.ingest import process_packed_frames_fused
+        from fdreadoutlibs_tpu.ops.pallas_tpg import words14_positions
+        assert C % wibeth.N_CHANNELS == 0 and \
+            T % wibeth.N_TIME_SAMPLES == 0, "fused soak needs whole frames"
+        L = C // wibeth.N_CHANNELS
+        n_frames = T // wibeth.N_TIME_SAMPLES
+        frames = wibeth.empty_frames(L * n_frames)
+        a = adcs.reshape(n_frames, wibeth.N_TIME_SAMPLES, L,
+                         wibeth.N_CHANNELS).transpose(2, 0, 1, 3)
+        wibeth.set_adcs(frames, a.reshape(L * n_frames,
+                                          wibeth.N_TIME_SAMPLES,
+                                          wibeth.N_CHANNELS)
+                        .astype(np.uint16))
+        words = jnp.asarray(wibeth.frames_bytes_to_u32(frames)
+                            .reshape(L, T, 28))
+        positions = words14_positions(C)
+        # words14 blocks are 16-row multiples; whole-block otherwise
+        state0 = pack_state(seeded, C, positions=positions,
+                            block_sublanes=16 if args.alg == "FIR" else None)
+
+        def step(stack):
+            return process_packed_frames_fused(
+                words, stack, cfg, C, tc=512, k_slots=2, unroll=16,
+                vmem_limit_mb=64)
+    else:
+        packed = jnp.asarray(pack_adcs(adcs))
+        state0 = pack_state(seeded, C,
+                            block_sublanes=default_block_sublanes(cfg, C))
+
+        def step(stack):
+            return process_window_pallas(
+                packed, stack, cfg, tc=512, k_slots=2, unroll=16,
+                vmem_limit_mb=64)
 
     def run(stack, n_windows):
         hits_total = 0
         dropped_total = 0
         for _ in range(n_windows):
-            slots, nclose, stack = process_window_pallas(
-                packed, stack, cfg, tc=512, k_slots=2, unroll=16,
-                vmem_limit_mb=64)
-            h, d = decode_pallas_hits(slots, nclose, C)
+            slots, nclose, stack = step(stack)
+            h, d = decode_pallas_hits(slots, nclose, C,
+                                      positions=positions)
             hits_total += len(h)
             dropped_total += d
         return stack, hits_total, dropped_total

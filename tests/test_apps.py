@@ -9,18 +9,20 @@ from fdreadoutlibs_tpu.formats import wibeth
 
 @pytest.fixture
 def interpret_ingest(monkeypatch):
-    orig = ingest_mod.process_packed_frames
+    for name in ("process_packed_frames", "process_packed_frames_fused"):
+        orig = getattr(ingest_mod, name)
 
-    def patched(words, stack, cfg, C, **kw):
-        kw["interpret"] = True
-        return orig(words, stack, cfg, C, **kw)
+        def patched(words, stack, cfg, C, _orig=orig, **kw):
+            kw["interpret"] = True
+            return _orig(words, stack, cfg, C, **kw)
 
-    monkeypatch.setattr(ingest_mod, "process_packed_frames", patched)
+        monkeypatch.setattr(ingest_mod, name, patched)
 
 
-def test_apa_readout_end_to_end(interpret_ingest):
+@pytest.mark.parametrize("fused", [False, True])
+def test_apa_readout_end_to_end(interpret_ingest, fused):
     from fdreadoutlibs_tpu.apps.apa_readout import APAReadoutApp
-    app = APAReadoutApp(n_links=2, threshold=499)
+    app = APAReadoutApp(n_links=2, threshold=499, fused_unpack=fused)
     ts = 100_000
     for b in range(3):
         frames = np.zeros((2, 1, wibeth.FRAME_SIZE), np.uint8)
