@@ -29,24 +29,36 @@ from ..ops.scan import STATE_KEYS, compact_hits_device, process_window_scan
 N_CH = wibeth.N_CHANNELS
 
 
-def _stack_from_state(st: dict, C: int, block_sublanes: int | None = None):
+def _stack_from_state(st: dict, C: int, block_sublanes: int | None = None,
+                      positions: np.ndarray | None = None):
     """jnp equivalent of pallas_tpg.pack_state for one shard: state dict of
-    (C,) arrays -> (NB, KSTATE, SUB, 128) int32."""
+    (C,) arrays -> (NB, KSTATE, SUB, 128) int32.  ``positions`` places
+    channel c at flat position positions[c] (the words14 fused-unpack
+    layout)."""
     from ..ops.chanstate import FIELDS
     from ..ops.pallas_tpg import KSTATE, LANES, N_FIR_TAPS, pad_sublanes
-    S = pad_sublanes(C)
+    if positions is not None:
+        S = -(-(int(positions.max()) + 1) // LANES)
+        S = -(-S // 8) * 8
+    else:
+        S = pad_sublanes(C)
     sub = block_sublanes or S
-    pad = S * LANES - C
     rows = [st[k] for k in FIELDS] + [st["rs_memory_factor"]]
     rows += [st["fir_prev"][j] for j in range(N_FIR_TAPS)]
-    stack = jnp.stack([jnp.pad(r, (0, pad)) for r in rows])
+    if positions is not None:
+        stack = jnp.stack([jnp.zeros(S * LANES, jnp.int32)
+                           .at[positions].set(r) for r in rows])
+    else:
+        stack = jnp.stack([jnp.pad(r, (0, S * LANES - C)) for r in rows])
     return stack.reshape(KSTATE, S // sub, sub, LANES).transpose(1, 0, 2, 3)
 
 
-def _state_from_stack(stack, C: int) -> dict:
+def _state_from_stack(stack, C: int,
+                      positions: np.ndarray | None = None) -> dict:
     from ..ops.chanstate import FIELDS
     from ..ops.pallas_tpg import KSTATE, N_FIR_TAPS
-    flat = stack.transpose(1, 0, 2, 3).reshape(KSTATE, -1)[:, :C]
+    sel = positions if positions is not None else slice(None, C)
+    flat = stack.transpose(1, 0, 2, 3).reshape(KSTATE, -1)[:, sel]
     st = {k: flat[i] for i, k in enumerate(FIELDS)}
     st["rs_memory_factor"] = flat[len(FIELDS)]
     st["fir_prev"] = flat[len(FIELDS) + 1: len(FIELDS) + 1 + N_FIR_TAPS]
@@ -60,7 +72,7 @@ from ..ops.hits import compact_slot_words as _compact_link_slots  # noqa: E402
 
 def make_apa_step(mesh: Mesh, cfg: TPGConfig, max_hits_per_link: int = 512,
                   backend: str = "scan", k_slots: int = 8,
-                  interpret: bool = False):
+                  interpret: bool = False, fused_unpack: bool = False):
     """Build the jitted multi-chip step.
 
     step(words (L, T, 28) uint32, state {k: (L, 64) int32}) ->
@@ -78,31 +90,44 @@ def make_apa_step(mesh: Mesh, cfg: TPGConfig, max_hits_per_link: int = 512,
     def _local_pallas(words, state):
         from ..ops.pallas_tpg import (LANES, auto_tc, default_block_sublanes,
                                       pad_sublanes, process_window_pallas,
-                                      record_words)
+                                      record_words, words14_positions)
         Lloc, T, _ = words.shape
         C = Lloc * N_CH
-        adcs = wibeth.unpack_frames_jnp(words)
-        flat = adcs.transpose(1, 0, 2).reshape(T, C)
         st = {k: (state[k].transpose(1, 0, 2).reshape(-1, C)
                   if k == "fir_prev" else state[k].reshape(C))
               for k in STATE_KEYS}
-        S = pad_sublanes(C)
-        padded = jnp.zeros((T, S * LANES), jnp.int32)
-        padded = padded.at[:, :C].set(flat)
         tc = auto_tc(T)
+        sub = default_block_sublanes(cfg, C)
+        if fused_unpack:
+            # in-KERNEL 14-bit unpack (words14 layout): state and decode
+            # address channels by POSITION (ops.ingest fused path)
+            from ..ops.ingest import pack_words14_jnp
+            pos = words14_positions(C)
+            S = -(-(int(pos.max()) + 1) // LANES)
+            if sub:  # words14 blocks are 16-row multiples (one row/class)
+                sub = max(16, -(-sub // 16) * 16)
+            kernel_in = pack_words14_jnp(words)
+        else:
+            pos = None
+            S = pad_sublanes(C)
+            adcs = wibeth.unpack_frames_jnp(words)
+            flat = adcs.transpose(1, 0, 2).reshape(T, C)
+            padded = jnp.zeros((T, S * LANES), jnp.int32)
+            padded = padded.at[:, :C].set(flat)
+            kernel_in = padded.reshape(T, S, LANES)
+        chan_sel = pos if pos is not None else slice(None, C)
         slots, nclose, stack = process_window_pallas(
-            padded.reshape(T, S, LANES),
-            _stack_from_state(st, C, default_block_sublanes(cfg, C)), cfg,
+            kernel_in, _stack_from_state(st, C, sub, positions=pos), cfg,
             tc=tc, k_slots=k_slots,
             unroll=8 if (not interpret and tc % 8 == 0) else 1,
-            interpret=interpret)
+            interpret=interpret, words14=fused_unpack)
         # per-link device-side decode: slots (NB, n_chunks, K, nw, SUB, 128)
         # — per-chunk slots fold into one wider slot axis (records carry
         # absolute ticks); nw=2 is the no-peak record layout
         nw = record_words(cfg)
         k_eff = slots.shape[1] * k_slots
         w = slots.transpose(1, 2, 3, 0, 4, 5) \
-            .reshape(k_eff, nw, S * LANES)[:, :, :C] \
+            .reshape(k_eff, nw, S * LANES)[:, :, chan_sel] \
             .reshape(k_eff, nw, Lloc, N_CH).transpose(2, 0, 1, 3)
         hits, n_hits = jax.vmap(
             lambda lw: _compact_link_slots(
@@ -117,10 +142,10 @@ def make_apa_step(mesh: Mesh, cfg: TPGConfig, max_hits_per_link: int = 512,
         cap_drops = jnp.sum(jnp.maximum(nclose - k_slots, 0))
         stored = jnp.sum(jnp.minimum(nclose, k_slots)
                          .transpose(1, 0, 2, 3).reshape(-1, S * LANES),
-                         axis=0)[:C].reshape(Lloc, N_CH).sum(axis=1)
+                         axis=0)[chan_sel].reshape(Lloc, N_CH).sum(axis=1)
         trunc = jnp.sum(jnp.maximum(stored - max_hits_per_link, 0))
         dropped = jax.lax.psum(cap_drops + trunc, "link")
-        new_st = _state_from_stack(stack, C)
+        new_st = _state_from_stack(stack, C, positions=pos)
         new_state = {k: (new_st[k].reshape(-1, Lloc, N_CH).transpose(1, 0, 2)
                          if k == "fir_prev"
                          else new_st[k].reshape(Lloc, N_CH))
@@ -170,15 +195,19 @@ class APAPipeline:
 
     def __init__(self, n_links: int, cfg: TPGConfig,
                  mesh: Optional[Mesh] = None, max_hits_per_link: int = 512,
-                 backend: str = "scan", interpret: bool = False):
+                 backend: str = "scan", interpret: bool = False,
+                 fused_unpack: bool = False):
         from .mesh import make_link_mesh
         self.mesh = mesh or make_link_mesh()
         self.n_links = n_links
         assert n_links % self.mesh.devices.size == 0, \
             "links must divide evenly over devices"
+        if fused_unpack and backend != "pallas":
+            raise ValueError("fused_unpack requires backend='pallas'")
         self.cfg = cfg
         self.step = make_apa_step(self.mesh, cfg, max_hits_per_link,
-                                  backend=backend, interpret=interpret)
+                                  backend=backend, interpret=interpret,
+                                  fused_unpack=fused_unpack)
         self.state = None
         self.dropped_hits = 0      # cumulative capacity-dropped closes
 

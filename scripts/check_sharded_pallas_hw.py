@@ -48,12 +48,14 @@ def main():
     cfg = TPGConfig(algorithm=Algorithm.ABS_RS, threshold=150)
     pipes = {
         "pallas": APAPipeline(args.links, cfg, mesh=mesh, backend="pallas"),
+        "pallas_fused": APAPipeline(args.links, cfg, mesh=mesh,
+                                    backend="pallas", fused_unpack=True),
         "scan": APAPipeline(args.links, cfg, mesh=mesh, backend="scan"),
     }
 
     T = args.frames * wibeth.N_TIME_SAMPLES
     rng = np.random.default_rng(11)
-    totals = {"pallas": [], "scan": []}
+    totals = {name: [] for name in pipes}
     for b in range(args.batches):
         words = np.zeros((args.links, T, 28), dtype=np.uint32)
         for l in range(args.links):
@@ -68,23 +70,26 @@ def main():
             hits, n_hits, total = pipe.process(words)
             res[name] = (np.asarray(hits), np.asarray(n_hits), total)
             totals[name].append(total)
-        assert pipes["pallas"].dropped_hits == 0, \
-            f"capacity drops ({pipes['pallas'].dropped_hits}) — raise " \
-            "threshold or k_slots for a strict-parity check"
-        # hit-level parity between the compiled sharded Pallas step and
-        # the scan backend, per link (row sets; padding rows are zero)
+        for name in ("pallas", "pallas_fused"):
+            assert pipes[name].dropped_hits == 0, \
+                f"{name} capacity drops ({pipes[name].dropped_hits}) — " \
+                "raise threshold or k_slots for a strict-parity check"
+        # hit-level parity of both compiled sharded Pallas steps (canonical
+        # and fused in-kernel unpack) against the scan backend, per link
+        # (row sets; padding rows are zero)
         for l in range(args.links):
-            hp = {tuple(r) for r in res["pallas"][0][l]
-                  [: res["pallas"][1][l]].tolist()}
             hs = {tuple(r) for r in res["scan"][0][l]
                   [: res["scan"][1][l]].tolist()}
-            assert hp == hs, f"batch {b} link {l}: {hp ^ hs}"
+            for name in ("pallas", "pallas_fused"):
+                hp = {tuple(r) for r in res[name][0][l]
+                      [: res[name][1][l]].tolist()}
+                assert hp == hs, f"batch {b} link {l} {name}: {hp ^ hs}"
 
     print(json.dumps({
         "ok": True, "links": args.links, "batches": args.batches,
         "hits_per_batch": totals["pallas"],
         "note": "compiled Mosaic under shard_map on a 1-device TPU mesh; "
-                "hit-parity vs scan backend",
+                "canonical + fused-unpack hit-parity vs scan backend",
     }))
     return 0
 
