@@ -73,20 +73,27 @@ def bench_algorithm(cfg, tc, k_slots, unroll, on_tpu, adcs, rmf,
     chain(1, state0)
 
     if on_tpu:
-        # slope timing with positive-slope filtering (_slope_rtf): the
+        # slope timing with positive-slope filtering (_slope_dt): the
         # tunnel's per-sync latency is large and variable enough to
         # occasionally invert a single (short, long) pair
         def sync(s):
             _ = float(jnp.sum(s[:, 0]))
-        return _slope_rtf(multi_window, state0, T, n_windows, trials, sync)
-    # interpret mode is not a performance path; time one call
-    dt, _ = chain(1, state0)
-    dt /= n_windows
-    sample_hz = 62.5e6 / 32                     # 1.953125 MHz per channel
-    return (T / sample_hz) / dt
+        dt = _slope_dt(multi_window, state0, n_windows, trials, sync)
+    else:
+        # interpret mode is not a performance path; time one call
+        dt, _ = chain(1, state0)
+        dt /= n_windows
+    return (T / WIBETH_SAMPLE_HZ) / dt
 
 
-def _slope_rtf(multi_window, state0, T, n_windows, trials, sync):
+# 62.5 MHz clock / 32 clocks per WIBEth sample = 1.953125 MHz per channel.
+# The RTF conversion lives at the CALLERS (this is a WIBEth-stream rate;
+# a bench variant timing e.g. a DAPHNE stream must convert with its own
+# tick rate) — _slope_dt itself returns plain seconds per window.
+WIBETH_SAMPLE_HZ = 62.5e6 / 32
+
+
+def _slope_dt(multi_window, state0, n_windows, trials, sync):
     import time as _t
     per_call = []
     for _ in range(2 * trials):
@@ -106,8 +113,7 @@ def _slope_rtf(multi_window, state0, T, n_windows, trials, sync):
         if len(per_call) >= trials:
             break
     assert per_call, "all timing trials inverted; tunnel too unstable"
-    dt = float(np.median(per_call))
-    return (T / (62.5e6 / 32)) / dt
+    return float(np.median(per_call))           # seconds per window
 
 
 def bench_fresh_and_ingest(cfg, tc, k_slots, unroll, adcs, rmf,
@@ -208,9 +214,15 @@ def bench_fresh_and_ingest(cfg, tc, k_slots, unroll, adcs, rmf,
             ("ingest_fused", fused_multi, words, state0_fused)]:
         def bound(s, _fn=fn, _d=data):
             return _fn(s, *_d)
-        bound(s0)[0].block_until_ready()            # compile
-        out[name] = round(_slope_rtf(bound, s0, T, n_windows, trials,
-                                     sync), 2)
+        # per-variant isolation: a failure in one (e.g. a tuned-file knob
+        # the fused path rejects) must not discard the minutes of
+        # tunnel-bound measurement already recorded for the others
+        try:
+            bound(s0)[0].block_until_ready()        # compile
+            dt = _slope_dt(bound, s0, n_windows, trials, sync)
+            out[name] = round((T / WIBETH_SAMPLE_HZ) / dt, 2)
+        except Exception as e:  # noqa: BLE001
+            out[name + "_error"] = str(e)[-200:]
     return out
 
 

@@ -122,9 +122,9 @@ class APAReadoutApp:
             state = seed_chanstate(init_chanstate(C), first, rmf)
             sub = knobs["block_sublanes"]
             if self.fused_unpack:
+                from ..ops.pallas_tpg import words14_block_sublanes
                 self._positions = words14_positions(C)
-                if sub:  # words14 blocks are 16-row multiples (one/class)
-                    sub = max(16, -(-sub // 16) * 16)
+                sub = words14_block_sublanes(sub, C)
             self._stack = pack_state(state, C, block_sublanes=sub,
                                      positions=self._positions)
         tc = auto_tc(T, cap=knobs["tc"])

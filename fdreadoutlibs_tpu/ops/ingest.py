@@ -283,10 +283,10 @@ class StreamingIngest:
         self.k_slots = k_slots
         self.unroll = unroll if unroll is not None else knobs["unroll"]
         self._block_sublanes = knobs["block_sublanes"]
-        if self._positions is not None and self._block_sublanes:
-            # words14 blocks must be 16-row multiples (one row per class)
-            self._block_sublanes = max(
-                16, -(-self._block_sublanes // 16) * 16)
+        if self._positions is not None:
+            from .pallas_tpg import words14_block_sublanes
+            self._block_sublanes = words14_block_sublanes(
+                self._block_sublanes, self.n_channels)
         self.interpret = interpret
         self.device_compact = device_compact
         self.max_hits = max_hits

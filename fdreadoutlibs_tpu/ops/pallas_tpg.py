@@ -267,6 +267,27 @@ def words14_positions(n_channels: int) -> np.ndarray:
     return ((g // LANES) * 16 + r) * LANES + (g % LANES)
 
 
+def words14_block_sublanes(sub: int | None, n_channels: int) -> int | None:
+    """Adapt a canonical channel-block row count to the words14 layout.
+
+    words14 blocks must be 16-row multiples (one row per unpack class),
+    and must tile the words14 row count S = 16*ceil(G/128) — a tuned
+    `sub` that satisfies the canonical-layout checks can violate the
+    latter (e.g. sub=24 with 6144 channels: canonical S=48 tiles, but
+    words14 S=48 does not divide by the rounded 32).  Falling back to
+    whole-block keeps the "a tuned file is always safe to deploy"
+    contract (utils/tuning.py) in fused mode.  The ONE place all fused
+    call sites (StreamingIngest, apa_readout, parallel/apa) resolve the
+    constraint."""
+    if not sub:
+        return None
+    sub = max(16, -(-sub // 16) * 16)
+    S = 16 * (-(-(n_channels // 16) // LANES))
+    if S <= sub or S % sub:
+        return None
+    return sub
+
+
 def words14_channel_of_position(n_channels: int) -> np.ndarray:
     """Inverse of words14_positions: flat position -> channel (-1 = dead
     padding lane)."""

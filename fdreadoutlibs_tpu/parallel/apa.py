@@ -102,10 +102,10 @@ def make_apa_step(mesh: Mesh, cfg: TPGConfig, max_hits_per_link: int = 512,
             # in-KERNEL 14-bit unpack (words14 layout): state and decode
             # address channels by POSITION (ops.ingest fused path)
             from ..ops.ingest import pack_words14_jnp
+            from ..ops.pallas_tpg import words14_block_sublanes
             pos = words14_positions(C)
             S = -(-(int(pos.max()) + 1) // LANES)
-            if sub:  # words14 blocks are 16-row multiples (one row/class)
-                sub = max(16, -(-sub // 16) * 16)
+            sub = words14_block_sublanes(sub, C)
             kernel_in = pack_words14_jnp(words)
         else:
             pos = None

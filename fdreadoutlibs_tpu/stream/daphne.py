@@ -115,6 +115,7 @@ class DAPHNEStreamFrameProcessor(TaskRawDataProcessor):
         self.tp_sink = tp_sink
         self._state = None
         self._pallas_stack = None
+        self._state_stale = False
 
     def conf(self, config: dict) -> None:
         super().conf(config)
@@ -139,6 +140,7 @@ class DAPHNEStreamFrameProcessor(TaskRawDataProcessor):
         self._first_ts_check = True
         self._state = None
         self._pallas_stack = None
+        self._state_stale = False
 
     def find_hits(self, superchunks: np.ndarray) -> None:
         """Standard SWTPG core over the 4 continuous channels — one clock
@@ -218,13 +220,17 @@ class DAPHNEStreamFrameProcessor(TaskRawDataProcessor):
                                      device=self._device_compact)
         if dropped:
             self.metrics.inc("num_hits_dropped", dropped)
+        # ._state is now stale; materialized lazily by current_state()
+        self._state_stale = True
         return hits
 
     def current_state(self):
         """Live ChanState for checkpointing: the pallas path carries state
         only in the device stack, so materialize it on demand (the scan/
-        reference backends keep ._state fresh already)."""
-        if self._pallas_stack is not None:
+        reference backends keep ._state fresh already).  Gated on
+        staleness like the wibeth processor: repeated checkpoints without
+        an intervening batch must not re-pay the device->host sync."""
+        if self._state_stale and self._pallas_stack is not None:
             from ..ops.pallas_tpg import unpack_state
             st = unpack_state(self._pallas_stack,
                               daphne.STREAM_N_CHANNELS)
@@ -232,6 +238,7 @@ class DAPHNEStreamFrameProcessor(TaskRawDataProcessor):
                 self._state = st
             else:
                 self._state.update(st)
+            self._state_stale = False
         return self._state
 
     def timestamp_check(self, superchunks: np.ndarray) -> None:

@@ -328,6 +328,14 @@ class VDTDEChannelMap(ChannelMap):
         return 0                                      # collection
 
     def offline_channels(self, crate, slot, stream, n_channels=64):
+        # same geometry validation as the scalar accessor — this is the
+        # path TDEFrameProcessor uses, and an out-of-range slot would
+        # otherwise alias into another AMC's serial range silently
+        if not (0 <= int(slot) < self.n_slots and 0 < n_channels <= 64):
+            raise ValueError(f"TDE geometry: slot in [0,{self.n_slots}), "
+                             f"n_channels in (0,64]; got {slot}, {n_channels}")
+        if int(crate) < 0:
+            raise ValueError(f"TDE geometry: crate must be >= 0; got {crate}")
         crp, crate_in = divmod(int(crate), self.crates_per_crp)
         base = (crate_in * self.n_slots + int(slot)) * 64
         serial = base + np.arange(n_channels)
@@ -366,6 +374,21 @@ def cross_check_maps(map_a: ChannelMap, map_b: ChannelMap, keys,
             "mismatches": mismatches}
 
 
+def frontend_geometry(frontend: str) -> tuple[int, int]:
+    """(n_streams, channels_per_stream) for an HD-APA frontend.
+
+    The ONE place the WIBEth-vs-WIB2 link shape lives — dump parsing
+    (femb_table_from_dump), the validate-map CLI cross-check, and any
+    future frontend all resolve through here so they cannot disagree.
+    """
+    if frontend == "wib2":
+        return 2, 256
+    if frontend == "wibeth":
+        return HDAPAChannelMap.N_STREAMS, 64
+    raise ValueError(f"unknown frontend {frontend!r} "
+                     "(expected 'wibeth' or 'wib2')")
+
+
 def femb_table_from_dump(path: str, crate: int = 0,
                          frontend: str = "wibeth") -> np.ndarray:
     """Derive HDAPAChannelMap's (128, 2) femb_table from a detchannelmaps
@@ -377,15 +400,13 @@ def femb_table_from_dump(path: str, crate: int = 0,
     in that case use TableChannelMap.from_file directly (exact for any
     layout).
     """
-    width = 256 if frontend == "wib2" else 64
+    n_streams, width = frontend_geometry(frontend)
     tbl = TableChannelMap.from_file(path, channels_per_stream=width)
     geo = HDAPAChannelMap(frontend=frontend)
     sizes = HDAPAChannelMap.PLANE_SIZES
     offsets = HDAPAChannelMap.PLANE_OFFSETS
     femb_table = np.full((HDAPAChannelMap.FEMB_CHANNELS, 2), -1,
                          dtype=np.int64)
-    n_streams = 2 if frontend == "wib2" else HDAPAChannelMap.N_STREAMS
-    width = 256 if frontend == "wib2" else 64
     for slot in range(HDAPAChannelMap.N_WIBS):
         for stream in range(n_streams):
             try:
