@@ -295,6 +295,21 @@ class TestVDTDEChannelMap:
                                                          make_map)
         assert isinstance(make_map("VDTopChannelMap"), VDTDEChannelMap)
 
+    def test_offline_channels_validates_geometry(self):
+        """The vectorized accessor (the TDEFrameProcessor path) enforces
+        the same slot/crate ranges as the scalar one — an out-of-range
+        slot must not silently alias into another AMC's channels."""
+        from fdreadoutlibs_tpu.utils.channel_map import VDTDEChannelMap
+        m = VDTDEChannelMap()
+        with pytest.raises(ValueError, match="slot"):
+            m.offline_channels(0, 12, 0)            # n_slots == 12
+        with pytest.raises(ValueError, match="slot"):
+            m.offline_channels(0, -1, 0)
+        with pytest.raises(ValueError, match="crate"):
+            m.offline_channels(-1, 0, 0)
+        with pytest.raises(ValueError, match="n_channels"):
+            m.offline_channels(0, 0, 0, n_channels=65)
+
 
 class TestFidelityHarness:
     def _write_dump(self, path, ch_map, crate=0, perturb=None):
@@ -435,3 +450,32 @@ class TestValidateMapCLI:
         out = _json.loads(capsys.readouterr().out.strip())
         assert rc == 1 and not out["match"]
         assert out["n_offline_mismatch"] == 2
+
+    def test_validate_map_divergent_underivable_exits_nonzero(
+            self, tmp_path, capsys):
+        """--derive-femb-table must NOT turn a divergent dump whose
+        derivation also failed into exit code 0 (scripts gating on the
+        exit code would treat the map as validated)."""
+        import json as _json
+        from fdreadoutlibs_tpu.cli import main as cli_main
+        geo = HDAPAChannelMap()
+        a = int(geo.offline_channels(0, 2, 3, 64)[10])
+        b = int(geo.offline_channels(0, 2, 3, 64)[11])
+        p = tmp_path / "dump.txt"
+        # a swap inside ONE FEMB diverges from the geometry map AND
+        # breaks the per-FEMB uniformity the derivation requires
+        TestFidelityHarness._write_dump(
+            TestFidelityHarness(), p, geo,
+            perturb={(2, 3, 10): b, (2, 3, 11): a})
+        rc = cli_main(["validate-map", "-f", str(p),
+                       "--derive-femb-table"])
+        out = _json.loads(capsys.readouterr().out.strip())
+        assert not out["match"] and not out.get("derived_matches")
+        assert rc == 1
+
+    def test_frontend_geometry_single_source(self):
+        from fdreadoutlibs_tpu.utils.channel_map import frontend_geometry
+        assert frontend_geometry("wibeth") == (8, 64)
+        assert frontend_geometry("wib2") == (2, 256)
+        with pytest.raises(ValueError, match="frontend"):
+            frontend_geometry("tde")

@@ -158,6 +158,39 @@ class TestDaphneFusedIngest:
         order = lambda t: np.argsort(t["time_start"], kind="stable")
         np.testing.assert_array_equal(ref[order(ref)], pal[order(pal)])
 
+    def test_current_state_staleness_gate(self, monkeypatch):
+        """current_state() unpacks the device stack once per batch, not
+        once per call — repeated checkpoints without an intervening batch
+        must not re-pay the device->host sync (round-3 review)."""
+        import fdreadoutlibs_tpu.ops.pallas_tpg as pt
+        sc = daphne.empty_superchunks(1, stream=True)
+        frames = daphne.superchunk_frames(sc, stream=True) \
+            .reshape(-1, daphne.STREAM_FRAME_SIZE)
+        adcs = (800 + np.random.default_rng(3)
+                .normal(0, 10, (12, 64, 4))).astype(np.uint16)
+        adcs[4, 10:19, 1] += 600
+        daphne.stream_set_adcs(frames, adcs)
+        daphne.fake_timestamps(sc, 40_000, offset=64, stream=True)
+        proc = DAPHNEStreamFrameProcessor(tp_sink=QueueSender())
+        proc.conf({"enable_tpg": True, "tpg_threshold": 150,
+                   "tpg_backend": "pallas", "tpg_pallas_interpret": True})
+        proc.start()
+        calls = {"n": 0}
+        real = pt.unpack_state
+
+        def counting(*a, **kw):
+            calls["n"] += 1
+            return real(*a, **kw)
+        monkeypatch.setattr(pt, "unpack_state", counting)
+        proc.process(sc.copy())
+        st1 = proc.current_state()
+        assert st1 is not None and calls["n"] == 1
+        st2 = proc.current_state()            # clean: no second unpack
+        assert calls["n"] == 1 and st2 is st1
+        proc.process(sc.copy())               # new batch -> stale again
+        proc.current_state()
+        assert calls["n"] == 2
+
     def test_streaming_ingest_daphne_format(self):
         """StreamingIngest(format='daphne_stream') over 2 links matches the
         reference oracle on the stacked channel set."""

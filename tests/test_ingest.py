@@ -383,6 +383,25 @@ class TestFusedWords14:
             np.testing.assert_array_equal(got_st[k], np.asarray(ref_st[k]),
                                           err_msg=k)
 
+    def test_words14_block_sublanes_guard(self):
+        """The ONE resolver for fused-mode channel blocks: rounds to
+        16-row multiples and falls back to whole-block when the rounded
+        value does not tile the words14 row count — a tuned `sub` that is
+        valid for the canonical layout must never crash the fused path."""
+        from fdreadoutlibs_tpu.ops.pallas_tpg import words14_block_sublanes
+        # C=2560: G=160 -> S=32 words14 rows
+        assert words14_block_sublanes(8, 2560) == 16
+        assert words14_block_sublanes(16, 2560) == 16
+        # rounded 24->32 == S: whole-block fallback
+        assert words14_block_sublanes(24, 2560) is None
+        assert words14_block_sublanes(None, 2560) is None
+        assert words14_block_sublanes(0, 2560) is None
+        # C=6144: S=48; rounded 24->32 does not divide 48 -> fallback
+        # (the exact crash scenario from the round-3 review)
+        assert words14_block_sublanes(24, 6144) is None
+        assert words14_block_sublanes(48, 6144) is None
+        assert words14_block_sublanes(9, 6144) == 16
+
     def test_fused_blocked_and_simple_threshold(self):
         """words14 with 16-row channel blocks and the SimpleThreshold
         family (exercises the block-split of the word-group axis)."""
