@@ -130,7 +130,8 @@ def bench_fresh_and_ingest(cfg, tc, k_slots, unroll, adcs, rmf,
     from fdreadoutlibs_tpu.formats import wibeth
     from fdreadoutlibs_tpu.ops.chanstate import init_chanstate, seed_chanstate
     from fdreadoutlibs_tpu.ops.ingest import (
-        process_packed_frames, process_packed_frames_fused)
+        pack_words14_jnp, process_packed_frames, process_packed_frames_fused,
+        process_words14_feed)
     from fdreadoutlibs_tpu.ops.pallas_tpg import (
         default_block_sublanes, pack_adcs, pack_state, words14_positions)
     from fdreadoutlibs_tpu.ops.pallas_tpg import process_window_pallas
@@ -203,6 +204,14 @@ def bench_fresh_and_ingest(cfg, tc, k_slots, unroll, adcs, rmf,
         lambda w, s: process_packed_frames_fused(
             w, s, cfg, C, tc=tc, k_slots=k_slots, unroll=unroll,
             vmem_limit_mb=64))
+    # words14-ordered feed (StreamingIngest.submit_words14): the host/NIC
+    # delivers rows in kernel order, the device pays ZERO relayout — the
+    # ingest ceiling when the feed stage owns the byte order
+    feeds = [pack_words14_jnp(w) for w in words]
+    feed_multi = rotate_multi(
+        lambda w, s: process_words14_feed(
+            w, s, cfg, C, tc=tc, k_slots=k_slots, unroll=unroll,
+            vmem_limit_mb=64))
 
     def sync(s):
         _ = float(jnp.sum(s[:, 0]))
@@ -211,7 +220,8 @@ def bench_fresh_and_ingest(cfg, tc, k_slots, unroll, adcs, rmf,
     for name, fn, data, s0 in [
             ("fresh_data", fresh_multi, windows, state0),
             ("ingest_inclusive", ingest_multi, words, state0),
-            ("ingest_fused", fused_multi, words, state0_fused)]:
+            ("ingest_fused", fused_multi, words, state0_fused),
+            ("ingest_words14_feed", feed_multi, feeds, state0_fused)]:
         def bound(s, _fn=fn, _d=data):
             return _fn(s, *_d)
         # per-variant isolation: a failure in one (e.g. a tuned-file knob

@@ -35,12 +35,19 @@ def load():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not _LIB_PATH.exists() and not _build():
+    stale = _LIB_PATH.exists() and any(
+        src.stat().st_mtime > _LIB_PATH.stat().st_mtime
+        for src in _DIR.glob("*.cpp"))
+    if (not _LIB_PATH.exists() or stale) and not _build() \
+            and not _LIB_PATH.exists():
         return None
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
     except OSError:
         return None
+    # a stale prebuilt lib with no toolchain to rebuild keeps its older
+    # entry points; wrappers for newer ones fall back to Python
+    lib.has_words14 = hasattr(lib, "wibeth_relayout_words14")
     # latency buffer
     lib.lb_create.restype = ctypes.c_void_p
     lib.lb_create.argtypes = [ctypes.c_uint64, ctypes.c_uint64]
@@ -79,7 +86,11 @@ def load():
         ("wibeth_fake_headers", [ctypes.c_char_p, ctypes.c_uint64,
                                  ctypes.c_uint64, ctypes.c_uint64,
                                  ctypes.c_uint64]),
+        ("wibeth_relayout_words14", [ctypes.c_char_p, ctypes.c_uint64,
+                                     ctypes.c_uint64, ctypes.c_char_p]),
     ]:
+        if not hasattr(lib, name):
+            continue             # stale prebuilt lib (see has_words14)
         fn = getattr(lib, name)
         fn.restype = None
         fn.argtypes = argtypes
@@ -192,3 +203,27 @@ def wibeth_fake_headers(frames: np.ndarray, first_ts: int, tick: int = 2048,
     lib = load()
     lib.wibeth_fake_headers(_ptr(frames), frames.shape[0], first_ts, tick,
                             first_seq)
+
+
+def relayout_words14(words: np.ndarray) -> np.ndarray:
+    """Host-side words14 relayout: (L, T, 28) uint32 packed link rows ->
+    (T, WR, 7, 128) int32 feed rows for the fused in-kernel-unpack kernel
+    (identical to ops.ingest.pack_words14_jnp, but on the HOST/NIC stage
+    — a words14-ordered feed skips the ~0.35 ms/window on-device
+    relayout; BENCH_NOTES r3).  Uses the native codec when available,
+    numpy otherwise."""
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    L, T, W = words.shape
+    if W != 28:
+        raise ValueError(f"expected (L, T, 28) WIBEth words, got {words.shape}")
+    G = 4 * L
+    WR = -(-G // 128)
+    lib = load()
+    if lib is not None and lib.has_words14:
+        out = np.empty((T, WR, 7, 128), dtype=np.int32)
+        lib.wibeth_relayout_words14(_ptr(words), L, T, _ptr(out))
+        return out
+    wt = words.transpose(1, 0, 2).reshape(T, G, 7)
+    wt = np.pad(wt, ((0, 0), (0, WR * 128 - G), (0, 0)))
+    return np.ascontiguousarray(
+        wt.reshape(T, WR, 128, 7).transpose(0, 1, 3, 2)).astype(np.int32)

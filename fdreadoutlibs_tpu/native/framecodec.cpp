@@ -73,6 +73,55 @@ void wibeth_timestamps(const uint8_t* frames, uint64_t n_frames,
   }
 }
 
+// Relayout packed ADC words into the words14 feed order consumed by the
+// fused in-kernel-unpack TPG kernel (ops/pallas_tpg.py words14_positions):
+// in  = (L, T, 28) uint32 link-major packed rows (host_words output),
+// out = (T, WR, 7, 128) int32,  WR = ceil(4L / 128).
+// 16 channels span exactly 7 words, so group g = 4*link + q (q = word
+// quartet within the link row) lands at out[t][g/128][w][g%128] with
+// w = word-in-group; dead lanes (g >= 4L) are zeroed.  This is the
+// stride-7 gather that costs ~0.35 ms/window on-device for EVERY XLA/jnp
+// formulation (BENCH_NOTES r3) moved to the host/NIC stage, where it is
+// a cache-resident strided copy — a words14-ordered feed runs the kernel
+// at its pre-transposed figure (6.5x vs 4.1-4.9x ingest RTF).
+void wibeth_relayout_words14(const uint32_t* in, uint64_t L, uint64_t T,
+                             int32_t* out) {
+  const uint64_t G = 4 * L;
+  const uint64_t WR = (G + 127) / 128;
+  const uint64_t row = WR * 7 * 128;
+  const uint64_t B = 64;  // tick block: staging is L*B*112 B, L2-resident
+  // source offset (within a staged block, at tb=0) per output position,
+  // dead lanes marked; the hot loop is then a branch-free gather from the
+  // staging buffer.  Staging per tick-block turns the L strided read
+  // streams (one per link; more than the prefetcher tracks at APA scale)
+  // into sequential memcpys, measured +11% over gathering from `in`.
+  int64_t* off = new int64_t[row];
+  for (uint64_t j = 0; j < row; ++j) {
+    const uint64_t wr = j / (7 * 128), w = (j / 128) % 7, lane = j % 128;
+    const uint64_t g = wr * 128 + lane;
+    off[j] = g < G
+                 ? static_cast<int64_t>((g / 4) * B * 28 + (g % 4) * 7 + w)
+                 : -1;
+  }
+  uint32_t* stage = new uint32_t[L * B * 28];
+  for (uint64_t t0 = 0; t0 < T; t0 += B) {
+    const uint64_t nb = (t0 + B <= T) ? B : (T - t0);
+    for (uint64_t l = 0; l < L; ++l) {
+      std::memcpy(stage + l * B * 28, in + (l * T + t0) * 28,
+                  nb * 28 * sizeof(uint32_t));
+    }
+    for (uint64_t tb = 0; tb < nb; ++tb) {
+      const uint32_t* irow = stage + tb * 28;
+      int32_t* orow = out + (t0 + tb) * row;
+      for (uint64_t j = 0; j < row; ++j) {
+        orow[j] = off[j] >= 0 ? static_cast<int32_t>(irow[off[j]]) : 0;
+      }
+    }
+  }
+  delete[] stage;
+  delete[] off;
+}
+
 // Set perfectly incrementing timestamps + sequence ids (emulator repair).
 void wibeth_fake_headers(uint8_t* frames, uint64_t n_frames, uint64_t first_ts,
                          uint64_t tick, uint64_t first_seq) {

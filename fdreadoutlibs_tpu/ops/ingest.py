@@ -102,6 +102,31 @@ def process_packed_frames_fused(words, state_stack, cfg: TPGConfig,
 @functools.partial(jax.jit, static_argnames=("cfg", "tc", "k_slots",
                                              "unroll", "n_channels",
                                              "interpret", "vmem_limit_mb"))
+def process_words14_feed(W, state_stack, cfg: TPGConfig,
+                         n_channels: int, tc: int = 512,
+                         k_slots: int = 2, unroll: int = 16,
+                         interpret: bool = False,
+                         vmem_limit_mb: int | None = None):
+    """Direct words14 feed: the input is ALREADY in the words14 row order
+    — (T, WR, 7, 128) int32, as produced by native.relayout_words14 on
+    the host (or by a words14-ordered NIC/DMA source) — so the device
+    runs the in-kernel unpack with zero relayout cost.  The on-device
+    (L, T, 28) -> words14 relayout costs ~0.35 ms/window at APA scale in
+    EVERY XLA formulation (BENCH_NOTES r3); a words14-ordered feed runs
+    at the kernel's pre-transposed figure (~6.5x vs 4.1-4.9x ingest RTF).
+    State/decoding contract is identical to process_packed_frames_fused.
+    """
+    from .pallas_tpg import process_window_pallas
+    return process_window_pallas(W, state_stack, cfg, tc=tc,
+                                 k_slots=k_slots, unroll=unroll,
+                                 interpret=interpret,
+                                 vmem_limit_mb=vmem_limit_mb,
+                                 words14=True)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tc", "k_slots",
+                                             "unroll", "n_channels",
+                                             "interpret", "vmem_limit_mb"))
 def process_packed_wib2(words, state_stack, cfg: TPGConfig,
                         n_channels: int, tc: int = 512, k_slots: int = 4,
                         unroll: int = 16, interpret: bool = False,
@@ -347,6 +372,43 @@ class StreamingIngest:
             self._pending = (slots, nclose, self.tick_offset)
         self.tick_offset += T
         return out
+
+    def submit_words14(self, W: np.ndarray):
+        """Direct words14-ordered feed (fused mode only): W is
+        (T, WR, 7, 128) int32 rows from native.relayout_words14 (host) or
+        a words14-ordered NIC/DMA source — the device pays ZERO relayout.
+        Pipelining/collection semantics match submit_words."""
+        if self._positions is None:
+            raise ValueError(
+                "submit_words14 requires StreamingIngest(fused=True)")
+        T = int(W.shape[0])
+        if self.stack is None:
+            self._ensure_state(self._words14_tick0(np.asarray(W[:1])))
+        out = self._collect() if self._pending is not None else None
+        from .pallas_tpg import auto_tc
+        tc = auto_tc(T, cap=self.tc)
+        unroll = 1 if self.interpret else \
+            (self.unroll if tc % self.unroll == 0 else 1)
+        slots, nclose, self.stack = process_words14_feed(
+            jnp.asarray(W), self.stack, self.cfg, self.n_channels,
+            tc=tc, k_slots=self.k_slots, unroll=unroll,
+            interpret=self.interpret)
+        if self.device_compact:
+            self._pending = compact_on_device(
+                slots, nclose, self.tick_offset, self.n_channels,
+                self.max_hits, positions=self._positions)
+        else:
+            self._pending = (slots, nclose, self.tick_offset)
+        self.tick_offset += T
+        return out
+
+    def _words14_tick0(self, W0: np.ndarray) -> np.ndarray:
+        """Reverse the words14 relayout for ONE tick -> (L, 1, 28) packed
+        words, so _ensure_state can seed from the first sample without a
+        separate canonical-order copy of the feed."""
+        L = self.n_links
+        wt = W0[0].transpose(0, 2, 1).reshape(-1, 7)[: 4 * L]  # (G, 7)
+        return wt.reshape(L, 1, 28).astype(np.uint32)
 
     def submit(self, frames_links: np.ndarray):
         """frames_links: (L, N, frame_size) uint8.  Returns the decoded

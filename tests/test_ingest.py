@@ -463,3 +463,66 @@ def test_streaming_ingest_fused_matches_oracle():
     import pytest
     with pytest.raises(ValueError, match="fused"):
         StreamingIngest(cfg, n_links=L, format="wib2", fused=True)
+
+
+class TestWords14Feed:
+    def test_relayout_native_and_numpy_match_device(self):
+        """native.relayout_words14 (C++ and the numpy fallback) produce
+        exactly the device relayout (pack_words14_jnp), incl. the
+        G>128 lane-pad case and a non-multiple-of-block T."""
+        from fdreadoutlibs_tpu import native
+        from fdreadoutlibs_tpu.ops.ingest import pack_words14_jnp
+        rng = np.random.default_rng(11)
+        for L, T in [(2, 64), (33, 96), (40, 65)]:
+            words = rng.integers(0, 2 ** 32, size=(L, T, 28),
+                                 dtype=np.uint32)
+            ref = np.asarray(pack_words14_jnp(words))
+            got = native.relayout_words14(words)
+            assert got.dtype == np.int32
+            np.testing.assert_array_equal(got, ref)
+
+    def test_relayout_numpy_fallback(self, monkeypatch):
+        from fdreadoutlibs_tpu import native
+        rng = np.random.default_rng(12)
+        words = rng.integers(0, 2 ** 32, size=(3, 64, 28), dtype=np.uint32)
+        ref = native.relayout_words14(words)
+        monkeypatch.setattr(native, "load", lambda: None)
+        np.testing.assert_array_equal(native.relayout_words14(words), ref)
+
+    def test_submit_words14_matches_submit_words(self):
+        """The direct words14 feed is hit-for-hit and state-for-state
+        identical to the fused (L,T,28) path — the device relayout and the
+        host relayout commute with the kernel."""
+        from fdreadoutlibs_tpu import native
+        from fdreadoutlibs_tpu.ops.ingest import host_words
+        L, N = 2, 2
+        frames, adcs = make_frames(L, N, pulse=(1, 1, 10, 5, 2000))
+        cfg = TPGConfig(threshold=150)
+        from fdreadoutlibs_tpu.formats import wibeth
+        words = host_words(frames.reshape(-1, wibeth.FRAME_SIZE)) \
+            .reshape(L, N * 64, 28)
+
+        outs = {}
+        for mode in ("words", "feed"):
+            ing = StreamingIngest(cfg, n_links=L, tc=64, k_slots=8,
+                                  interpret=True, fused=True)
+            parts, dropped = [], 0
+            for _ in range(2):
+                out = ing.submit_words(words) if mode == "words" else \
+                    ing.submit_words14(native.relayout_words14(words))
+                if out:
+                    parts.append(out[0])
+                    dropped += out[1]
+            out = ing.flush()
+            parts.append(out[0])
+            dropped += out[1]
+            assert dropped == 0
+            outs[mode] = (concat_hits(parts),
+                          np.asarray(ing.stack))
+        np.testing.assert_array_equal(outs["words"][0], outs["feed"][0])
+        np.testing.assert_array_equal(outs["words"][1], outs["feed"][1])
+        # the non-fused ingest rejects the feed
+        import pytest
+        plain = StreamingIngest(cfg, n_links=L, tc=64, interpret=True)
+        with pytest.raises(ValueError, match="fused"):
+            plain.submit_words14(native.relayout_words14(words))
