@@ -44,7 +44,8 @@ class APAReadoutApp:
                  backend: str = "pallas", run_number: int = 1,
                  channel_map_name: str = "HDAPAChannelMap",
                  threshold_on_collection: bool = False,
-                 fused_unpack: bool = False):
+                 fused_unpack: bool = False,
+                 words14_feed: bool = False):
         self.n_links = n_links
         self.run_number = run_number
         self.tp_q = QueueSender(capacity=1 << 16)
@@ -89,8 +90,13 @@ class APAReadoutApp:
 
         # fused_unpack runs the in-KERNEL 14-bit unpack (words14 layout;
         # BENCH_NOTES r3): no materialized unpacked array on device,
-        # worth +13-24% on the ingest-inclusive path
-        self.fused_unpack = fused_unpack
+        # worth +13-24% on the ingest-inclusive path.  words14_feed goes
+        # further: the HOST stage delivers rows already in kernel order
+        # (native.relayout_words14, ~2.8 GB/s/core C++) so the device
+        # pays zero relayout — the fastest ingest surface (8.57x vs
+        # 4.39x fused in the r3 bench).
+        self.words14_feed = words14_feed
+        self.fused_unpack = fused_unpack or words14_feed
         self._positions = None
         self._stack = None
         self._dropped_total = 0
@@ -132,10 +138,19 @@ class APAReadoutApp:
         # interpret mode) the unrolled compiles are minutes-slow
         import jax
         u = knobs["unroll"] if jax.default_backend() == "tpu" else 1
-        fn = process_packed_frames_fused if self.fused_unpack \
-            else process_packed_frames
+        if self.words14_feed:
+            # host/NIC-side relayout: the device consumes kernel-ordered
+            # rows with zero on-device relayout
+            from .. import native
+            from ..ops.ingest import process_words14_feed
+            dev_in = jnp.asarray(native.relayout_words14(words))
+            fn = process_words14_feed
+        else:
+            dev_in = jnp.asarray(words)
+            fn = process_packed_frames_fused if self.fused_unpack \
+                else process_packed_frames
         slots, nclose, self._stack = fn(
-            jnp.asarray(words), self._stack, self.cfg, C, tc=tc, k_slots=4,
+            dev_in, self._stack, self.cfg, C, tc=tc, k_slots=4,
             unroll=u if tc % u == 0 else (8 if tc % 8 == 0 else 1))
         # device-side compaction: only the hit list crosses to the host
         # (~40x less transfer than the raw slot buffers; BENCH_NOTES);
@@ -231,13 +246,19 @@ def main(argv=None) -> int:
     ap.add_argument("--fused-unpack", action="store_true",
                     help="in-kernel 14-bit unpack (words14 layout; "
                          "BENCH_NOTES r3)")
+    ap.add_argument("--words14-feed", action="store_true",
+                    help="host-side words14 relayout (native C++) feeding "
+                         "the fused kernel with zero device relayout — "
+                         "the fastest ingest surface (implies "
+                         "--fused-unpack)")
     args = ap.parse_args(argv)
 
     app = APAReadoutApp(n_links=args.links, algorithm=args.algorithm,
                         threshold=args.threshold,
                         channel_map_name=args.channel_map,
                         threshold_on_collection=args.threshold_on_collection,
-                        fused_unpack=args.fused_unpack)
+                        fused_unpack=args.fused_unpack,
+                        words14_feed=args.words14_feed)
     rng = np.random.default_rng(0)
     ts = 0x1000000
     t_wall = time.perf_counter()

@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--fused", action="store_true",
                     help="soak the fused byte-ingest path instead "
                          "(in-kernel words14 unpack; BENCH_NOTES r3)")
+    ap.add_argument("--words14-feed", action="store_true",
+                    help="soak the words14-ordered FEED path: host C++ "
+                         "relayout (native.relayout_words14) -> zero "
+                         "device relayout (implies the fused kernel)")
     args = ap.parse_args()
 
     import jax
@@ -86,6 +90,8 @@ def main():
 
     seeded = seed_chanstate(init_chanstate(C), adcs[0], rmf)
     positions = None
+    if args.words14_feed:
+        args.fused = True
     if args.fused:
         # fused byte-ingest: the stream enters as packed WIBEth frame
         # words and the 14-bit unpack happens IN the kernel (words14
@@ -105,17 +111,29 @@ def main():
                                           wibeth.N_TIME_SAMPLES,
                                           wibeth.N_CHANNELS)
                         .astype(np.uint16))
-        words = jnp.asarray(wibeth.frames_bytes_to_u32(frames)
-                            .reshape(L, T, 28))
+        host_words = wibeth.frames_bytes_to_u32(frames).reshape(L, T, 28)
         positions = words14_positions(C)
         # words14 blocks are 16-row multiples; whole-block otherwise
         state0 = pack_state(seeded, C, positions=positions,
                             block_sublanes=16 if args.alg == "FIR" else None)
+        if args.words14_feed:
+            # host/NIC-side relayout (the C++ codec): the device consumes
+            # kernel-ordered rows with zero relayout
+            from fdreadoutlibs_tpu import native
+            from fdreadoutlibs_tpu.ops.ingest import process_words14_feed
+            feed = jnp.asarray(native.relayout_words14(host_words))
 
-        def step(stack):
-            return process_packed_frames_fused(
-                words, stack, cfg, C, tc=512, k_slots=2, unroll=16,
-                vmem_limit_mb=64)
+            def step(stack):
+                return process_words14_feed(
+                    feed, stack, cfg, C, tc=512, k_slots=2, unroll=16,
+                    vmem_limit_mb=64)
+        else:
+            words = jnp.asarray(host_words)
+
+            def step(stack):
+                return process_packed_frames_fused(
+                    words, stack, cfg, C, tc=512, k_slots=2, unroll=16,
+                    vmem_limit_mb=64)
     else:
         packed = jnp.asarray(pack_adcs(adcs))
         state0 = pack_state(seeded, C,
