@@ -212,6 +212,18 @@ def bench_fresh_and_ingest(cfg, tc, k_slots, unroll, adcs, rmf,
         lambda w, s: process_words14_feed(
             w, s, cfg, C, tc=tc, k_slots=k_slots, unroll=unroll,
             vmem_limit_mb=64))
+    # time-paired host feed (StreamingIngest.submit_time2): the host
+    # unpacks AND pairs two ticks per int32 word (native.relayout_time2),
+    # so the device runs the plain kernel datapath at ~half the ADC HBM
+    # traffic — the ingest ceiling when the feed stage owns the unpack
+    from fdreadoutlibs_tpu.ops.ingest import process_time2_feed
+    from fdreadoutlibs_tpu.ops.pallas_tpg import pack_time2_jnp
+    u2 = unroll if unroll % 2 == 0 else 2
+    t2feeds = [pack_time2_jnp(w) for w in windows]
+    time2_multi = rotate_multi(
+        lambda w, s: process_time2_feed(
+            w, s, cfg, C, tc=tc, k_slots=k_slots, unroll=u2,
+            vmem_limit_mb=64))
 
     def sync(s):
         _ = float(jnp.sum(s[:, 0]))
@@ -221,7 +233,8 @@ def bench_fresh_and_ingest(cfg, tc, k_slots, unroll, adcs, rmf,
             ("fresh_data", fresh_multi, windows, state0),
             ("ingest_inclusive", ingest_multi, words, state0),
             ("ingest_fused", fused_multi, words, state0_fused),
-            ("ingest_words14_feed", feed_multi, feeds, state0_fused)]:
+            ("ingest_words14_feed", feed_multi, feeds, state0_fused),
+            ("ingest_time2_feed", time2_multi, t2feeds, state0)]:
         def bound(s, _fn=fn, _d=data):
             return _fn(s, *_d)
         # per-variant isolation: a failure in one (e.g. a tuned-file knob

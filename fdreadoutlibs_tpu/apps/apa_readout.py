@@ -45,7 +45,8 @@ class APAReadoutApp:
                  channel_map_name: str = "HDAPAChannelMap",
                  threshold_on_collection: bool = False,
                  fused_unpack: bool = False,
-                 words14_feed: bool = False):
+                 words14_feed: bool = False,
+                 time2_feed: bool = False):
         self.n_links = n_links
         self.run_number = run_number
         self.tp_q = QueueSender(capacity=1 << 16)
@@ -95,7 +96,14 @@ class APAReadoutApp:
         # (native.relayout_words14, ~2.8 GB/s/core C++) so the device
         # pays zero relayout — the fastest ingest surface (8.57x vs
         # 4.39x fused in the r3 bench).
+        # time2_feed instead has the HOST unpack and time-pair the ADCs
+        # (native.relayout_time2): the device runs the plain kernel
+        # datapath at ~half the ADC HBM traffic — fastest when the feed
+        # stage can pay the unpack ALU (~1.7 GB/s/core).
+        if words14_feed and time2_feed:
+            raise ValueError("words14_feed and time2_feed are exclusive")
         self.words14_feed = words14_feed
+        self.time2_feed = time2_feed
         self.fused_unpack = fused_unpack or words14_feed
         self._positions = None
         self._stack = None
@@ -138,6 +146,7 @@ class APAReadoutApp:
         # interpret mode) the unrolled compiles are minutes-slow
         import jax
         u = knobs["unroll"] if jax.default_backend() == "tpu" else 1
+        ur = u if tc % u == 0 else (8 if tc % 8 == 0 else 1)
         if self.words14_feed:
             # host/NIC-side relayout: the device consumes kernel-ordered
             # rows with zero on-device relayout
@@ -145,13 +154,19 @@ class APAReadoutApp:
             from ..ops.ingest import process_words14_feed
             dev_in = jnp.asarray(native.relayout_words14(words))
             fn = process_words14_feed
+        elif self.time2_feed:
+            # host-side unpack + time-pairing (two ticks per int32 word)
+            from .. import native
+            from ..ops.ingest import process_time2_feed
+            dev_in = jnp.asarray(native.relayout_time2(words))
+            fn = process_time2_feed
+            ur = ur if ur % 2 == 0 else 2       # two ticks per word
         else:
             dev_in = jnp.asarray(words)
             fn = process_packed_frames_fused if self.fused_unpack \
                 else process_packed_frames
         slots, nclose, self._stack = fn(
-            dev_in, self._stack, self.cfg, C, tc=tc, k_slots=4,
-            unroll=u if tc % u == 0 else (8 if tc % 8 == 0 else 1))
+            dev_in, self._stack, self.cfg, C, tc=tc, k_slots=4, unroll=ur)
         # device-side compaction: only the hit list crosses to the host
         # (~40x less transfer than the raw slot buffers; BENCH_NOTES);
         # overflow beyond the auto max_hits is counted in `dropped`
@@ -251,6 +266,11 @@ def main(argv=None) -> int:
                          "the fused kernel with zero device relayout — "
                          "the fastest ingest surface (implies "
                          "--fused-unpack)")
+    ap.add_argument("--time2-feed", action="store_true",
+                    help="host-side unpack + time-pairing "
+                         "(native.relayout_time2): the device runs the "
+                         "plain kernel datapath at half the ADC HBM "
+                         "traffic")
     args = ap.parse_args(argv)
 
     app = APAReadoutApp(n_links=args.links, algorithm=args.algorithm,
@@ -258,7 +278,8 @@ def main(argv=None) -> int:
                         channel_map_name=args.channel_map,
                         threshold_on_collection=args.threshold_on_collection,
                         fused_unpack=args.fused_unpack,
-                        words14_feed=args.words14_feed)
+                        words14_feed=args.words14_feed,
+                        time2_feed=args.time2_feed)
     rng = np.random.default_rng(0)
     ts = 0x1000000
     t_wall = time.perf_counter()

@@ -48,6 +48,7 @@ def load():
     # a stale prebuilt lib with no toolchain to rebuild keeps its older
     # entry points; wrappers for newer ones fall back to Python
     lib.has_words14 = hasattr(lib, "wibeth_relayout_words14")
+    lib.has_time2 = hasattr(lib, "wibeth_relayout_time2")
     # latency buffer
     lib.lb_create.restype = ctypes.c_void_p
     lib.lb_create.argtypes = [ctypes.c_uint64, ctypes.c_uint64]
@@ -88,6 +89,9 @@ def load():
                                  ctypes.c_uint64]),
         ("wibeth_relayout_words14", [ctypes.c_char_p, ctypes.c_uint64,
                                      ctypes.c_uint64, ctypes.c_char_p]),
+        ("wibeth_relayout_time2", [ctypes.c_char_p, ctypes.c_uint64,
+                                   ctypes.c_uint64, ctypes.c_uint64,
+                                   ctypes.c_char_p]),
     ]:
         if not hasattr(lib, name):
             continue             # stale prebuilt lib (see has_words14)
@@ -227,3 +231,50 @@ def relayout_words14(words: np.ndarray) -> np.ndarray:
     wt = np.pad(wt, ((0, 0), (0, WR * 128 - G), (0, 0)))
     return np.ascontiguousarray(
         wt.reshape(T, WR, 128, 7).transpose(0, 1, 3, 2)).astype(np.int32)
+
+
+def unpack14_words(words: np.ndarray) -> np.ndarray:
+    """Vectorized numpy 14-bit unpack of (..., 7) uint32 word groups ->
+    (..., 16) uint16 ADCs (the lcm(14,32)=224-bit quartet layout of
+    formats/bitpack.py; the numpy mirror of the C++ unpack16 ladder)."""
+    w = np.asarray(words, dtype=np.uint32)
+    out = np.empty(w.shape[:-1] + (16,), dtype=np.uint16)
+    for r in range(16):
+        bit = 14 * r
+        j, sh = bit // 32, bit % 32
+        v = w[..., j] >> np.uint32(sh)
+        if sh + 14 > 32:
+            v = v | (w[..., j + 1] << np.uint32(32 - sh))
+        out[..., r] = v & np.uint32(0x3FFF)
+    return out
+
+
+def relayout_time2(words: np.ndarray) -> np.ndarray:
+    """Host-side 14-bit unpack + time-pairing: (L, T, 28) uint32 packed
+    link rows -> (T//2, S, 128) int32 in the kernel's time_packed
+    canonical layout (pack_adcs_time2: channel c = 64*link + ch at flat
+    lane c, value adc(2t) | adc(2t+1) << 16).  Unlike relayout_words14
+    this is not a pure byte permutation — the host pays the unpack ALU —
+    but the device then runs the plain kernel datapath at ~half the ADC
+    HBM traffic (time_packed ~15% over kernel-only vs ~2x for the
+    in-kernel words14 unpack; BENCH_NOTES).  Uses the native codec when
+    available, numpy otherwise."""
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    L, T, W = words.shape
+    if W != 28:
+        raise ValueError(f"expected (L, T, 28) WIBEth words, got {words.shape}")
+    if T % 2:
+        raise ValueError("time2 relayout needs an even tick count")
+    C = 64 * L
+    rows = -(-C // 128)
+    S = -(-rows // 8) * 8                      # pad_sublanes(C, 8)
+    lib = load()
+    if lib is not None and lib.has_time2:
+        out = np.empty((T // 2, S, 128), dtype=np.int32)
+        lib.wibeth_relayout_time2(_ptr(words), L, T, S, _ptr(out))
+        return out
+    adcs = unpack14_words(words.reshape(L, T, 4, 7)) \
+        .reshape(L, T, 64).transpose(1, 0, 2).reshape(T, C)
+    flat = np.zeros((T, S * 128), dtype=np.int32)
+    flat[:, :C] = adcs
+    return (flat[0::2] | (flat[1::2] << 16)).reshape(T // 2, S, 128)

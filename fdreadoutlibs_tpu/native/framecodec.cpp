@@ -122,6 +122,81 @@ void wibeth_relayout_words14(const uint32_t* in, uint64_t L, uint64_t T,
   delete[] off;
 }
 
+namespace {
+// Unpack one 7-word quartet (16 channels x 14 bit, lcm(14,32)=224 bits)
+// with compile-time-constant shifts; the constant-shift ladder
+// auto-vectorizes.  Bit positions: channel r occupies bits [14r, 14r+14)
+// of the 224-bit group (formats/bitpack.py).
+inline void unpack16(const uint32_t* w, uint32_t* o) {
+  o[0] = w[0] & 0x3FFF;
+  o[1] = (w[0] >> 14) & 0x3FFF;
+  o[2] = ((w[0] >> 28) | (w[1] << 4)) & 0x3FFF;
+  o[3] = (w[1] >> 10) & 0x3FFF;
+  o[4] = ((w[1] >> 24) | (w[2] << 8)) & 0x3FFF;
+  o[5] = (w[2] >> 6) & 0x3FFF;
+  o[6] = ((w[2] >> 20) | (w[3] << 12)) & 0x3FFF;
+  o[7] = (w[3] >> 2) & 0x3FFF;
+  o[8] = (w[3] >> 16) & 0x3FFF;
+  o[9] = ((w[3] >> 30) | (w[4] << 2)) & 0x3FFF;
+  o[10] = (w[4] >> 12) & 0x3FFF;
+  o[11] = ((w[4] >> 26) | (w[5] << 6)) & 0x3FFF;
+  o[12] = (w[5] >> 8) & 0x3FFF;
+  o[13] = ((w[5] >> 22) | (w[6] << 10)) & 0x3FFF;
+  o[14] = (w[6] >> 4) & 0x3FFF;
+  o[15] = (w[6] >> 18) & 0x3FFF;
+}
+
+// Paired variant: extract the same 16 channels from two consecutive tick
+// rows and emit adc(t0) | adc(t1) << 16 directly (16 independent scalar
+// chains, no temporaries — the time2 relayout hot loop).
+inline void unpack16_pair(const uint32_t* a, const uint32_t* b, int32_t* o) {
+  uint32_t va[16], vb[16];
+  unpack16(a, va);
+  unpack16(b, vb);
+  for (int k = 0; k < 16; ++k) {
+    o[k] = static_cast<int32_t>(va[k] | (vb[k] << 16));
+  }
+}
+}  // namespace
+
+// Host-side 14-bit unpack + time-pairing into the kernel's time_packed
+// canonical layout (ops/pallas_tpg.py pack_adcs_time2):
+// in  = (L, T, 28) uint32 link-major packed rows (host_words output),
+// out = (T/2, S, 128) int32, channel c = 64*link + ch at flat lane index
+// c, value = adc(2t) | adc(2t+1) << 16; dead positions (c >= 64L) zeroed.
+// T must be even (WIBEth frames carry 64 ticks).  Unlike words14 this is
+// not a pure byte permutation — the host pays the unpack ALU — but the
+// device then runs the plain int32 kernel datapath at ~half the HBM
+// traffic (time_packed measured ~15% over kernel-only vs ~2x for the
+// in-kernel words14 unpack; BENCH_NOTES).
+void wibeth_relayout_time2(const uint32_t* in, uint64_t L, uint64_t T,
+                           uint64_t S, int32_t* out) {
+  const uint64_t row = S * 128;
+  const uint64_t C = 64 * L;
+  const uint64_t B = 64;  // tick block: staging is L*B*112 B, L2-resident
+  uint32_t* stage = new uint32_t[L * B * 28];
+  for (uint64_t t0 = 0; t0 < T; t0 += B) {
+    const uint64_t nb = (t0 + B <= T) ? B : (T - t0);
+    for (uint64_t l = 0; l < L; ++l) {
+      std::memcpy(stage + l * B * 28, in + (l * T + t0) * 28,
+                  nb * 28 * sizeof(uint32_t));
+    }
+    for (uint64_t tb = 0; tb + 1 < nb; tb += 2) {  // nb even (T even)
+      int32_t* orow = out + ((t0 + tb) / 2) * row;
+      std::memset(orow + C, 0, (row - C) * sizeof(int32_t));
+      for (uint64_t l = 0; l < L; ++l) {
+        const uint32_t* r0 = stage + (l * B + tb) * 28;
+        const uint32_t* r1 = r0 + 28;
+        int32_t* o = orow + l * 64;
+        for (int q = 0; q < 4; ++q) {
+          unpack16_pair(r0 + q * 7, r1 + q * 7, o + q * 16);
+        }
+      }
+    }
+  }
+  delete[] stage;
+}
+
 // Set perfectly incrementing timestamps + sequence ids (emulator repair).
 void wibeth_fake_headers(uint8_t* frames, uint64_t n_frames, uint64_t first_ts,
                          uint64_t tick, uint64_t first_seq) {

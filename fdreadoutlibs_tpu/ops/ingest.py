@@ -127,6 +127,33 @@ def process_words14_feed(W, state_stack, cfg: TPGConfig,
 @functools.partial(jax.jit, static_argnames=("cfg", "tc", "k_slots",
                                              "unroll", "n_channels",
                                              "interpret", "vmem_limit_mb"))
+def process_time2_feed(W2, state_stack, cfg: TPGConfig,
+                       n_channels: int, tc: int = 512,
+                       k_slots: int = 2, unroll: int = 16,
+                       interpret: bool = False,
+                       vmem_limit_mb: int | None = None):
+    """Time-paired host feed: the input is UNPACKED on the host into the
+    kernel's time_packed canonical layout — (T//2, S, 128) int32 holding
+    adc(2t) | adc(2t+1) << 16 at flat lane c (native.relayout_time2) —
+    so the device runs the plain int32 kernel datapath at ~half the ADC
+    HBM traffic with only a per-tick shift to split the pair (~15% over
+    kernel-only vs ~2x for the in-kernel words14 unpack; BENCH_NOTES).
+    Canonical state/decoding (no positions permutation, denser rows than
+    words14: 24 vs 32 at APA scale).  The host pays the unpack ALU
+    (~1.7 GB/s/core C++) — prefer words14 when the feed stage must be a
+    pure byte permutation (NIC/DPU reordering).
+    """
+    from .pallas_tpg import process_window_pallas
+    return process_window_pallas(W2, state_stack, cfg, tc=tc,
+                                 k_slots=k_slots, unroll=unroll,
+                                 interpret=interpret,
+                                 vmem_limit_mb=vmem_limit_mb,
+                                 time_packed=True)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tc", "k_slots",
+                                             "unroll", "n_channels",
+                                             "interpret", "vmem_limit_mb"))
 def process_packed_wib2(words, state_stack, cfg: TPGConfig,
                         n_channels: int, tc: int = 512, k_slots: int = 4,
                         unroll: int = 16, interpret: bool = False,
@@ -397,6 +424,46 @@ class StreamingIngest:
             self._pending = compact_on_device(
                 slots, nclose, self.tick_offset, self.n_channels,
                 self.max_hits, positions=self._positions)
+        else:
+            self._pending = (slots, nclose, self.tick_offset)
+        self.tick_offset += T
+        return out
+
+    def submit_time2(self, W2: np.ndarray):
+        """Time-paired host feed (canonical state, i.e. fused=False): W2
+        is (T//2, S, 128) int32 from native.relayout_time2 — the host
+        already unpacked and time-paired, the device runs the plain
+        kernel datapath at ~half the ADC HBM traffic.  Pipelining/
+        collection semantics match submit_words."""
+        if self._positions is not None or self.format != "wibeth":
+            raise ValueError("submit_time2 requires "
+                             "StreamingIngest(format='wibeth', fused=False)")
+        T = 2 * int(W2.shape[0])
+        if self.stack is None:
+            # seed from tick 0 = the low 16-bit halves of the first row
+            from .chanstate import init_chanstate, seed_chanstate
+            from .pallas_tpg import pack_state
+            first = (np.asarray(W2[0]).reshape(-1)[: self.n_channels]
+                     & 0xFFFF).astype(np.int32)
+            state = seed_chanstate(init_chanstate(self.n_channels), first,
+                                   self.rs_memory_factor)
+            self.stack = pack_state(state, self.n_channels,
+                                    block_sublanes=self._block_sublanes)
+        out = self._collect() if self._pending is not None else None
+        from .pallas_tpg import auto_tc
+        tc = auto_tc(T, cap=self.tc)
+        # time_packed needs an even unroll (two ticks per word)
+        unroll = 2 if self.interpret else \
+            (self.unroll if tc % self.unroll == 0
+             and self.unroll % 2 == 0 else 2)
+        slots, nclose, self.stack = process_time2_feed(
+            jnp.asarray(W2), self.stack, self.cfg, self.n_channels,
+            tc=tc, k_slots=self.k_slots, unroll=unroll,
+            interpret=self.interpret)
+        if self.device_compact:
+            self._pending = compact_on_device(
+                slots, nclose, self.tick_offset, self.n_channels,
+                self.max_hits, positions=None)
         else:
             self._pending = (slots, nclose, self.tick_offset)
         self.tick_offset += T

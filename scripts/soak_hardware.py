@@ -39,6 +39,10 @@ def main():
                     help="soak the words14-ordered FEED path: host C++ "
                          "relayout (native.relayout_words14) -> zero "
                          "device relayout (implies the fused kernel)")
+    ap.add_argument("--time2-feed", action="store_true",
+                    help="soak the time-paired FEED path: host C++ unpack "
+                         "+ pairing (native.relayout_time2) -> plain "
+                         "kernel datapath at half the ADC HBM traffic")
     args = ap.parse_args()
 
     import jax
@@ -134,6 +138,33 @@ def main():
                 return process_packed_frames_fused(
                     words, stack, cfg, C, tc=512, k_slots=2, unroll=16,
                     vmem_limit_mb=64)
+    elif args.time2_feed:
+        # host-side unpack + time-pairing: encode the stream into WIBEth
+        # frames, relayout with the C++ codec, soak the time_packed
+        # kernel datapath with carried state
+        from fdreadoutlibs_tpu import native
+        from fdreadoutlibs_tpu.formats import wibeth
+        from fdreadoutlibs_tpu.ops.ingest import process_time2_feed
+        assert C % wibeth.N_CHANNELS == 0 and \
+            T % wibeth.N_TIME_SAMPLES == 0, "time2 soak needs whole frames"
+        L = C // wibeth.N_CHANNELS
+        n_frames = T // wibeth.N_TIME_SAMPLES
+        frames = wibeth.empty_frames(L * n_frames)
+        a = adcs.reshape(n_frames, wibeth.N_TIME_SAMPLES, L,
+                         wibeth.N_CHANNELS).transpose(2, 0, 1, 3)
+        wibeth.set_adcs(frames, a.reshape(L * n_frames,
+                                          wibeth.N_TIME_SAMPLES,
+                                          wibeth.N_CHANNELS)
+                        .astype(np.uint16))
+        host_words = wibeth.frames_bytes_to_u32(frames).reshape(L, T, 28)
+        feed = jnp.asarray(native.relayout_time2(host_words))
+        state0 = pack_state(seeded, C,
+                            block_sublanes=default_block_sublanes(cfg, C))
+
+        def step(stack):
+            return process_time2_feed(
+                feed, stack, cfg, C, tc=512, k_slots=2, unroll=16,
+                vmem_limit_mb=64)
     else:
         packed = jnp.asarray(pack_adcs(adcs))
         state0 = pack_state(seeded, C,

@@ -10,7 +10,7 @@ from fdreadoutlibs_tpu.formats import wibeth
 @pytest.fixture
 def interpret_ingest(monkeypatch):
     for name in ("process_packed_frames", "process_packed_frames_fused",
-                 "process_words14_feed"):
+                 "process_words14_feed", "process_time2_feed"):
         orig = getattr(ingest_mod, name)
 
         def patched(words, stack, cfg, C, _orig=orig, **kw):
@@ -20,12 +20,13 @@ def interpret_ingest(monkeypatch):
         monkeypatch.setattr(ingest_mod, name, patched)
 
 
-@pytest.mark.parametrize("mode", ["plain", "fused", "words14"])
+@pytest.mark.parametrize("mode", ["plain", "fused", "words14", "time2"])
 def test_apa_readout_end_to_end(interpret_ingest, mode):
     from fdreadoutlibs_tpu.apps.apa_readout import APAReadoutApp
     app = APAReadoutApp(n_links=2, threshold=499,
                         fused_unpack=(mode == "fused"),
-                        words14_feed=(mode == "words14"))
+                        words14_feed=(mode == "words14"),
+                        time2_feed=(mode == "time2"))
     ts = 100_000
     for b in range(3):
         frames = np.zeros((2, 1, wibeth.FRAME_SIZE), np.uint8)

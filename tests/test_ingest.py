@@ -526,3 +526,58 @@ class TestWords14Feed:
         plain = StreamingIngest(cfg, n_links=L, tc=64, interpret=True)
         with pytest.raises(ValueError, match="fused"):
             plain.submit_words14(native.relayout_words14(words))
+
+
+class TestTime2Feed:
+    def test_relayout_native_numpy_and_semantics(self, monkeypatch):
+        """native.relayout_time2 (C++ and numpy fallback) agree and match
+        the canonical pack_adcs_time2 of the unpacked stream."""
+        from fdreadoutlibs_tpu import native
+        from fdreadoutlibs_tpu.ops.pallas_tpg import pack_adcs_time2
+        for L, N, seed in [(2, 2, 5), (3, 3, 6)]:
+            frames, adcs = make_frames(L, N, seed=seed)
+            words = host_words(frames.reshape(-1, wibeth.FRAME_SIZE)) \
+                .reshape(L, N * 64, 28)
+            got = native.relayout_time2(words)
+            assert got.dtype == np.int32
+            ref = pack_adcs_time2(link_major_stream(adcs))
+            np.testing.assert_array_equal(got, np.asarray(ref))
+            with monkeypatch.context() as m:
+                m.setattr(native, "load", lambda: None)
+                np.testing.assert_array_equal(
+                    native.relayout_time2(words), got)
+
+    def test_submit_time2_matches_submit_words(self):
+        """The time-paired host feed is hit-for-hit and state-for-state
+        identical to the plain packed-words path."""
+        from fdreadoutlibs_tpu import native
+        L, N = 2, 2
+        frames, adcs = make_frames(L, N, pulse=(1, 1, 10, 5, 2000))
+        cfg = TPGConfig(threshold=150)
+        words = host_words(frames.reshape(-1, wibeth.FRAME_SIZE)) \
+            .reshape(L, N * 64, 28)
+
+        outs = {}
+        for mode in ("words", "time2"):
+            ing = StreamingIngest(cfg, n_links=L, tc=64, k_slots=8,
+                                  interpret=True)
+            parts, dropped = [], 0
+            for _ in range(2):
+                out = ing.submit_words(words) if mode == "words" else \
+                    ing.submit_time2(native.relayout_time2(words))
+                if out:
+                    parts.append(out[0])
+                    dropped += out[1]
+            out = ing.flush()
+            parts.append(out[0])
+            dropped += out[1]
+            assert dropped == 0
+            outs[mode] = (concat_hits(parts), np.asarray(ing.stack))
+        np.testing.assert_array_equal(outs["words"][0], outs["time2"][0])
+        np.testing.assert_array_equal(outs["words"][1], outs["time2"][1])
+        # fused (words14-layout) ingest rejects the canonical time2 feed
+        import pytest
+        fused = StreamingIngest(cfg, n_links=L, tc=64, interpret=True,
+                                fused=True)
+        with pytest.raises(ValueError, match="fused=False"):
+            fused.submit_time2(native.relayout_time2(words))
