@@ -49,6 +49,7 @@ def load():
     # entry points; wrappers for newer ones fall back to Python
     lib.has_words14 = hasattr(lib, "wibeth_relayout_words14")
     lib.has_time2 = hasattr(lib, "wibeth_relayout_time2")
+    lib.has_time2_generic = hasattr(lib, "relayout_time2_chmajor")
     # latency buffer
     lib.lb_create.restype = ctypes.c_void_p
     lib.lb_create.argtypes = [ctypes.c_uint64, ctypes.c_uint64]
@@ -90,6 +91,12 @@ def load():
         ("wibeth_relayout_words14", [ctypes.c_char_p, ctypes.c_uint64,
                                      ctypes.c_uint64, ctypes.c_char_p]),
         ("wibeth_relayout_time2", [ctypes.c_char_p, ctypes.c_uint64,
+                                   ctypes.c_uint64, ctypes.c_uint64,
+                                   ctypes.c_char_p]),
+        ("relayout_time2_chmajor", [ctypes.c_char_p, ctypes.c_uint64,
+                                    ctypes.c_uint64, ctypes.c_uint64,
+                                    ctypes.c_uint64, ctypes.c_char_p]),
+        ("daphne_relayout_time2", [ctypes.c_char_p, ctypes.c_uint64,
                                    ctypes.c_uint64, ctypes.c_uint64,
                                    ctypes.c_char_p]),
     ]:
@@ -249,32 +256,70 @@ def unpack14_words(words: np.ndarray) -> np.ndarray:
     return out
 
 
-def relayout_time2(words: np.ndarray) -> np.ndarray:
-    """Host-side 14-bit unpack + time-pairing: (L, T, 28) uint32 packed
-    link rows -> (T//2, S, 128) int32 in the kernel's time_packed
-    canonical layout (pack_adcs_time2: channel c = 64*link + ch at flat
-    lane c, value adc(2t) | adc(2t+1) << 16).  Unlike relayout_words14
-    this is not a pure byte permutation — the host pays the unpack ALU —
-    but the device then runs the plain kernel datapath at ~half the ADC
-    HBM traffic (time_packed ~15% over kernel-only vs ~2x for the
-    in-kernel words14 unpack; BENCH_NOTES).  Uses the native codec when
-    available, numpy otherwise."""
-    words = np.ascontiguousarray(words, dtype=np.uint32)
-    L, T, W = words.shape
-    if W != 28:
-        raise ValueError(f"expected (L, T, 28) WIBEth words, got {words.shape}")
-    if T % 2:
-        raise ValueError("time2 relayout needs an even tick count")
-    C = 64 * L
+def _pad_sublanes8(C: int) -> int:
     rows = -(-C // 128)
-    S = -(-rows // 8) * 8                      # pad_sublanes(C, 8)
-    lib = load()
-    if lib is not None and lib.has_time2:
-        out = np.empty((T // 2, S, 128), dtype=np.int32)
-        lib.wibeth_relayout_time2(_ptr(words), L, T, S, _ptr(out))
-        return out
-    adcs = unpack14_words(words.reshape(L, T, 4, 7)) \
-        .reshape(L, T, 64).transpose(1, 0, 2).reshape(T, C)
+    return -(-rows // 8) * 8                   # pad_sublanes(C, 8)
+
+
+def _pair_flat(adcs: np.ndarray, C: int, S: int) -> np.ndarray:
+    """(T, C) int -> (T//2, S, 128) int32 time-paired canonical layout."""
+    T = adcs.shape[0]
     flat = np.zeros((T, S * 128), dtype=np.int32)
     flat[:, :C] = adcs
     return (flat[0::2] | (flat[1::2] << 16)).reshape(T // 2, S, 128)
+
+
+def relayout_time2(words: np.ndarray, ch_per_link: int = 64) -> np.ndarray:
+    """Host-side 14-bit unpack + time-pairing: (L, T, nw) uint32 packed
+    channel-major link rows (nw = ch_per_link*7/16: WIBEth 28, WIB2 112)
+    -> (T//2, S, 128) int32 in the kernel's time_packed canonical layout
+    (pack_adcs_time2: channel c = ch_per_link*link + ch at flat lane c,
+    value adc(2t) | adc(2t+1) << 16).  Unlike relayout_words14 this is
+    not a pure byte permutation — the host pays the unpack ALU — but the
+    device then runs the plain kernel datapath at ~half the ADC HBM
+    traffic (time_packed ~15% over kernel-only vs ~2x for the in-kernel
+    words14 unpack; BENCH_NOTES).  Uses the native codec when available,
+    numpy otherwise."""
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    if ch_per_link % 16:
+        raise ValueError("ch_per_link must be a multiple of 16")
+    nw = ch_per_link * 7 // 16
+    L, T, W = words.shape
+    if W != nw:
+        raise ValueError(f"expected (L, T, {nw}) words for "
+                         f"{ch_per_link} ch/link, got {words.shape}")
+    if T % 2:
+        raise ValueError("time2 relayout needs an even tick count")
+    C = ch_per_link * L
+    S = _pad_sublanes8(C)
+    lib = load()
+    if lib is not None and getattr(lib, "has_time2_generic", False):
+        out = np.empty((T // 2, S, 128), dtype=np.int32)
+        lib.relayout_time2_chmajor(_ptr(words), L, T, ch_per_link, S,
+                                   _ptr(out))
+        return out
+    adcs = unpack14_words(words.reshape(L, T, nw // 7, 7)) \
+        .reshape(L, T, ch_per_link).transpose(1, 0, 2).reshape(T, C)
+    return _pair_flat(adcs, C, S)
+
+
+def relayout_time2_daphne(words: np.ndarray) -> np.ndarray:
+    """DAPHNE-stream variant of relayout_time2: (L, N, 112) uint32 frame
+    rows (each frame = 64 ticks x 4 channels, TIME-major 14-bit values)
+    -> (N*32, S, 128) int32 time-paired canonical layout, channel
+    c = 4*link + ch."""
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    L, N, W = words.shape
+    if W != 112:
+        raise ValueError(f"expected (L, N, 112) DAPHNE stream words, "
+                         f"got {words.shape}")
+    C = 4 * L
+    S = _pad_sublanes8(C)
+    lib = load()
+    if lib is not None and getattr(lib, "has_time2_generic", False):
+        out = np.empty((N * 32, S, 128), dtype=np.int32)
+        lib.daphne_relayout_time2(_ptr(words), L, N, S, _ptr(out))
+        return out
+    adcs = unpack14_words(words.reshape(L, N, 16, 7)) \
+        .reshape(L, N * 64, 4).transpose(1, 0, 2).reshape(N * 64, C)
+    return _pair_flat(adcs, C, S)

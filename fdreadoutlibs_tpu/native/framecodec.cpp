@@ -169,32 +169,72 @@ inline void unpack16_pair(const uint32_t* a, const uint32_t* b, int32_t* o) {
 // device then runs the plain int32 kernel datapath at ~half the HBM
 // traffic (time_packed measured ~15% over kernel-only vs ~2x for the
 // in-kernel words14 unpack; BENCH_NOTES).
+void relayout_time2_chmajor(const uint32_t* in, uint64_t L, uint64_t T,
+                            uint64_t cpl, uint64_t S, int32_t* out);
+
 void wibeth_relayout_time2(const uint32_t* in, uint64_t L, uint64_t T,
                            uint64_t S, int32_t* out) {
+  relayout_time2_chmajor(in, L, T, 64, S, out);
+}
+
+// Generic channel-major variant: each tick row of link l is cpl
+// channels x 14 bit = cpl*7/16 uint32 words in channel order (WIBEth
+// cpl=64, WIB2 cpl=256); channel c = cpl*link + ch.
+void relayout_time2_chmajor(const uint32_t* in, uint64_t L, uint64_t T,
+                            uint64_t cpl, uint64_t S, int32_t* out) {
   const uint64_t row = S * 128;
-  const uint64_t C = 64 * L;
-  const uint64_t B = 64;  // tick block: staging is L*B*112 B, L2-resident
-  uint32_t* stage = new uint32_t[L * B * 28];
+  const uint64_t C = cpl * L;
+  const uint64_t nw = cpl * 7 / 16;  // words per tick row
+  const uint64_t nq = cpl / 16;      // quartets per tick row
+  const uint64_t B = 64;  // tick block: staging is L2-resident
+  uint32_t* stage = new uint32_t[L * B * nw];
   for (uint64_t t0 = 0; t0 < T; t0 += B) {
     const uint64_t nb = (t0 + B <= T) ? B : (T - t0);
     for (uint64_t l = 0; l < L; ++l) {
-      std::memcpy(stage + l * B * 28, in + (l * T + t0) * 28,
-                  nb * 28 * sizeof(uint32_t));
+      std::memcpy(stage + l * B * nw, in + (l * T + t0) * nw,
+                  nb * nw * sizeof(uint32_t));
     }
     for (uint64_t tb = 0; tb + 1 < nb; tb += 2) {  // nb even (T even)
       int32_t* orow = out + ((t0 + tb) / 2) * row;
       std::memset(orow + C, 0, (row - C) * sizeof(int32_t));
       for (uint64_t l = 0; l < L; ++l) {
-        const uint32_t* r0 = stage + (l * B + tb) * 28;
-        const uint32_t* r1 = r0 + 28;
-        int32_t* o = orow + l * 64;
-        for (int q = 0; q < 4; ++q) {
+        const uint32_t* r0 = stage + (l * B + tb) * nw;
+        const uint32_t* r1 = r0 + nw;
+        int32_t* o = orow + l * cpl;
+        for (uint64_t q = 0; q < nq; ++q) {
           unpack16_pair(r0 + q * 7, r1 + q * 7, o + q * 16);
         }
       }
     }
   }
   delete[] stage;
+}
+
+// DAPHNE stream variant: each frame row of link l is 64 ticks x 4
+// channels x 14 bit = 112 uint32 words in TIME-major value order
+// (value index = 4*t + ch); channel c = 4*link + ch.
+// in = (L, N, 112) uint32, out = (N*32, S, 128) int32 (64 ticks/frame).
+void daphne_relayout_time2(const uint32_t* in, uint64_t L, uint64_t N,
+                           uint64_t S, int32_t* out) {
+  const uint64_t row = S * 128;
+  const uint64_t C = 4 * L;
+  uint32_t v[256];
+  for (uint64_t n = 0; n < N; ++n) {
+    for (uint64_t l = 0; l < L; ++l) {
+      const uint32_t* f = in + (l * N + n) * 112;
+      for (int q = 0; q < 16; ++q) unpack16(f + q * 7, v + q * 16);
+      for (uint64_t t2 = 0; t2 < 32; ++t2) {
+        int32_t* orow = out + (n * 32 + t2) * row;
+        if (l == 0) std::memset(orow + C, 0, (row - C) * sizeof(int32_t));
+        int32_t* o = orow + l * 4;
+        const uint32_t* a = v + 8 * t2;      // tick 2*t2 (4 values)
+        const uint32_t* b = a + 4;           // tick 2*t2 + 1
+        for (int k = 0; k < 4; ++k) {
+          o[k] = static_cast<int32_t>(a[k] | (b[k] << 16));
+        }
+      }
+    }
+  }
 }
 
 // Set perfectly incrementing timestamps + sequence ids (emulator repair).

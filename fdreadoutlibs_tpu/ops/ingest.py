@@ -293,7 +293,7 @@ class StreamingIngest:
                  interpret: bool = False,
                  format: str = "wibeth", device_compact: bool = False,
                  max_hits: int = 1024, rs_memory_factor=None,
-                 fused: bool = False):
+                 fused: bool = False, time2: bool = False):
         from ..formats import daphne, wib2
         self.cfg = cfg
         self.n_links = n_links
@@ -302,6 +302,13 @@ class StreamingIngest:
         if fused and format != "wibeth":
             raise ValueError("fused in-kernel unpack supports "
                              "format='wibeth' only")
+        if fused and time2:
+            raise ValueError("fused and time2 are exclusive ingest modes")
+        # time2=True: submit()/submit_words() relayout on the HOST into
+        # the time-paired canonical feed (host_relayout_time2) — the
+        # fastest ingest when host cores can pay the unpack ALU
+        # (BENCH_NOTES "time2 feed")
+        self.time2 = time2
         self._positions = None
         if format == "wibeth":
             self._ch_per_link = wibeth.N_CHANNELS
@@ -374,6 +381,8 @@ class StreamingIngest:
     def submit_words(self, words: np.ndarray):
         """words: (L, rows, W) uint32 packed rows (W=28 wibeth,
         112 wib2/daphne_stream)."""
+        if self.time2:
+            return self.submit_time2(self.host_relayout_time2(words))
         L, rows, _ = words.shape
         T = rows * self._ticks_per_row
         if self.stack is None:
@@ -429,15 +438,26 @@ class StreamingIngest:
         self.tick_offset += T
         return out
 
+    def host_relayout_time2(self, words: np.ndarray) -> np.ndarray:
+        """Format-appropriate host relayout into the time2 feed:
+        (L, rows, W) packed words (submit_words layout) -> (T//2, S, 128)
+        int32 (native C++, numpy fallback)."""
+        from .. import native
+        if self.format == "daphne_stream":
+            return native.relayout_time2_daphne(words)
+        return native.relayout_time2(words, ch_per_link=self._ch_per_link)
+
     def submit_time2(self, W2: np.ndarray):
         """Time-paired host feed (canonical state, i.e. fused=False): W2
-        is (T//2, S, 128) int32 from native.relayout_time2 — the host
-        already unpacked and time-paired, the device runs the plain
-        kernel datapath at ~half the ADC HBM traffic.  Pipelining/
-        collection semantics match submit_words."""
-        if self._positions is not None or self.format != "wibeth":
+        is (T//2, S, 128) int32 from host_relayout_time2 /
+        native.relayout_time2 — the host already unpacked and
+        time-paired, the device runs the plain kernel datapath at ~half
+        the ADC HBM traffic (any format: the feed itself is canonical
+        channel order, only the host relayout is format-specific).
+        Pipelining/collection semantics match submit_words."""
+        if self._positions is not None:
             raise ValueError("submit_time2 requires "
-                             "StreamingIngest(format='wibeth', fused=False)")
+                             "StreamingIngest(fused=False)")
         T = 2 * int(W2.shape[0])
         if self.stack is None:
             # seed from tick 0 = the low 16-bit halves of the first row

@@ -581,3 +581,68 @@ class TestTime2Feed:
                                 fused=True)
         with pytest.raises(ValueError, match="fused=False"):
             fused.submit_time2(native.relayout_time2(words))
+        with pytest.raises(ValueError, match="exclusive"):
+            StreamingIngest(cfg, n_links=L, fused=True, time2=True)
+
+    def test_time2_mode_all_formats(self):
+        """StreamingIngest(time2=True): submit() relayouts on the host
+        (format-specific codec) and runs the time_packed kernel — hits
+        identical to the plain packed-words path for every format."""
+        from fdreadoutlibs_tpu.formats import daphne, wib2
+        rng = np.random.default_rng(21)
+        cfg = TPGConfig(threshold=120)
+
+        cases = {}
+        # wibeth: 2 links x 2 frames
+        frames_we, _ = make_frames(2, 2, seed=1, pulse=(1, 1, 10, 5, 900))
+        cases["wibeth"] = (2, frames_we)
+        # wib2: 2 links x 48 one-tick frames
+        adcs = (800 + rng.normal(0, 20, size=(2, 48, 256))).astype(np.uint16)
+        adcs[0, 20:28, 77] += 900
+        fr = wib2.empty_frames(2 * 48).reshape(2, 48, wib2.FRAME_SIZE)
+        for l in range(2):
+            wib2.set_adcs(fr[l], adcs[l])
+        cases["wib2"] = (2, fr)
+        # daphne_stream: 3 links x 2 frames (64 ticks x 4 ch each)
+        adcs = (800 + rng.normal(0, 20, size=(3, 2, 64, 4))).astype(np.uint16)
+        adcs[1, 1, 5:13, 2] += 900
+        fr = daphne.stream_empty_frames(3 * 2) \
+            .reshape(3, 2, daphne.STREAM_FRAME_SIZE)
+        for l in range(3):
+            daphne.stream_set_adcs(fr[l], adcs[l])
+        cases["daphne_stream"] = (3, fr)
+
+        for fmt, (L, frames) in cases.items():
+            outs = {}
+            for t2 in (False, True):
+                ing = StreamingIngest(cfg, n_links=L, tc=48 if fmt == "wib2"
+                                      else 64, k_slots=8, interpret=True,
+                                      format=fmt, time2=t2)
+                parts = [out for out in
+                         (ing.submit(frames), ing.submit(frames))
+                         if out] + [ing.flush()]
+                assert all(d == 0 for _, d in parts), fmt
+                outs[t2] = (concat_hits([h for h, _ in parts]),
+                            np.asarray(ing.stack))
+            np.testing.assert_array_equal(outs[False][0], outs[True][0],
+                                          err_msg=fmt)
+            np.testing.assert_array_equal(outs[False][1], outs[True][1],
+                                          err_msg=fmt)
+
+    def test_relayout_time2_generic_native_vs_numpy(self, monkeypatch):
+        """C++ and numpy fallbacks agree for the wib2 (channel-major,
+        cpl=256) and daphne (time-major frames) relayout variants."""
+        from fdreadoutlibs_tpu import native
+        rng = np.random.default_rng(33)
+        w2 = rng.integers(0, 2 ** 32, size=(2, 48, 112), dtype=np.uint32)
+        dp = rng.integers(0, 2 ** 32, size=(3, 2, 112), dtype=np.uint32)
+        got_w2 = native.relayout_time2(w2, ch_per_link=256)
+        got_dp = native.relayout_time2_daphne(dp)
+        assert got_w2.shape == (24, 8, 128)     # C=512 -> S=8
+        assert got_dp.shape == (64, 8, 128)     # C=12 -> S=8
+        with monkeypatch.context() as m:
+            m.setattr(native, "load", lambda: None)
+            np.testing.assert_array_equal(
+                native.relayout_time2(w2, ch_per_link=256), got_w2)
+            np.testing.assert_array_equal(
+                native.relayout_time2_daphne(dp), got_dp)
