@@ -72,7 +72,8 @@ from ..ops.hits import compact_slot_words as _compact_link_slots  # noqa: E402
 
 def make_apa_step(mesh: Mesh, cfg: TPGConfig, max_hits_per_link: int = 512,
                   backend: str = "scan", k_slots: int = 8,
-                  interpret: bool = False, fused_unpack: bool = False):
+                  interpret: bool = False, fused_unpack: bool = False,
+                  time2_feed: bool = False):
     """Build the jitted multi-chip step.
 
     step(words (L, T, 28) uint32, state {k: (L, 64) int32}) ->
@@ -85,42 +86,60 @@ def make_apa_step(mesh: Mesh, cfg: TPGConfig, max_hits_per_link: int = 512,
     for the monitoring total.  backend="pallas" runs the production fused
     kernel per shard (each device's links stack on its lane axis);
     backend="scan" is the portable XLA path.
+
+    time2_feed=True changes the first step argument to per-DEVICE
+    time-paired feeds (D, T//2, S_loc, 128) int32 (native.relayout_time2
+    of each device's link group, the host/NIC ingest fast path): each
+    chip consumes its shard with zero on-device unpack/relayout.
     """
 
     def _local_pallas(words, state):
         from ..ops.pallas_tpg import (LANES, auto_tc, default_block_sublanes,
                                       pad_sublanes, process_window_pallas,
                                       record_words, words14_positions)
-        Lloc, T, _ = words.shape
+        Lloc = state["pedestals"].shape[0]
         C = Lloc * N_CH
         st = {k: (state[k].transpose(1, 0, 2).reshape(-1, C)
                   if k == "fir_prev" else state[k].reshape(C))
               for k in STATE_KEYS}
-        tc = auto_tc(T)
         sub = default_block_sublanes(cfg, C)
-        if fused_unpack:
+        if time2_feed:
+            # host-side unpack + time-pairing per device group: the chip
+            # runs the plain kernel datapath at half the ADC HBM traffic
+            # (BENCH_NOTES "time2 feed"); feed shard is (1, T/2, S, 128)
+            pos = None
+            kernel_in = words[0]
+            T = 2 * kernel_in.shape[0]
+            S = pad_sublanes(C)
+        elif fused_unpack:
             # in-KERNEL 14-bit unpack (words14 layout): state and decode
             # address channels by POSITION (ops.ingest fused path)
             from ..ops.ingest import pack_words14_jnp
             from ..ops.pallas_tpg import words14_block_sublanes
+            _, T, _ = words.shape
             pos = words14_positions(C)
             S = -(-(int(pos.max()) + 1) // LANES)
             sub = words14_block_sublanes(sub, C)
             kernel_in = pack_words14_jnp(words)
         else:
             pos = None
+            _, T, _ = words.shape
             S = pad_sublanes(C)
             adcs = wibeth.unpack_frames_jnp(words)
             flat = adcs.transpose(1, 0, 2).reshape(T, C)
             padded = jnp.zeros((T, S * LANES), jnp.int32)
             padded = padded.at[:, :C].set(flat)
             kernel_in = padded.reshape(T, S, LANES)
+        tc = auto_tc(T)
+        # time_packed needs an even unroll (two ticks per word)
+        unroll = 8 if (not interpret and tc % 8 == 0) else \
+            (2 if time2_feed else 1)
         chan_sel = pos if pos is not None else slice(None, C)
         slots, nclose, stack = process_window_pallas(
             kernel_in, _stack_from_state(st, C, sub, positions=pos), cfg,
-            tc=tc, k_slots=k_slots,
-            unroll=8 if (not interpret and tc % 8 == 0) else 1,
-            interpret=interpret, words14=fused_unpack)
+            tc=tc, k_slots=k_slots, unroll=unroll,
+            interpret=interpret, words14=fused_unpack,
+            time_packed=time2_feed)
         # per-link device-side decode: slots (NB, n_chunks, K, nw, SUB, 128)
         # — per-chunk slots fold into one wider slot axis (records carry
         # absolute ticks); nw=2 is the no-peak record layout
@@ -196,7 +215,7 @@ class APAPipeline:
     def __init__(self, n_links: int, cfg: TPGConfig,
                  mesh: Optional[Mesh] = None, max_hits_per_link: int = 512,
                  backend: str = "scan", interpret: bool = False,
-                 fused_unpack: bool = False):
+                 fused_unpack: bool = False, time2_feed: bool = False):
         from .mesh import make_link_mesh
         self.mesh = mesh or make_link_mesh()
         self.n_links = n_links
@@ -204,10 +223,16 @@ class APAPipeline:
             "links must divide evenly over devices"
         if fused_unpack and backend != "pallas":
             raise ValueError("fused_unpack requires backend='pallas'")
+        if time2_feed and backend != "pallas":
+            raise ValueError("time2_feed requires backend='pallas'")
+        if time2_feed and fused_unpack:
+            raise ValueError("fused_unpack and time2_feed are exclusive")
         self.cfg = cfg
+        self.time2_feed = time2_feed
         self.step = make_apa_step(self.mesh, cfg, max_hits_per_link,
                                   backend=backend, interpret=interpret,
-                                  fused_unpack=fused_unpack)
+                                  fused_unpack=fused_unpack,
+                                  time2_feed=time2_feed)
         self.state = None
         self.dropped_hits = 0      # cumulative capacity-dropped closes
 
@@ -233,7 +258,10 @@ class APAPipeline:
                       for k in STATE_KEYS}
 
     def process(self, words: np.ndarray):
-        """words: (L, T, 28) uint32 packed ADC rows for T ticks per link."""
+        """words: (L, T, 28) uint32 packed ADC rows for T ticks per link.
+        With time2_feed=True the host relayouts each device's link group
+        (native.relayout_time2) before upload; a words14/time2-capable
+        NIC/DPU source can call process_feed directly instead."""
         if self.state is None:
             # seed from the first tick of this batch — host-side numpy
             # unpack: nothing here may touch the default device (the mesh
@@ -241,9 +269,29 @@ class APAPipeline:
             from ..formats.bitpack import unpack_14bit
             adcs0 = unpack_14bit(np.asarray(words[:, 0]), N_CH).astype(np.int32)
             self.init_state(adcs0)
+        if self.time2_feed:
+            from .. import native
+            D = self.mesh.devices.size
+            Lloc = self.n_links // D
+            feeds = np.stack([
+                native.relayout_time2(
+                    np.ascontiguousarray(words[d * Lloc:(d + 1) * Lloc]))
+                for d in range(D)])
+            return self.process_feed(feeds)
         sharding = NamedSharding(self.mesh, P("link"))
         words = jax.device_put(np.ascontiguousarray(words), sharding)
         hits, n_hits, total, dropped, self.state = self.step(words,
+                                                             self.state)
+        self.dropped_hits += int(dropped)
+        return hits, n_hits, int(total)
+
+    def process_feed(self, feeds: np.ndarray):
+        """feeds: (D, T//2, S_loc, 128) int32 per-device time-paired
+        shards (time2_feed mode; state must already be seeded)."""
+        assert self.time2_feed and self.state is not None
+        sharding = NamedSharding(self.mesh, P("link"))
+        feeds = jax.device_put(np.ascontiguousarray(feeds), sharding)
+        hits, n_hits, total, dropped, self.state = self.step(feeds,
                                                              self.state)
         self.dropped_hits += int(dropped)
         return hits, n_hits, int(total)

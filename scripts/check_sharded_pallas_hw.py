@@ -50,6 +50,8 @@ def main():
         "pallas": APAPipeline(args.links, cfg, mesh=mesh, backend="pallas"),
         "pallas_fused": APAPipeline(args.links, cfg, mesh=mesh,
                                     backend="pallas", fused_unpack=True),
+        "pallas_time2": APAPipeline(args.links, cfg, mesh=mesh,
+                                    backend="pallas", time2_feed=True),
         "scan": APAPipeline(args.links, cfg, mesh=mesh, backend="scan"),
     }
 
@@ -70,17 +72,17 @@ def main():
             hits, n_hits, total = pipe.process(words)
             res[name] = (np.asarray(hits), np.asarray(n_hits), total)
             totals[name].append(total)
-        for name in ("pallas", "pallas_fused"):
+        for name in ("pallas", "pallas_fused", "pallas_time2"):
             assert pipes[name].dropped_hits == 0, \
                 f"{name} capacity drops ({pipes[name].dropped_hits}) — " \
                 "raise threshold or k_slots for a strict-parity check"
-        # hit-level parity of both compiled sharded Pallas steps (canonical
-        # and fused in-kernel unpack) against the scan backend, per link
-        # (row sets; padding rows are zero)
+        # hit-level parity of the compiled sharded Pallas steps (canonical,
+        # fused in-kernel unpack, and time2 host feed) against the scan
+        # backend, per link (row sets; padding rows are zero)
         for l in range(args.links):
             hs = {tuple(r) for r in res["scan"][0][l]
                   [: res["scan"][1][l]].tolist()}
-            for name in ("pallas", "pallas_fused"):
+            for name in ("pallas", "pallas_fused", "pallas_time2"):
                 hp = {tuple(r) for r in res[name][0][l]
                       [: res[name][1][l]].tolist()}
                 assert hp == hs, f"batch {b} link {l} {name}: {hp ^ hs}"
@@ -89,7 +91,8 @@ def main():
         "ok": True, "links": args.links, "batches": args.batches,
         "hits_per_batch": totals["pallas"],
         "note": "compiled Mosaic under shard_map on a 1-device TPU mesh; "
-                "canonical + fused-unpack hit-parity vs scan backend",
+                "canonical + fused-unpack + time2-feed hit-parity vs "
+                "scan backend",
     }))
     return 0
 

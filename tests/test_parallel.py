@@ -167,3 +167,35 @@ def test_fused_unpack_requires_pallas_backend():
     with pytest.raises(ValueError, match="fused_unpack"):
         APAPipeline(2, TPGConfig(threshold=120), mesh=make_link_mesh(2),
                     backend="scan", fused_unpack=True)
+
+
+@pytest.mark.parametrize("n_devices", [1, 2])
+def test_sharded_pallas_time2_feed(n_devices):
+    """time2_feed: each device consumes its host-relayouted time-paired
+    shard (native.relayout_time2 per link group) through the time_packed
+    kernel datapath; hits and carried state match the oracle."""
+    mesh = make_link_mesh(n_devices)
+    n_links = 4
+    cfg = TPGConfig(threshold=120)
+    pipe = APAPipeline(n_links, cfg, mesh=mesh, backend="pallas",
+                       interpret=True, time2_feed=True)
+    words, all_adcs = make_words(n_links, n_frames=2)
+    hits, n_hits, total = pipe.process(words)
+    hits, n_hits = np.asarray(hits), np.asarray(n_hits)
+    for l in range(n_links):
+        h_ref, st_ref = run_reference(all_adcs[l], cfg, window=128)
+        assert n_hits[l] == len(h_ref), f"link {l}"
+        got = hits[l][: n_hits[l]]
+        np.testing.assert_array_equal(got[:, 0], h_ref["channel"])
+        np.testing.assert_array_equal(got[:, 1], h_ref["end_tick"])
+        np.testing.assert_array_equal(got[:, 2], h_ref["charge"])
+        np.testing.assert_array_equal(got[:, 4], h_ref["peak_adc"])
+        ped = np.asarray(pipe.state["pedestals"][l])
+        np.testing.assert_array_equal(ped, st_ref["pedestals"])
+    assert total == int(n_hits.sum())
+
+
+def test_time2_feed_requires_pallas_backend():
+    with pytest.raises(ValueError, match="time2_feed"):
+        APAPipeline(2, TPGConfig(threshold=120), mesh=make_link_mesh(2),
+                    backend="scan", time2_feed=True)
