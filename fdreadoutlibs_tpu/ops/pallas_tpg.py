@@ -251,6 +251,46 @@ def _unpack14_rows(w):
     return jnp.stack(vs, axis=1).reshape(-1, LANES)
 
 
+def _unpack14_rows_gather(w):
+    """Full-height formulation of the words14 in-kernel unpack.
+
+    The per-class formulation (_unpack14_rows) runs ~58 ops on
+    quarter-height (WRb, 128) values plus a 16-way stack/interleave; this
+    one instead gathers the needed word rows into output-row order with
+    two static takes on the (zero-padded) word axis and runs ONE
+    full-height shift/or/mask chain with per-sublane shift vectors:
+
+      v[wr*16+r] = ((w[wr, j_r] >>l sh_r) | (w[wr, j_r + 1] << (32-sh_r)))
+                   & 0x3FFF
+
+    where the high word is the zero pad row for classes that fit in one
+    word.  Logical right shift via a uint32 bitcast (no sign-extension
+    masks).  Bit-exact with _unpack14_rows; whether it is faster is a
+    Mosaic-lowering question (gather-as-shuffle + vector shift amounts)
+    — A/B'd on hardware before shipping as default.
+    """
+    WRb = w.shape[0]
+    zero = jnp.zeros_like(w[:, :1])
+    lo_parts, hi_parts = [], []
+    for r in range(16):
+        bit = 14 * r
+        j, s = bit // 32, bit % 32
+        lo_parts.append(w[:, j:j + 1])
+        hi_parts.append(w[:, j + 1:j + 2] if s + 14 > 32 else zero)
+    lo = jnp.concatenate(lo_parts, axis=1)               # (WRb, 16, 128)
+    hi = jnp.concatenate(hi_parts, axis=1)
+    # shift amounts derived from the class index (no constant-array
+    # capture, which pallas kernels disallow): sh_r = 14r mod 32;
+    # lsh = (32-sh) & 31 — harmless for non-straddle rows (hi is zero)
+    r_idx = jax.lax.broadcasted_iota(jnp.uint32, (WRb, 16, LANES), 1)
+    sh = (14 * r_idx) & 31
+    lsh = (32 - sh) & 31
+    lo_u = jax.lax.bitcast_convert_type(lo, jnp.uint32)
+    hi_u = jax.lax.bitcast_convert_type(hi, jnp.uint32)
+    v = ((lo_u >> sh) | (hi_u << lsh)) & jnp.uint32(0x3FFF)
+    return jax.lax.bitcast_convert_type(v, jnp.int32).reshape(-1, LANES)
+
+
 def words14_positions(n_channels: int) -> np.ndarray:
     """Per-channel flat position in the words14 fused-unpack layout.
 
@@ -301,7 +341,8 @@ def words14_channel_of_position(n_channels: int) -> np.ndarray:
 def _tpg_kernel(adc_ref, state_ref, state_out_ref, slots_ref, nclose_ref,
                 *, cfg: TPGConfig, tc: int, k_slots: int, sub: int,
                 unroll: int = 1, time2: bool = False,
-                fir_packed: bool = False, words14: bool = False):
+                fir_packed: bool = False, words14: bool = False,
+                words14_gather: bool = False):
     t_chunk = pl.program_id(1)
     is_fir = cfg.algorithm == Algorithm.FIR
     keys = live_fields(cfg)
@@ -377,7 +418,8 @@ def _tpg_kernel(adc_ref, state_ref, state_out_ref, slots_ref, nclose_ref,
             elif words14:
                 # fused byte-ingest: unpack this tick's packed 14-bit
                 # words in-register (no materialized unpacked array)
-                s_raw = _unpack14_rows(adc_ref[tick_i])
+                s_raw = (_unpack14_rows_gather if words14_gather
+                         else _unpack14_rows)(adc_ref[tick_i])
             else:
                 s_raw = adc_ref[tick_i]
             st, closed, rec = dispatch_tick(st, s_raw, cfg, jnp, fx=fx)
@@ -440,13 +482,15 @@ def _tpg_kernel(adc_ref, state_ref, state_out_ref, slots_ref, nclose_ref,
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "tc", "k_slots", "interpret",
                                     "unroll", "vmem_limit_mb", "time_packed",
-                                    "fir_packed", "words14"))
+                                    "fir_packed", "words14",
+                                    "words14_gather"))
 def process_window_pallas(adcs, state_stack, cfg: TPGConfig, tc: int = 256,
                           k_slots: int = 4, interpret: bool = False,
                           unroll: int = 1, vmem_limit_mb: int | None = None,
                           time_packed: bool = False,
                           fir_packed: bool | None = None,
-                          words14: bool = False):
+                          words14: bool = False,
+                          words14_gather: bool = False):
     """Run the fused kernel over a (T, S, 128) int32 window.
 
     Args:
@@ -507,7 +551,8 @@ def process_window_pallas(adcs, state_stack, cfg: TPGConfig, tc: int = 256,
     nw = record_words(cfg)
     kernel = functools.partial(_tpg_kernel, cfg=cfg, tc=tc, k_slots=k_slots,
                                sub=sub, unroll=unroll, time2=time_packed,
-                               fir_packed=fir_packed, words14=words14)
+                               fir_packed=fir_packed, words14=words14,
+                               words14_gather=words14_gather)
     compiler_params = None
     if vmem_limit_mb is not None and not interpret:
         from jax.experimental.pallas import tpu as pltpu

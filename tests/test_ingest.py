@@ -402,6 +402,43 @@ class TestFusedWords14:
         assert words14_block_sublanes(48, 6144) is None
         assert words14_block_sublanes(9, 6144) == 16
 
+    def test_words14_gather_formulation_parity(self):
+        """The gather-formulation in-kernel unpack (words14_gather=True:
+        static word-row concats + one full-height shift/or/mask chain) is
+        bit-identical to the per-class default — hits, counts and carried
+        state (BENCH_NOTES 'words14 gather-formulation unpack')."""
+        import jax.numpy as jnp
+        from fdreadoutlibs_tpu.ops.chanstate import (init_chanstate,
+                                                     seed_chanstate)
+        from fdreadoutlibs_tpu.ops.ingest import pack_words14_jnp
+        from fdreadoutlibs_tpu.ops.pallas_tpg import (
+            pack_state, process_window_pallas, words14_positions)
+        C, T = 192, 128
+        L, nf = C // 64, T // 64
+        cfg = TPGConfig(threshold=150)
+        rng = np.random.default_rng(8)
+        adcs = (900 + rng.normal(0, 30, size=(T, C))).astype(np.int32)
+        adcs[40:50, 70] += 2000
+        frames = wibeth.empty_frames(L * nf)
+        a = adcs.reshape(nf, 64, L, 64).transpose(2, 0, 1, 3)
+        wibeth.set_adcs(frames,
+                        a.reshape(L * nf, 64, 64).astype(np.uint16))
+        W = pack_words14_jnp(jnp.asarray(
+            wibeth.frames_bytes_to_u32(frames).reshape(L, T, 28)))
+        pos = words14_positions(C)
+        st = seed_chanstate(init_chanstate(C), adcs[0],
+                            cfg.rs_memory_factor_x10)
+        outs = {}
+        for g in (False, True):
+            s0 = pack_state(st, C, positions=pos)
+            slots, nclose, stack = process_window_pallas(
+                W, s0, cfg, tc=64, k_slots=8, unroll=1, interpret=True,
+                words14=True, words14_gather=g)
+            outs[g] = (np.asarray(slots), np.asarray(nclose),
+                       np.asarray(stack))
+        for a_, b_ in zip(outs[False], outs[True]):
+            np.testing.assert_array_equal(a_, b_)
+
     def test_fused_blocked_and_simple_threshold(self):
         """words14 with 16-row channel blocks and the SimpleThreshold
         family (exercises the block-split of the word-group axis)."""
