@@ -666,6 +666,20 @@ class TestTime2Feed:
             np.testing.assert_array_equal(outs[False][1], outs[True][1],
                                           err_msg=fmt)
 
+    def test_relayout_time2_input_validation(self):
+        from fdreadoutlibs_tpu import native
+        import pytest
+        with pytest.raises(ValueError, match="even tick count"):
+            native.relayout_time2(
+                np.zeros((2, 3, 28), np.uint32))
+        with pytest.raises(ValueError, match="expected"):
+            native.relayout_time2(np.zeros((2, 4, 112), np.uint32))
+        with pytest.raises(ValueError, match="multiple of 16"):
+            native.relayout_time2(np.zeros((2, 4, 28), np.uint32),
+                                  ch_per_link=60)
+        with pytest.raises(ValueError, match="expected"):
+            native.relayout_time2_daphne(np.zeros((2, 4, 28), np.uint32))
+
     def test_relayout_time2_generic_native_vs_numpy(self, monkeypatch):
         """C++ and numpy fallbacks agree for the wib2 (channel-major,
         cpl=256) and daphne (time-major frames) relayout variants."""
