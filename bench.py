@@ -249,7 +249,75 @@ def bench_fresh_and_ingest(cfg, tc, k_slots, unroll, adcs, rmf,
     return out
 
 
+def _tunnel_gate():
+    """Probe the remote-TPU tunnel in a SUBPROCESS before this process
+    touches jax, and wait (bounded) for a healthy phase.
+
+    The axon tunnel occasionally wedges for ~30 min (CLAUDE.md): an
+    in-process ``jax.devices()`` then hangs indefinitely, and a bench run
+    started in a degraded phase records tunnel noise, not kernel speed.
+    The subprocess probe (a) cannot hang this process — a wedge is a
+    subprocess timeout — and (b) measures the per-sync latency so the
+    JSON line can carry it.  Policy:
+
+    * wedged (probe times out / crashes): retry up to
+      ``FDREADOUT_BENCH_TUNNEL_WAIT_S`` (default 1800 s, the observed
+      outage scale), then proceed anyway — no worse than ungated.
+    * alive but slow (median sync > 1500 ms): wait up to 600 s total for
+      a better phase, then proceed with what we have (slow-but-alive is
+      measurable; the slope method cancels most of it).
+    * healthy or a CPU backend: proceed immediately.
+    """
+    import os
+    import subprocess
+
+    budget = float(os.environ.get("FDREADOUT_BENCH_TUNNEL_WAIT_S", "1800"))
+    if budget <= 0 or os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return {}                       # explicit CPU run / gate disabled
+    slow_budget = min(600.0, budget)
+    probe_src = (
+        "import json, time\n"
+        "import jax, jax.numpy as jnp\n"
+        "b = jax.default_backend()\n"
+        "x = jax.device_put(jnp.arange(128, dtype=jnp.int32))\n"
+        "f = jax.jit(jnp.sum)\n"
+        "_ = int(f(x))\n"
+        "ts = []\n"
+        "for _ in range(5):\n"
+        "    t0 = time.perf_counter(); _ = int(f(x))\n"
+        "    ts.append(1e3 * (time.perf_counter() - t0))\n"
+        "ts.sort()\n"
+        "print(json.dumps({'backend': b, 'sync_ms': round(ts[2], 1)}))\n")
+    t_start = time.time()
+    last = {}
+    while True:
+        state = "wedged"
+        try:
+            r = subprocess.run([sys.executable, "-c", probe_src],
+                               capture_output=True, text=True, timeout=240)
+            line = (r.stdout.strip().splitlines() or [""])[-1]
+            if r.returncode == 0 and line.startswith("{"):
+                last = json.loads(line)
+                if last.get("backend") != "tpu":
+                    return last          # CPU smoke run: nothing to gate
+                state = "slow" if last["sync_ms"] > 1500 else "healthy"
+        except (subprocess.TimeoutExpired, OSError):
+            pass
+        waited = time.time() - t_start
+        if state == "healthy" or waited >= (
+                slow_budget if state == "slow" else budget):
+            last["tunnel_wait_s"] = round(waited, 1)
+            if state != "healthy":
+                last["tunnel_gate"] = f"proceeding_{state}"
+            return last
+        print(f"[bench] tunnel {state} ({last or 'no probe output'}); "
+              f"waited {waited:.0f}s, retrying", file=sys.stderr)
+        time.sleep(60)
+
+
 def main():
+    tunnel = _tunnel_gate()
+
     import jax
     from fdreadoutlibs_tpu.ops import TPGConfig
 
@@ -332,6 +400,14 @@ def main():
         "vs_baseline": rtf,
         "algorithms": results,
     }
+    if on_tpu and "sync_ms" in tunnel:
+        # interpret the reading: per-sync tunnel latency at bench start
+        # (healthy band 40-600 ms; the slope method cancels it, but phase
+        # drift across a long run does not fully cancel — BENCH_NOTES)
+        out["tunnel_sync_ms"] = tunnel["sync_ms"]
+        for key in ("tunnel_wait_s", "tunnel_gate"):
+            if tunnel.get(key):
+                out[key] = tunnel[key]
     if extra:
         out["production_variants"] = extra
         # overhead of paying ingest at all, against the best shipped

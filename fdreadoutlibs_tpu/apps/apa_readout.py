@@ -99,7 +99,7 @@ class APAReadoutApp:
         # time2_feed instead has the HOST unpack and time-pair the ADCs
         # (native.relayout_time2): the device runs the plain kernel
         # datapath at ~half the ADC HBM traffic — fastest when the feed
-        # stage can pay the unpack ALU (~1.7 GB/s/core).
+        # stage can pay the unpack ALU (~6.3 GB/s/core AVX-512).
         if words14_feed and time2_feed:
             raise ValueError("words14_feed and time2_feed are exclusive")
         self.words14_feed = words14_feed

@@ -216,7 +216,7 @@ def wibeth_fake_headers(frames: np.ndarray, first_ts: int, tick: int = 2048,
                             first_seq)
 
 
-def relayout_words14(words: np.ndarray) -> np.ndarray:
+def relayout_words14(words: np.ndarray, out: np.ndarray = None) -> np.ndarray:
     """Host-side words14 relayout: (L, T, 28) uint32 packed link rows ->
     (T, WR, 7, 128) int32 feed rows for the fused in-kernel-unpack kernel
     (identical to ops.ingest.pack_words14_jnp, but on the HOST/NIC stage
@@ -231,13 +231,20 @@ def relayout_words14(words: np.ndarray) -> np.ndarray:
     WR = -(-G // 128)
     lib = load()
     if lib is not None and lib.has_words14:
-        out = np.empty((T, WR, 7, 128), dtype=np.int32)
+        if out is None:
+            out = np.empty((T, WR, 7, 128), dtype=np.int32)
+        else:
+            _check_out(out, (T, WR, 7, 128))
         lib.wibeth_relayout_words14(_ptr(words), L, T, _ptr(out))
         return out
     wt = words.transpose(1, 0, 2).reshape(T, G, 7)
     wt = np.pad(wt, ((0, 0), (0, WR * 128 - G), (0, 0)))
-    return np.ascontiguousarray(
+    res = np.ascontiguousarray(
         wt.reshape(T, WR, 128, 7).transpose(0, 1, 3, 2)).astype(np.int32)
+    if out is not None:
+        _check_out(out, res.shape)[...] = res
+        return out
+    return res
 
 
 def unpack14_words(words: np.ndarray) -> np.ndarray:
@@ -256,6 +263,33 @@ def unpack14_words(words: np.ndarray) -> np.ndarray:
     return out
 
 
+def _aligned_empty(shape, dtype, align: int = 64) -> np.ndarray:
+    """np.empty with a guaranteed 64-byte-aligned base: the native time2
+    relayout uses non-temporal 64-byte stores (skipping the write-allocate
+    read of the ~50 MB/window output) only when the destination is
+    cacheline-aligned — numpy's default allocator does not guarantee it."""
+    n = int(np.prod(shape))
+    itemsize = np.dtype(dtype).itemsize
+    buf = np.empty(n * itemsize + align, dtype=np.uint8)
+    off = (-buf.ctypes.data) % align
+    return buf[off:off + n * itemsize].view(dtype).reshape(shape)
+
+
+def _check_out(out: np.ndarray, shape: tuple) -> np.ndarray:
+    """Validate a caller-supplied reusable output buffer (the relayout
+    codecs' per-call output is ~50 MB/APA-window: a fresh allocation
+    page-faults every line, which measured ~3x over the steady-state
+    codec cost — streaming callers should reuse, see StreamingIngest)."""
+    if (not isinstance(out, np.ndarray) or out.dtype != np.int32
+            or out.shape != shape or not out.flags.c_contiguous
+            or not out.flags.writeable):
+        raise ValueError(
+            f"out must be a writable C-contiguous int32 array of shape "
+            f"{shape}, got {getattr(out, 'dtype', None)} "
+            f"{getattr(out, 'shape', None)}")
+    return out
+
+
 def _pad_sublanes8(C: int) -> int:
     rows = -(-C // 128)
     return -(-rows // 8) * 8                   # pad_sublanes(C, 8)
@@ -269,7 +303,8 @@ def _pair_flat(adcs: np.ndarray, C: int, S: int) -> np.ndarray:
     return (flat[0::2] | (flat[1::2] << 16)).reshape(T // 2, S, 128)
 
 
-def relayout_time2(words: np.ndarray, ch_per_link: int = 64) -> np.ndarray:
+def relayout_time2(words: np.ndarray, ch_per_link: int = 64,
+                   out: np.ndarray = None) -> np.ndarray:
     """Host-side 14-bit unpack + time-pairing: (L, T, nw) uint32 packed
     channel-major link rows (nw = ch_per_link*7/16: WIBEth 28, WIB2 112)
     -> (T//2, S, 128) int32 in the kernel's time_packed canonical layout
@@ -294,16 +329,27 @@ def relayout_time2(words: np.ndarray, ch_per_link: int = 64) -> np.ndarray:
     S = _pad_sublanes8(C)
     lib = load()
     if lib is not None and getattr(lib, "has_time2_generic", False):
-        out = np.empty((T // 2, S, 128), dtype=np.int32)
+        # 64-byte-aligned output enables the codec's non-temporal store
+        # path (2.1x; BENCH_NOTES round-3 host codec); pass `out` to
+        # amortize the ~50 MB allocation across a stream
+        if out is None:
+            out = _aligned_empty((T // 2, S, 128), np.int32)
+        else:
+            _check_out(out, (T // 2, S, 128))
         lib.relayout_time2_chmajor(_ptr(words), L, T, ch_per_link, S,
                                    _ptr(out))
         return out
     adcs = unpack14_words(words.reshape(L, T, nw // 7, 7)) \
         .reshape(L, T, ch_per_link).transpose(1, 0, 2).reshape(T, C)
-    return _pair_flat(adcs, C, S)
+    res = _pair_flat(adcs, C, S)
+    if out is not None:
+        _check_out(out, res.shape)[...] = res
+        return out
+    return res
 
 
-def relayout_time2_daphne(words: np.ndarray) -> np.ndarray:
+def relayout_time2_daphne(words: np.ndarray,
+                          out: np.ndarray = None) -> np.ndarray:
     """DAPHNE-stream variant of relayout_time2: (L, N, 112) uint32 frame
     rows (each frame = 64 ticks x 4 channels, TIME-major 14-bit values)
     -> (N*32, S, 128) int32 time-paired canonical layout, channel
@@ -317,9 +363,16 @@ def relayout_time2_daphne(words: np.ndarray) -> np.ndarray:
     S = _pad_sublanes8(C)
     lib = load()
     if lib is not None and getattr(lib, "has_time2_generic", False):
-        out = np.empty((N * 32, S, 128), dtype=np.int32)
+        if out is None:
+            out = np.empty((N * 32, S, 128), dtype=np.int32)
+        else:
+            _check_out(out, (N * 32, S, 128))
         lib.daphne_relayout_time2(_ptr(words), L, N, S, _ptr(out))
         return out
     adcs = unpack14_words(words.reshape(L, N, 16, 7)) \
         .reshape(L, N * 64, 4).transpose(1, 0, 2).reshape(N * 64, C)
-    return _pair_flat(adcs, C, S)
+    res = _pair_flat(adcs, C, S)
+    if out is not None:
+        _check_out(out, res.shape)[...] = res
+        return out
+    return res

@@ -13,6 +13,10 @@
 #include <cstdint>
 #include <cstring>
 
+#if defined(__AVX512F__)
+#include <immintrin.h>
+#endif
+
 namespace {
 constexpr int kFrameBytes = 7200;
 constexpr int kHeaderBytes = 32;
@@ -127,7 +131,7 @@ namespace {
 // with compile-time-constant shifts; the constant-shift ladder
 // auto-vectorizes.  Bit positions: channel r occupies bits [14r, 14r+14)
 // of the 224-bit group (formats/bitpack.py).
-inline void unpack16(const uint32_t* w, uint32_t* o) {
+inline void unpack16_scalar(const uint32_t* w, uint32_t* o) {
   o[0] = w[0] & 0x3FFF;
   o[1] = (w[0] >> 14) & 0x3FFF;
   o[2] = ((w[0] >> 28) | (w[1] << 4)) & 0x3FFF;
@@ -146,17 +150,80 @@ inline void unpack16(const uint32_t* w, uint32_t* o) {
   o[15] = (w[6] >> 18) & 0x3FFF;
 }
 
+#if defined(__AVX512F__)
+// Explicit-SIMD quartet unpack: all 16 channels in ONE 512-bit vector.
+// The uniform formulation of the scalar ladder is
+//   o[k] = ((w[wi] >> s) | (w[wi+1] << (32 - s))) & 0x3FFF,
+// where wi = 14k/32, s = 14k%32: the carry term contributes only when the
+// value actually crosses a word boundary (32-s <= 13); otherwise its bits
+// land above the mask, and s = 0 maps to a shift count of 32, which
+// _mm512_sllv_epi32 defines as 0.  One 8-word load + two permutexvar
+// gathers + two variable shifts replaces 16 scalar chains (~45 ops); the
+// measured relayout_time2 throughput gain is recorded in BENCH_NOTES.
+// CONTRACT: reads 8 words (one PAST the 7-word group) — callers must
+// guarantee the extra word is readable (padded staging buffers below).
+alignas(64) constexpr uint32_t kWordIdx[16] = {0, 0, 0, 1, 1, 2, 2, 3,
+                                               3, 3, 4, 4, 5, 5, 6, 6};
+alignas(64) constexpr uint32_t kShift[16] = {0, 14, 28, 10, 24, 6, 20, 2,
+                                             16, 30, 12, 26, 8, 22, 4, 18};
+alignas(64) constexpr uint32_t kCarry[16] = {32, 18, 4, 22, 8, 26, 12, 30,
+                                             16, 2, 20, 6, 24, 10, 28, 14};
+
+inline __m512i unpack16_v(const uint32_t* w) {
+  // upper half explicitly zeroed (the permute indices only touch lanes
+  // 0..7; insert-into-zero is the one spelling GCC 12 compiles without a
+  // maybe-uninitialized warning — cast/zext both warn)
+  const __m512i W = _mm512_inserti64x4(
+      _mm512_setzero_si512(),
+      _mm256_loadu_si256(reinterpret_cast<const __m256i*>(w)), 0);
+  const __m512i wi = _mm512_load_si512(kWordIdx);
+  const __m512i lo = _mm512_srlv_epi32(_mm512_permutexvar_epi32(wi, W),
+                                       _mm512_load_si512(kShift));
+  const __m512i hi = _mm512_sllv_epi32(
+      _mm512_permutexvar_epi32(_mm512_add_epi32(wi, _mm512_set1_epi32(1)), W),
+      _mm512_load_si512(kCarry));
+  return _mm512_and_si512(_mm512_or_si512(lo, hi), _mm512_set1_epi32(0x3FFF));
+}
+
+inline void unpack16(const uint32_t* w, uint32_t* o) {
+  _mm512_storeu_si512(o, unpack16_v(w));
+}
+
 // Paired variant: extract the same 16 channels from two consecutive tick
-// rows and emit adc(t0) | adc(t1) << 16 directly (16 independent scalar
-// chains, no temporaries — the time2 relayout hot loop).
+// rows and emit adc(t0) | adc(t1) << 16 directly (the time2 relayout hot
+// loop).
+inline void unpack16_pair(const uint32_t* a, const uint32_t* b, int32_t* o) {
+  _mm512_storeu_si512(
+      o, _mm512_or_si512(unpack16_v(a), _mm512_slli_epi32(unpack16_v(b), 16)));
+}
+
+// Non-temporal variant: the (T/2, S, 128) output is ~50 MB/APA-window and
+// is next touched by the device DMA, never re-read by the host — a
+// streaming store skips the write-allocate read of every output line,
+// cutting DRAM traffic ~37% (the codec is memory-bound on one core:
+// memcpy ceiling ~10 GB/s; measured 2.1x over regular stores at equal
+// SIMD arithmetic, 3.9x total vs the scalar ladder — BENCH_NOTES r3).
+// Requires o 64-byte aligned; caller fences once at the end.
+inline void unpack16_pair_nt(const uint32_t* a, const uint32_t* b,
+                             int32_t* o) {
+  _mm512_stream_si512(
+      reinterpret_cast<__m512i*>(o),
+      _mm512_or_si512(unpack16_v(a), _mm512_slli_epi32(unpack16_v(b), 16)));
+}
+#else
+inline void unpack16(const uint32_t* w, uint32_t* o) {
+  unpack16_scalar(w, o);
+}
+
 inline void unpack16_pair(const uint32_t* a, const uint32_t* b, int32_t* o) {
   uint32_t va[16], vb[16];
-  unpack16(a, va);
-  unpack16(b, vb);
+  unpack16_scalar(a, va);
+  unpack16_scalar(b, vb);
   for (int k = 0; k < 16; ++k) {
     o[k] = static_cast<int32_t>(va[k] | (vb[k] << 16));
   }
 }
+#endif
 }  // namespace
 
 // Host-side 14-bit unpack + time-pairing into the kernel's time_packed
@@ -187,20 +254,44 @@ void relayout_time2_chmajor(const uint32_t* in, uint64_t L, uint64_t T,
   const uint64_t nw = cpl * 7 / 16;  // words per tick row
   const uint64_t nq = cpl / 16;      // quartets per tick row
   const uint64_t B = 64;  // tick block: staging is L2-resident
-  uint32_t* stage = new uint32_t[L * B * nw];
+  // +1 word: the SIMD unpack reads one word past the final 7-word group
+  uint32_t* stage = new uint32_t[L * B * nw + 1];
   for (uint64_t t0 = 0; t0 < T; t0 += B) {
     const uint64_t nb = (t0 + B <= T) ? B : (T - t0);
     for (uint64_t l = 0; l < L; ++l) {
       std::memcpy(stage + l * B * nw, in + (l * T + t0) * nw,
                   nb * nw * sizeof(uint32_t));
     }
+#if defined(__AVX512F__)
+    // every store in this loop is 64-byte aligned iff the output base is
+    // (row*4 and cpl*4 are multiples of 64): use non-temporal stores then
+    const bool nt = (reinterpret_cast<uintptr_t>(out) & 63) == 0;
+#else
+    const bool nt = false;
+#endif
     for (uint64_t tb = 0; tb + 1 < nb; tb += 2) {  // nb even (T even)
       int32_t* orow = out + ((t0 + tb) / 2) * row;
-      std::memset(orow + C, 0, (row - C) * sizeof(int32_t));
+#if defined(__AVX512F__)
+      if (nt) {
+        const __m512i z = _mm512_setzero_si512();
+        for (uint64_t j = C; j < row; j += 16) {
+          _mm512_stream_si512(reinterpret_cast<__m512i*>(orow + j), z);
+        }
+      } else
+#endif
+        std::memset(orow + C, 0, (row - C) * sizeof(int32_t));
       for (uint64_t l = 0; l < L; ++l) {
         const uint32_t* r0 = stage + (l * B + tb) * nw;
         const uint32_t* r1 = r0 + nw;
         int32_t* o = orow + l * cpl;
+#if defined(__AVX512F__)
+        if (nt) {
+          for (uint64_t q = 0; q < nq; ++q) {
+            unpack16_pair_nt(r0 + q * 7, r1 + q * 7, o + q * 16);
+          }
+          continue;
+        }
+#endif
         for (uint64_t q = 0; q < nq; ++q) {
           unpack16_pair(r0 + q * 7, r1 + q * 7, o + q * 16);
         }
@@ -208,6 +299,9 @@ void relayout_time2_chmajor(const uint32_t* in, uint64_t L, uint64_t T,
     }
   }
   delete[] stage;
+#if defined(__AVX512F__)
+  _mm_sfence();  // drain the streaming stores before the caller reads
+#endif
 }
 
 // DAPHNE stream variant: each frame row of link l is 64 ticks x 4
@@ -219,10 +313,12 @@ void daphne_relayout_time2(const uint32_t* in, uint64_t L, uint64_t N,
   const uint64_t row = S * 128;
   const uint64_t C = 4 * L;
   uint32_t v[256];
+  uint32_t fr[113];  // +1 word: SIMD unpack over-reads the last group
   for (uint64_t n = 0; n < N; ++n) {
     for (uint64_t l = 0; l < L; ++l) {
       const uint32_t* f = in + (l * N + n) * 112;
-      for (int q = 0; q < 16; ++q) unpack16(f + q * 7, v + q * 16);
+      std::memcpy(fr, f, 112 * sizeof(uint32_t));
+      for (int q = 0; q < 16; ++q) unpack16(fr + q * 7, v + q * 16);
       for (uint64_t t2 = 0; t2 < 32; ++t2) {
         int32_t* orow = out + (n * 32 + t2) * row;
         if (l == 0) std::memset(orow + C, 0, (row - C) * sizeof(int32_t));

@@ -140,8 +140,9 @@ def process_time2_feed(W2, state_stack, cfg: TPGConfig,
     kernel-only vs ~2x for the in-kernel words14 unpack; BENCH_NOTES).
     Canonical state/decoding (no positions permutation, denser rows than
     words14: 24 vs 32 at APA scale).  The host pays the unpack ALU
-    (~1.7 GB/s/core C++) — prefer words14 when the feed stage must be a
-    pure byte permutation (NIC/DPU reordering).
+    (~6.3 GB/s/core C++: AVX-512 quartet unpack + non-temporal stores,
+    reused output buffers) — prefer words14 when the feed stage must be
+    a pure byte permutation (NIC/DPU reordering).
     """
     from .pallas_tpg import process_window_pallas
     return process_window_pallas(W2, state_stack, cfg, tc=tc,
@@ -309,6 +310,8 @@ class StreamingIngest:
         # fastest ingest when host cores can pay the unpack ALU
         # (BENCH_NOTES "time2 feed")
         self.time2 = time2
+        self._t2_bufs = {}          # host_relayout_time2 reusable outputs
+        self._t2_flip = 0
         self._positions = None
         if format == "wibeth":
             self._ch_per_link = wibeth.N_CHANNELS
@@ -441,11 +444,32 @@ class StreamingIngest:
     def host_relayout_time2(self, words: np.ndarray) -> np.ndarray:
         """Format-appropriate host relayout into the time2 feed:
         (L, rows, W) packed words (submit_words layout) -> (T//2, S, 128)
-        int32 (native C++, numpy fallback)."""
+        int32 (native C++, numpy fallback).
+
+        Output buffers are DOUBLE-buffered per shape and reused across
+        calls: a fresh ~50 MB allocation page-faults every output line,
+        which measured ~3x over the steady-state codec cost (BENCH_NOTES
+        round-3 host codec).  Two buffers (not one) so the array handed
+        to the previous submit_time2 is never overwritten while its
+        device transfer may still be in flight."""
         from .. import native
+
+        def reuse(shape):
+            bufs = self._t2_bufs.setdefault(shape, [None, None])
+            self._t2_flip ^= 1
+            if bufs[self._t2_flip] is None:
+                bufs[self._t2_flip] = native._aligned_empty(shape, np.int32)
+            return bufs[self._t2_flip]
+
         if self.format == "daphne_stream":
-            return native.relayout_time2_daphne(words)
-        return native.relayout_time2(words, ch_per_link=self._ch_per_link)
+            L, N, _ = words.shape
+            shape = (N * 32, native._pad_sublanes8(4 * L), 128)
+            return native.relayout_time2_daphne(words, out=reuse(shape))
+        L, T, _ = words.shape
+        shape = (T // 2,
+                 native._pad_sublanes8(self._ch_per_link * L), 128)
+        return native.relayout_time2(words, ch_per_link=self._ch_per_link,
+                                     out=reuse(shape))
 
     def submit_time2(self, W2: np.ndarray):
         """Time-paired host feed (canonical state, i.e. fused=False): W2

@@ -127,3 +127,93 @@ class TestConcurrency:
             t.join()
         assert not errors
         assert buf.occupancy() <= 3 * 50 * 100
+
+
+class TestRelayoutOutReuse:
+    """Reusable-output API of the host relayout codecs: a fresh ~50 MB
+    output per call page-faults every line (~3x the steady-state codec
+    cost, BENCH_NOTES round-3 host codec), so streaming callers pass
+    `out=`; 64-byte alignment additionally enables the non-temporal
+    store path (2.1x)."""
+
+    def _words(self, L=2, T=128, seed=3):
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 2 ** 32, size=(L, T, 28), dtype=np.uint32)
+
+    def test_time2_out_reuse_aligned(self):
+        words = self._words()
+        fresh = native.relayout_time2(words)
+        # the default allocation is NT-store eligible
+        assert fresh.ctypes.data % 64 == 0
+        out = native._aligned_empty(fresh.shape, np.int32)
+        res = native.relayout_time2(words, out=out)
+        assert res is out
+        np.testing.assert_array_equal(res, fresh)
+        # reuse: a second call over different data fully overwrites
+        words2 = self._words(seed=4)
+        res2 = native.relayout_time2(words2, out=out)
+        np.testing.assert_array_equal(res2, native.relayout_time2(words2))
+
+    def test_time2_unaligned_out_is_bit_exact(self):
+        # a 4-byte-aligned (not 64) buffer takes the regular-store branch
+        # of the C++ codec; results must be identical
+        words = self._words()
+        fresh = native.relayout_time2(words)
+        n = fresh.size
+        buf = np.empty(n * 4 + 128, dtype=np.uint8)
+        off = (-buf.ctypes.data) % 64 + 16
+        out = buf[off:off + n * 4].view(np.int32).reshape(fresh.shape)
+        assert out.ctypes.data % 64 == 16
+        res = native.relayout_time2(words, out=out)
+        np.testing.assert_array_equal(res, fresh)
+
+    def test_out_validation(self):
+        words = self._words()
+        with pytest.raises(ValueError):
+            native.relayout_time2(words, out=np.empty((1, 2, 3), np.int32))
+        good_shape = native.relayout_time2(words).shape
+        with pytest.raises(ValueError):
+            native.relayout_time2(
+                words, out=np.empty(good_shape, np.int64))
+        with pytest.raises(ValueError):
+            native.relayout_time2(
+                words, out=np.empty(good_shape, np.int32)[:, ::-1, :])
+
+    def test_numpy_fallback_honors_out(self, monkeypatch):
+        words = self._words()
+        fresh = native.relayout_time2(words)
+        monkeypatch.setattr(native, "load", lambda: None)
+        out = np.zeros(fresh.shape, np.int32)
+        res = native.relayout_time2(words, out=out)
+        assert res is out
+        np.testing.assert_array_equal(res, fresh)
+
+    def test_words14_and_daphne_out(self):
+        words = self._words()
+        fresh = native.relayout_words14(words)
+        out = np.empty(fresh.shape, np.int32)
+        np.testing.assert_array_equal(
+            native.relayout_words14(words, out=out), fresh)
+        rng = np.random.default_rng(5)
+        dw = rng.integers(0, 2 ** 32, size=(3, 4, 112), dtype=np.uint32)
+        dfresh = native.relayout_time2_daphne(dw)
+        dout = native._aligned_empty(dfresh.shape, np.int32)
+        np.testing.assert_array_equal(
+            native.relayout_time2_daphne(dw, out=dout), dfresh)
+
+    def test_streaming_ingest_double_buffers(self):
+        from fdreadoutlibs_tpu.ops import TPGConfig
+        from fdreadoutlibs_tpu.ops.ingest import StreamingIngest
+        ing = StreamingIngest(TPGConfig.from_raw("SimpleThreshold",
+                                                 threshold=150),
+                              n_links=2, time2=True, interpret=True)
+        w1, w2 = self._words(seed=6), self._words(seed=7)
+        a = ing.host_relayout_time2(w1)
+        b = ing.host_relayout_time2(w2)
+        # the buffer handed out for batch N-1 is not overwritten by
+        # batch N (its device transfer may still be in flight)
+        assert a.ctypes.data != b.ctypes.data
+        np.testing.assert_array_equal(a, native.relayout_time2(w1))
+        np.testing.assert_array_equal(b, native.relayout_time2(w2))
+        c = ing.host_relayout_time2(w1)     # third call recycles buffer 1
+        assert c.ctypes.data == a.ctypes.data
