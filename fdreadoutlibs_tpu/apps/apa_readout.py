@@ -93,7 +93,7 @@ class APAReadoutApp:
         # BENCH_NOTES r3): no materialized unpacked array on device,
         # worth +13-24% on the ingest-inclusive path.  words14_feed goes
         # further: the HOST stage delivers rows already in kernel order
-        # (native.relayout_words14, ~2.8 GB/s/core C++) so the device
+        # (native.relayout_words14, ~5.1 GB/s/core AVX-512 gather+NT) so the device
         # pays zero relayout — the fastest ingest surface (8.57x vs
         # 4.39x fused in the r3 bench).
         # time2_feed instead has the HOST unpack and time-pair the ADCs
@@ -108,6 +108,18 @@ class APAReadoutApp:
         self._positions = None
         self._stack = None
         self._dropped_total = 0
+        self._feed_bufs = [None, None]     # host feed double buffer
+        self._feed_flip = 0
+
+    def _feed_buf(self, native, shape):
+        """Double-buffered reusable host feed output (the previous
+        batch's array may still be mid-device-transfer)."""
+        self._feed_flip ^= 1
+        buf = self._feed_bufs[self._feed_flip]
+        if buf is None or buf.shape != shape:
+            buf = native._aligned_empty(shape, np.int32)
+            self._feed_bufs[self._feed_flip] = buf
+        return buf
 
     # ---- the fused hot path over all links ------------------------------
     def _device_pass(self, frames_links: np.ndarray):
@@ -149,16 +161,21 @@ class APAReadoutApp:
         ur = u if tc % u == 0 else (8 if tc % 8 == 0 else 1)
         if self.words14_feed:
             # host/NIC-side relayout: the device consumes kernel-ordered
-            # rows with zero on-device relayout
+            # rows with zero on-device relayout (reused output buffer —
+            # a fresh ~59 MB allocation per batch costs ~3x, BENCH_NOTES)
             from .. import native
             from ..ops.ingest import process_words14_feed
-            dev_in = jnp.asarray(native.relayout_words14(words))
+            dev_in = jnp.asarray(native.relayout_words14(
+                words, out=self._feed_buf(native, (T, -(-4 * L // 128),
+                                                   7, 128))))
             fn = process_words14_feed
         elif self.time2_feed:
             # host-side unpack + time-pairing (two ticks per int32 word)
             from .. import native
             from ..ops.ingest import process_time2_feed
-            dev_in = jnp.asarray(native.relayout_time2(words))
+            S = native._pad_sublanes8(C)
+            dev_in = jnp.asarray(native.relayout_time2(
+                words, out=self._feed_buf(native, (T // 2, S, 128))))
             fn = process_time2_feed
             ur = ur if ur % 2 == 0 else 2       # two ticks per word
         else:

@@ -231,8 +231,10 @@ def relayout_words14(words: np.ndarray, out: np.ndarray = None) -> np.ndarray:
     WR = -(-G // 128)
     lib = load()
     if lib is not None and lib.has_words14:
+        # 64-byte-aligned output enables the codec's non-temporal store
+        # path; pass `out` to amortize the allocation across a stream
         if out is None:
-            out = np.empty((T, WR, 7, 128), dtype=np.int32)
+            out = _aligned_empty((T, WR, 7, 128), np.int32)
         else:
             _check_out(out, (T, WR, 7, 128))
         lib.wibeth_relayout_words14(_ptr(words), L, T, _ptr(out))

@@ -107,6 +107,28 @@ void wibeth_relayout_words14(const uint32_t* in, uint64_t L, uint64_t T,
                  ? static_cast<int64_t>((g / 4) * B * 28 + (g % 4) * 7 + w)
                  : -1;
   }
+#if defined(__AVX512F__)
+  // per-16-output-block closed form of the same table: within a block
+  // (fixed wr, w; 16 consecutive lanes) the 16 sources are
+  // base + {(k/4)*B*28 + (k%4)*7}, so ONE masked hardware gather with a
+  // static index vector replaces 16 scalar loads + a staging roundtrip
+  // (dead lanes gather nothing and emit 0 via the mask default).
+  const uint64_t nblk = row / 16;
+  int32_t* bbase = new int32_t[nblk];
+  uint16_t* bmask = new uint16_t[nblk];
+  for (uint64_t jb = 0; jb < nblk; ++jb) {
+    const uint64_t wr = jb / (7 * 8), w = (jb / 8) % 7;
+    const uint64_t g0 = wr * 128 + (jb % 8) * 16;
+    // fully-dead blocks (mask 0) keep base 0 so the gather pointer never
+    // points past the staging buffer
+    bbase[jb] = g0 < G ? static_cast<int32_t>((g0 / 4) * B * 28 + w) : 0;
+    uint16_t m = 0;
+    for (int k = 0; k < 16; ++k) m |= (g0 + k < G) ? (1u << k) : 0;
+    bmask[jb] = m;
+  }
+  alignas(64) int32_t gidx[16];
+  for (int k = 0; k < 16; ++k) gidx[k] = (k / 4) * B * 28 + (k % 4) * 7;
+#endif
   uint32_t* stage = new uint32_t[L * B * 28];
   for (uint64_t t0 = 0; t0 < T; t0 += B) {
     const uint64_t nb = (t0 + B <= T) ? B : (T - t0);
@@ -114,9 +136,30 @@ void wibeth_relayout_words14(const uint32_t* in, uint64_t L, uint64_t T,
       std::memcpy(stage + l * B * 28, in + (l * T + t0) * 28,
                   nb * 28 * sizeof(uint32_t));
     }
+#if defined(__AVX512F__)
+    // the (T, WR, 7, 128) output is ~59 MB/APA-window, written once and
+    // next touched by the device DMA: non-temporal stores skip its
+    // write-allocate read (the loop is memory-bound — BENCH_NOTES r3
+    // host codec).  row = WR*7*128 is a multiple of 16 and row*4 of 64,
+    // so every 64-byte store is aligned iff the output base is.
+    const bool nt = (reinterpret_cast<uintptr_t>(out) & 63) == 0;
+#endif
     for (uint64_t tb = 0; tb < nb; ++tb) {
       const uint32_t* irow = stage + tb * 28;
       int32_t* orow = out + (t0 + tb) * row;
+#if defined(__AVX512F__)
+      if (nt) {
+        const __m512i vidx = _mm512_load_si512(gidx);
+        const __m512i zero = _mm512_setzero_si512();
+        for (uint64_t jb = 0; jb < nblk; ++jb) {
+          const __m512i v = _mm512_mask_i32gather_epi32(
+              zero, bmask[jb], vidx, irow + bbase[jb], 4);
+          _mm512_stream_si512(reinterpret_cast<__m512i*>(orow + jb * 16),
+                              v);
+        }
+        continue;
+      }
+#endif
       for (uint64_t j = 0; j < row; ++j) {
         orow[j] = off[j] >= 0 ? static_cast<int32_t>(irow[off[j]]) : 0;
       }
@@ -124,6 +167,11 @@ void wibeth_relayout_words14(const uint32_t* in, uint64_t L, uint64_t T,
   }
   delete[] stage;
   delete[] off;
+#if defined(__AVX512F__)
+  delete[] bbase;
+  delete[] bmask;
+  _mm_sfence();  // drain the streaming stores before the caller reads
+#endif
 }
 
 namespace {
