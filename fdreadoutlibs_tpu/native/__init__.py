@@ -50,6 +50,7 @@ def load():
     lib.has_words14 = hasattr(lib, "wibeth_relayout_words14")
     lib.has_time2 = hasattr(lib, "wibeth_relayout_time2")
     lib.has_time2_generic = hasattr(lib, "relayout_time2_chmajor")
+    lib.has_mt = hasattr(lib, "relayout_time2_chmajor_mt")
     # latency buffer
     lib.lb_create.restype = ctypes.c_void_p
     lib.lb_create.argtypes = [ctypes.c_uint64, ctypes.c_uint64]
@@ -99,6 +100,13 @@ def load():
         ("daphne_relayout_time2", [ctypes.c_char_p, ctypes.c_uint64,
                                    ctypes.c_uint64, ctypes.c_uint64,
                                    ctypes.c_char_p]),
+        ("relayout_time2_chmajor_mt", [ctypes.c_char_p, ctypes.c_uint64,
+                                       ctypes.c_uint64, ctypes.c_uint64,
+                                       ctypes.c_uint64, ctypes.c_char_p,
+                                       ctypes.c_uint64]),
+        ("wibeth_relayout_words14_mt", [ctypes.c_char_p, ctypes.c_uint64,
+                                        ctypes.c_uint64, ctypes.c_char_p,
+                                        ctypes.c_uint64]),
     ]:
         if not hasattr(lib, name):
             continue             # stale prebuilt lib (see has_words14)
@@ -216,7 +224,8 @@ def wibeth_fake_headers(frames: np.ndarray, first_ts: int, tick: int = 2048,
                             first_seq)
 
 
-def relayout_words14(words: np.ndarray, out: np.ndarray = None) -> np.ndarray:
+def relayout_words14(words: np.ndarray, out: np.ndarray = None,
+                     nthreads: int = 1) -> np.ndarray:
     """Host-side words14 relayout: (L, T, 28) uint32 packed link rows ->
     (T, WR, 7, 128) int32 feed rows for the fused in-kernel-unpack kernel
     (identical to ops.ingest.pack_words14_jnp, but on the HOST/NIC stage
@@ -237,7 +246,11 @@ def relayout_words14(words: np.ndarray, out: np.ndarray = None) -> np.ndarray:
             out = _aligned_empty((T, WR, 7, 128), np.int32)
         else:
             _check_out(out, (T, WR, 7, 128))
-        lib.wibeth_relayout_words14(_ptr(words), L, T, _ptr(out))
+        if nthreads > 1 and getattr(lib, "has_mt", False):
+            lib.wibeth_relayout_words14_mt(_ptr(words), L, T, _ptr(out),
+                                           int(nthreads))
+        else:
+            lib.wibeth_relayout_words14(_ptr(words), L, T, _ptr(out))
         return out
     wt = words.transpose(1, 0, 2).reshape(T, G, 7)
     wt = np.pad(wt, ((0, 0), (0, WR * 128 - G), (0, 0)))
@@ -306,7 +319,7 @@ def _pair_flat(adcs: np.ndarray, C: int, S: int) -> np.ndarray:
 
 
 def relayout_time2(words: np.ndarray, ch_per_link: int = 64,
-                   out: np.ndarray = None) -> np.ndarray:
+                   out: np.ndarray = None, nthreads: int = 1) -> np.ndarray:
     """Host-side 14-bit unpack + time-pairing: (L, T, nw) uint32 packed
     channel-major link rows (nw = ch_per_link*7/16: WIBEth 28, WIB2 112)
     -> (T//2, S, 128) int32 in the kernel's time_packed canonical layout
@@ -338,8 +351,14 @@ def relayout_time2(words: np.ndarray, ch_per_link: int = 64,
             out = _aligned_empty((T // 2, S, 128), np.int32)
         else:
             _check_out(out, (T // 2, S, 128))
-        lib.relayout_time2_chmajor(_ptr(words), L, T, ch_per_link, S,
-                                   _ptr(out))
+        # nthreads > 1 fans 64-tick-aligned ranges over std::threads (an
+        # APA's 8.75 GB/s raw rate needs ~2 cores at 6.3 GB/s/core)
+        if nthreads > 1 and getattr(lib, "has_mt", False):
+            lib.relayout_time2_chmajor_mt(_ptr(words), L, T, ch_per_link,
+                                          S, _ptr(out), int(nthreads))
+        else:
+            lib.relayout_time2_chmajor(_ptr(words), L, T, ch_per_link, S,
+                                       _ptr(out))
         return out
     adcs = unpack14_words(words.reshape(L, T, nw // 7, 7)) \
         .reshape(L, T, ch_per_link).transpose(1, 0, 2).reshape(T, C)

@@ -12,6 +12,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 #if defined(__AVX512F__)
 #include <immintrin.h>
@@ -88,8 +90,11 @@ void wibeth_timestamps(const uint8_t* frames, uint64_t n_frames,
 // formulation (BENCH_NOTES r3) moved to the host/NIC stage, where it is
 // a cache-resident strided copy — a words14-ordered feed runs the kernel
 // at its pre-transposed figure (6.5x vs 4.1-4.9x ingest RTF).
-void wibeth_relayout_words14(const uint32_t* in, uint64_t L, uint64_t T,
-                             int32_t* out) {
+namespace {
+// Tick-range worker (see relayout_time2_range for the range contract:
+// t_begin 64-aligned, disjoint ranges need no synchronization).
+void relayout_words14_range(const uint32_t* in, uint64_t L, uint64_t T,
+                            int32_t* out, uint64_t t_begin, uint64_t t_end) {
   const uint64_t G = 4 * L;
   const uint64_t WR = (G + 127) / 128;
   const uint64_t row = WR * 7 * 128;
@@ -130,8 +135,8 @@ void wibeth_relayout_words14(const uint32_t* in, uint64_t L, uint64_t T,
   for (int k = 0; k < 16; ++k) gidx[k] = (k / 4) * B * 28 + (k % 4) * 7;
 #endif
   uint32_t* stage = new uint32_t[L * B * 28];
-  for (uint64_t t0 = 0; t0 < T; t0 += B) {
-    const uint64_t nb = (t0 + B <= T) ? B : (T - t0);
+  for (uint64_t t0 = t_begin; t0 < t_end; t0 += B) {
+    const uint64_t nb = (t0 + B <= t_end) ? B : (t_end - t0);
     for (uint64_t l = 0; l < L; ++l) {
       std::memcpy(stage + l * B * 28, in + (l * T + t0) * 28,
                   nb * 28 * sizeof(uint32_t));
@@ -172,6 +177,33 @@ void wibeth_relayout_words14(const uint32_t* in, uint64_t L, uint64_t T,
   delete[] bmask;
   _mm_sfence();  // drain the streaming stores before the caller reads
 #endif
+}
+}  // namespace
+
+void wibeth_relayout_words14(const uint32_t* in, uint64_t L, uint64_t T,
+                             int32_t* out) {
+  relayout_words14_range(in, L, T, out, 0, T);
+}
+
+// Multithreaded variant; see relayout_time2_chmajor_mt.
+void wibeth_relayout_words14_mt(const uint32_t* in, uint64_t L, uint64_t T,
+                                int32_t* out, uint64_t nthreads) {
+  const uint64_t blocks = (T + 63) / 64;
+  if (nthreads > blocks) nthreads = blocks;
+  if (nthreads <= 1) {
+    relayout_words14_range(in, L, T, out, 0, T);
+    return;
+  }
+  std::vector<std::thread> workers;
+  workers.reserve(nthreads);
+  const uint64_t per = (blocks + nthreads - 1) / nthreads;
+  for (uint64_t i = 0; i < nthreads; ++i) {
+    const uint64_t t0 = i * per * 64;
+    const uint64_t t1 = (i + 1) * per * 64 < T ? (i + 1) * per * 64 : T;
+    if (t0 >= t1) break;
+    workers.emplace_back(relayout_words14_range, in, L, T, out, t0, t1);
+  }
+  for (auto& w : workers) w.join();
 }
 
 namespace {
@@ -292,11 +324,16 @@ void wibeth_relayout_time2(const uint32_t* in, uint64_t L, uint64_t T,
   relayout_time2_chmajor(in, L, T, 64, S, out);
 }
 
-// Generic channel-major variant: each tick row of link l is cpl
-// channels x 14 bit = cpl*7/16 uint32 words in channel order (WIBEth
-// cpl=64, WIB2 cpl=256); channel c = cpl*link + ch.
-void relayout_time2_chmajor(const uint32_t* in, uint64_t L, uint64_t T,
-                            uint64_t cpl, uint64_t S, int32_t* out) {
+namespace {
+// Tick-range worker for the channel-major time2 relayout: processes
+// absolute ticks [t_begin, t_end) of the full (L, T, nw) input into the
+// full (T/2, S, 128) output.  t_begin must be a multiple of the 64-tick
+// staging block so pairing and block staging stay aligned; ranges are
+// disjoint in both input reads and output rows, so threads need no
+// synchronization beyond join.
+void relayout_time2_range(const uint32_t* in, uint64_t L, uint64_t T,
+                          uint64_t cpl, uint64_t S, int32_t* out,
+                          uint64_t t_begin, uint64_t t_end) {
   const uint64_t row = S * 128;
   const uint64_t C = cpl * L;
   const uint64_t nw = cpl * 7 / 16;  // words per tick row
@@ -304,8 +341,8 @@ void relayout_time2_chmajor(const uint32_t* in, uint64_t L, uint64_t T,
   const uint64_t B = 64;  // tick block: staging is L2-resident
   // +1 word: the SIMD unpack reads one word past the final 7-word group
   uint32_t* stage = new uint32_t[L * B * nw + 1];
-  for (uint64_t t0 = 0; t0 < T; t0 += B) {
-    const uint64_t nb = (t0 + B <= T) ? B : (T - t0);
+  for (uint64_t t0 = t_begin; t0 < t_end; t0 += B) {
+    const uint64_t nb = (t0 + B <= t_end) ? B : (t_end - t0);
     for (uint64_t l = 0; l < L; ++l) {
       std::memcpy(stage + l * B * nw, in + (l * T + t0) * nw,
                   nb * nw * sizeof(uint32_t));
@@ -350,6 +387,42 @@ void relayout_time2_chmajor(const uint32_t* in, uint64_t L, uint64_t T,
 #if defined(__AVX512F__)
   _mm_sfence();  // drain the streaming stores before the caller reads
 #endif
+}
+}  // namespace
+
+// Generic channel-major variant: each tick row of link l is cpl
+// channels x 14 bit = cpl*7/16 uint32 words in channel order (WIBEth
+// cpl=64, WIB2 cpl=256); channel c = cpl*link + ch.
+void relayout_time2_chmajor(const uint32_t* in, uint64_t L, uint64_t T,
+                            uint64_t cpl, uint64_t S, int32_t* out) {
+  relayout_time2_range(in, L, T, cpl, S, out, 0, T);
+}
+
+// Multithreaded variant for production hosts (an APA's 8.75 GB/s raw
+// rate needs ~2 cores at the measured 6.3 GB/s/core): ticks are split
+// into 64-aligned contiguous ranges, one std::thread each — ranges are
+// disjoint in input reads and output rows, so the only synchronization
+// is the join.  nthreads <= 1 runs inline.
+void relayout_time2_chmajor_mt(const uint32_t* in, uint64_t L, uint64_t T,
+                               uint64_t cpl, uint64_t S, int32_t* out,
+                               uint64_t nthreads) {
+  const uint64_t blocks = (T + 63) / 64;
+  if (nthreads > blocks) nthreads = blocks;
+  if (nthreads <= 1) {
+    relayout_time2_range(in, L, T, cpl, S, out, 0, T);
+    return;
+  }
+  std::vector<std::thread> workers;
+  workers.reserve(nthreads);
+  const uint64_t per = (blocks + nthreads - 1) / nthreads;
+  for (uint64_t i = 0; i < nthreads; ++i) {
+    const uint64_t t0 = i * per * 64;
+    const uint64_t t1 = (i + 1) * per * 64 < T ? (i + 1) * per * 64 : T;
+    if (t0 >= t1) break;
+    workers.emplace_back(relayout_time2_range, in, L, T, cpl, S, out,
+                         t0, t1);
+  }
+  for (auto& w : workers) w.join();
 }
 
 // DAPHNE stream variant: each frame row of link l is 64 ticks x 4

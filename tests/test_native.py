@@ -217,3 +217,18 @@ class TestRelayoutOutReuse:
         np.testing.assert_array_equal(b, native.relayout_time2(w2))
         c = ing.host_relayout_time2(w1)     # third call recycles buffer 1
         assert c.ctypes.data == a.ctypes.data
+
+    def test_multithreaded_relayout_parity(self):
+        # nthreads fans 64-tick-aligned ranges over std::threads (disjoint
+        # input/output ranges); results must be bit-identical for any
+        # thread count, including counts that don't divide the tick blocks
+        rng = np.random.default_rng(9)
+        for L, T in [(3, 384), (5, 64)]:
+            w = rng.integers(0, 2 ** 32, size=(L, T, 28), dtype=np.uint32)
+            t2 = native.relayout_time2(w)
+            w14 = native.relayout_words14(w)
+            for nt in (2, 3, 7):
+                np.testing.assert_array_equal(
+                    native.relayout_time2(w, nthreads=nt), t2)
+                np.testing.assert_array_equal(
+                    native.relayout_words14(w, nthreads=nt), w14)
