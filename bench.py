@@ -295,12 +295,21 @@ def _tunnel_gate():
         try:
             r = subprocess.run([sys.executable, "-c", probe_src],
                                capture_output=True, text=True, timeout=240)
-            line = (r.stdout.strip().splitlines() or [""])[-1]
-            if r.returncode == 0 and line.startswith("{"):
-                last = json.loads(line)
-                if last.get("backend") != "tpu":
-                    return last          # CPU smoke run: nothing to gate
-                state = "slow" if last["sync_ms"] > 1500 else "healthy"
+            if r.returncode == 0:
+                # scan for the probe's JSON line (the jax/libtpu runtime
+                # may print its own messages around it)
+                for line in reversed(r.stdout.strip().splitlines()):
+                    try:
+                        parsed = json.loads(line)
+                    except ValueError:
+                        continue
+                    if isinstance(parsed, dict) and "sync_ms" in parsed:
+                        last = parsed
+                        if last.get("backend") != "tpu":
+                            return last   # CPU smoke run: nothing to gate
+                        state = ("slow" if last["sync_ms"] > 1500
+                                 else "healthy")
+                        break
         except (subprocess.TimeoutExpired, OSError):
             pass
         waited = time.time() - t_start
@@ -400,14 +409,16 @@ def main():
         "vs_baseline": rtf,
         "algorithms": results,
     }
-    if on_tpu and "sync_ms" in tunnel:
+    if on_tpu:
         # interpret the reading: per-sync tunnel latency at bench start
         # (healthy band 40-600 ms; the slope method cancels it, but phase
-        # drift across a long run does not fully cancel — BENCH_NOTES)
-        out["tunnel_sync_ms"] = tunnel["sync_ms"]
-        for key in ("tunnel_wait_s", "tunnel_gate"):
-            if tunnel.get(key):
-                out[key] = tunnel[key]
+        # drift across a long run does not fully cancel — BENCH_NOTES).
+        # tunnel_gate="proceeding_wedged" with no sync_ms means NO probe
+        # ever succeeded — treat the numbers below with suspicion.
+        for key in ("sync_ms", "tunnel_wait_s", "tunnel_gate"):
+            if key in tunnel:
+                out["tunnel_" + key if key == "sync_ms" else key] = \
+                    tunnel[key]
     if extra:
         out["production_variants"] = extra
         # overhead of paying ingest at all, against the best shipped

@@ -47,6 +47,13 @@ class APAReadoutApp:
                  fused_unpack: bool = False,
                  words14_feed: bool = False,
                  time2_feed: bool = False):
+        if words14_feed and time2_feed:
+            raise ValueError("words14_feed and time2_feed are exclusive")
+        if fused_unpack and time2_feed:
+            # fused packs state in words14 position order; the time2 feed
+            # runs the canonical-layout datapath (same rule as
+            # StreamingIngest's "fused and time2 are exclusive")
+            raise ValueError("fused_unpack and time2_feed are exclusive")
         self.n_links = n_links
         self.run_number = run_number
         self.tp_q = QueueSender(capacity=1 << 16)
@@ -100,26 +107,14 @@ class APAReadoutApp:
         # (native.relayout_time2): the device runs the plain kernel
         # datapath at ~half the ADC HBM traffic — fastest when the feed
         # stage can pay the unpack ALU (~6.3 GB/s/core AVX-512).
-        if words14_feed and time2_feed:
-            raise ValueError("words14_feed and time2_feed are exclusive")
         self.words14_feed = words14_feed
         self.time2_feed = time2_feed
         self.fused_unpack = fused_unpack or words14_feed
         self._positions = None
         self._stack = None
         self._dropped_total = 0
-        self._feed_bufs = [None, None]     # host feed double buffer
-        self._feed_flip = 0
-
-    def _feed_buf(self, native, shape):
-        """Double-buffered reusable host feed output (the previous
-        batch's array may still be mid-device-transfer)."""
-        self._feed_flip ^= 1
-        buf = self._feed_bufs[self._feed_flip]
-        if buf is None or buf.shape != shape:
-            buf = native._aligned_empty(shape, np.int32)
-            self._feed_bufs[self._feed_flip] = buf
-        return buf
+        from .. import native
+        self._feed_buf = native.FeedBuffer()  # host feed output reuse
 
     # ---- the fused hot path over all links ------------------------------
     def _device_pass(self, frames_links: np.ndarray):
@@ -166,8 +161,8 @@ class APAReadoutApp:
             from .. import native
             from ..ops.ingest import process_words14_feed
             dev_in = jnp.asarray(native.relayout_words14(
-                words, out=self._feed_buf(native, (T, -(-4 * L // 128),
-                                                   7, 128))))
+                words, out=self._feed_buf.get((T, -(-4 * L // 128),
+                                               7, 128))))
             fn = process_words14_feed
         elif self.time2_feed:
             # host-side unpack + time-pairing (two ticks per int32 word)
@@ -175,7 +170,7 @@ class APAReadoutApp:
             from ..ops.ingest import process_time2_feed
             S = native._pad_sublanes8(C)
             dev_in = jnp.asarray(native.relayout_time2(
-                words, out=self._feed_buf(native, (T // 2, S, 128))))
+                words, out=self._feed_buf.get((T // 2, S, 128))))
             fn = process_time2_feed
             ur = ur if ur % 2 == 0 else 2       # two ticks per word
         else:

@@ -290,6 +290,29 @@ def _aligned_empty(shape, dtype, align: int = 64) -> np.ndarray:
     return buf[off:off + n * itemsize].view(dtype).reshape(shape)
 
 
+class FeedBuffer:
+    """Double-buffered, 64-byte-aligned reusable outputs for the relayout
+    codecs' ``out=`` parameter.  Two buffers (not one) so the array handed
+    to the previous submit/device_put is never overwritten while its
+    device transfer may still be in flight; a shape change replaces the
+    slot (bounded at two live buffers).  Streaming callers must reuse:
+    a fresh ~50 MB output page-faults every line (~3x over steady state,
+    BENCH_NOTES round-3 host codec)."""
+
+    def __init__(self):
+        self._bufs = [None, None]
+        self._flip = 0
+
+    def get(self, shape) -> np.ndarray:
+        shape = tuple(shape)
+        self._flip ^= 1
+        buf = self._bufs[self._flip]
+        if buf is None or buf.shape != shape:
+            buf = _aligned_empty(shape, np.int32)
+            self._bufs[self._flip] = buf
+        return buf
+
+
 def _check_out(out: np.ndarray, shape: tuple) -> np.ndarray:
     """Validate a caller-supplied reusable output buffer (the relayout
     codecs' per-call output is ~50 MB/APA-window: a fresh allocation
@@ -384,8 +407,10 @@ def relayout_time2_daphne(words: np.ndarray,
     S = _pad_sublanes8(C)
     lib = load()
     if lib is not None and getattr(lib, "has_time2_generic", False):
+        # aligned like the sibling codecs, so a future NT-store variant
+        # of the daphne codec engages without caller changes
         if out is None:
-            out = np.empty((N * 32, S, 128), dtype=np.int32)
+            out = _aligned_empty((N * 32, S, 128), np.int32)
         else:
             _check_out(out, (N * 32, S, 128))
         lib.daphne_relayout_time2(_ptr(words), L, N, S, _ptr(out))

@@ -340,7 +340,9 @@ void relayout_time2_range(const uint32_t* in, uint64_t L, uint64_t T,
   const uint64_t nq = cpl / 16;      // quartets per tick row
   const uint64_t B = 64;  // tick block: staging is L2-resident
   // +1 word: the SIMD unpack reads one word past the final 7-word group
+  // (zero-initialized so sanitizers don't flag the masked-away read)
   uint32_t* stage = new uint32_t[L * B * nw + 1];
+  stage[L * B * nw] = 0;
   for (uint64_t t0 = t_begin; t0 < t_end; t0 += B) {
     const uint64_t nb = (t0 + B <= t_end) ? B : (t_end - t0);
     for (uint64_t l = 0; l < L; ++l) {
@@ -351,8 +353,6 @@ void relayout_time2_range(const uint32_t* in, uint64_t L, uint64_t T,
     // every store in this loop is 64-byte aligned iff the output base is
     // (row*4 and cpl*4 are multiples of 64): use non-temporal stores then
     const bool nt = (reinterpret_cast<uintptr_t>(out) & 63) == 0;
-#else
-    const bool nt = false;
 #endif
     for (uint64_t tb = 0; tb + 1 < nb; tb += 2) {  // nb even (T even)
       int32_t* orow = out + ((t0 + tb) / 2) * row;
@@ -435,6 +435,7 @@ void daphne_relayout_time2(const uint32_t* in, uint64_t L, uint64_t N,
   const uint64_t C = 4 * L;
   uint32_t v[256];
   uint32_t fr[113];  // +1 word: SIMD unpack over-reads the last group
+  fr[112] = 0;       // (zeroed so sanitizers don't flag the masked read)
   for (uint64_t n = 0; n < N; ++n) {
     for (uint64_t l = 0; l < L; ++l) {
       const uint32_t* f = in + (l * N + n) * 112;

@@ -310,8 +310,8 @@ class StreamingIngest:
         # fastest ingest when host cores can pay the unpack ALU
         # (BENCH_NOTES "time2 feed")
         self.time2 = time2
-        self._t2_bufs = {}          # host_relayout_time2 reusable outputs
-        self._t2_flip = 0
+        from .. import native
+        self._t2_bufs = native.FeedBuffer()   # host relayout output reuse
         self._positions = None
         if format == "wibeth":
             self._ch_per_link = wibeth.N_CHANNELS
@@ -446,30 +446,21 @@ class StreamingIngest:
         (L, rows, W) packed words (submit_words layout) -> (T//2, S, 128)
         int32 (native C++, numpy fallback).
 
-        Output buffers are DOUBLE-buffered per shape and reused across
-        calls: a fresh ~50 MB allocation page-faults every output line,
-        which measured ~3x over the steady-state codec cost (BENCH_NOTES
-        round-3 host codec).  Two buffers (not one) so the array handed
-        to the previous submit_time2 is never overwritten while its
-        device transfer may still be in flight."""
+        Outputs go through a native.FeedBuffer (double-buffered aligned
+        reuse; a fresh ~50 MB allocation per call costs ~3x —
+        BENCH_NOTES round-3 host codec)."""
         from .. import native
-
-        def reuse(shape):
-            bufs = self._t2_bufs.setdefault(shape, [None, None])
-            self._t2_flip ^= 1
-            if bufs[self._t2_flip] is None:
-                bufs[self._t2_flip] = native._aligned_empty(shape, np.int32)
-            return bufs[self._t2_flip]
 
         if self.format == "daphne_stream":
             L, N, _ = words.shape
             shape = (N * 32, native._pad_sublanes8(4 * L), 128)
-            return native.relayout_time2_daphne(words, out=reuse(shape))
+            return native.relayout_time2_daphne(
+                words, out=self._t2_bufs.get(shape))
         L, T, _ = words.shape
         shape = (T // 2,
                  native._pad_sublanes8(self._ch_per_link * L), 128)
         return native.relayout_time2(words, ch_per_link=self._ch_per_link,
-                                     out=reuse(shape))
+                                     out=self._t2_bufs.get(shape))
 
     def submit_time2(self, W2: np.ndarray):
         """Time-paired host feed (canonical state, i.e. fused=False): W2

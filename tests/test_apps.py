@@ -79,3 +79,15 @@ def test_apa_record_fragment_and_cli_dump(interpret_ingest, tmp_path, capsys):
               "-o", str(out)])
     back = np.fromfile(out, np.uint8).reshape(-1, wibeth.FRAME_SIZE)
     np.testing.assert_array_equal(back, frag.payloads)
+
+
+def test_exclusive_ingest_mode_guards():
+    """fused_unpack packs state in words14 position order; the time2
+    feed runs the canonical-layout datapath — combining them would
+    decode hits against a permuted state stack (review r3)."""
+    import pytest
+    from fdreadoutlibs_tpu.apps.apa_readout import APAReadoutApp
+    with pytest.raises(ValueError):
+        APAReadoutApp(n_links=1, fused_unpack=True, time2_feed=True)
+    with pytest.raises(ValueError):
+        APAReadoutApp(n_links=1, words14_feed=True, time2_feed=True)
