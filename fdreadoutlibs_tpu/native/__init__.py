@@ -51,6 +51,7 @@ def load():
     lib.has_time2 = hasattr(lib, "wibeth_relayout_time2")
     lib.has_time2_generic = hasattr(lib, "relayout_time2_chmajor")
     lib.has_mt = hasattr(lib, "relayout_time2_chmajor_mt")
+    lib.has_protowib_time2 = hasattr(lib, "protowib_relayout_time2")
     # latency buffer
     lib.lb_create.restype = ctypes.c_void_p
     lib.lb_create.argtypes = [ctypes.c_uint64, ctypes.c_uint64]
@@ -107,6 +108,9 @@ def load():
         ("wibeth_relayout_words14_mt", [ctypes.c_char_p, ctypes.c_uint64,
                                         ctypes.c_uint64, ctypes.c_char_p,
                                         ctypes.c_uint64]),
+        ("protowib_relayout_time2", [ctypes.c_char_p, ctypes.c_uint64,
+                                     ctypes.c_char_p, ctypes.c_uint64,
+                                     ctypes.c_uint64, ctypes.c_char_p]),
     ]:
         if not hasattr(lib, name):
             continue             # stale prebuilt lib (see has_words14)
@@ -385,6 +389,45 @@ def relayout_time2(words: np.ndarray, ch_per_link: int = 64,
         return out
     adcs = unpack14_words(words.reshape(L, T, nw // 7, 7)) \
         .reshape(L, T, ch_per_link).transpose(1, 0, 2).reshape(T, C)
+    res = _pair_flat(adcs, C, S)
+    if out is not None:
+        _check_out(out, res.shape)[...] = res
+        return out
+    return res
+
+
+def relayout_time2_protowib(frames: np.ndarray, chan_list,
+                            out: np.ndarray = None) -> np.ndarray:
+    """ProtoWIB plane-subset variant of relayout_time2: (T, 464) uint8
+    whole frames + an in-frame channel list (the plane's
+    COLLECTION/INDUCTION_INDEX_TO_CHAN register order) -> (T//2, S, 128)
+    int32 canonical time-paired feed with plane-LOCAL channel indices
+    (matching process_packed_protowib's plane split).  The host pays the
+    12-bit nibble decode; the device runs the plain time_packed FIR
+    datapath."""
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    if frames.ndim != 2 or frames.shape[1] != 464:
+        raise ValueError(f"expected (T, 464) ProtoWIB frames, "
+                         f"got {frames.shape}")
+    T = frames.shape[0]
+    if T % 2:
+        raise ValueError("time2 relayout needs an even tick count")
+    chan = np.ascontiguousarray(chan_list, dtype=np.uint16)
+    if chan.ndim != 1 or chan.size == 0 or int(chan.max()) > 255:
+        raise ValueError("chan_list must be 1-D in-frame channels (0..255)")
+    C = chan.size
+    S = _pad_sublanes8(C)
+    lib = load()
+    if lib is not None and getattr(lib, "has_protowib_time2", False):
+        if out is None:
+            out = _aligned_empty((T // 2, S, 128), np.int32)
+        else:
+            _check_out(out, (T // 2, S, 128))
+        lib.protowib_relayout_time2(_ptr(frames), T, _ptr(chan), C,
+                                    S, _ptr(out))
+        return out
+    from ..formats import protowib as pw
+    adcs = pw.get_adcs(frames)[:, chan].astype(np.int32)
     res = _pair_flat(adcs, C, S)
     if out is not None:
         _check_out(out, res.shape)[...] = res

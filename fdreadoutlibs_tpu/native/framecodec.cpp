@@ -455,6 +455,52 @@ void daphne_relayout_time2(const uint32_t* in, uint64_t L, uint64_t N,
   }
 }
 
+// ProtoWIB plane-subset time2 feed: frames (T, 464 B) -> (T/2, S, 128)
+// int32 canonical time-paired feed over a caller-supplied in-frame
+// channel list (the COLLECTION/INDUCTION register tables live in python
+// as data; formats/protowib.py).  The 12-bit nibble codec reads, per
+// channel, (lo_byte, nibble_byte) for even in-pair position or
+// (nibble_byte, hi_byte) for odd — the byte offsets mirror
+// formats/protowib.py get_adcs/_channel_byte_offsets.  Scalar: a
+// ProtoWIB link is ~0.93 GB/s raw, far below the codec's ceiling.
+void protowib_relayout_time2(const uint8_t* frames, uint64_t T,
+                             const uint16_t* chan_list, uint64_t C,
+                             uint64_t S, int32_t* out) {
+  struct Off {
+    uint16_t lo, mid, hi;
+    uint8_t pos;
+  };
+  Off offs[256];
+  for (int c = 0; c < 256; ++c) {
+    const int block = c / 64, r1 = c % 64;
+    const int segment = r1 / 8, r2 = r1 % 8;
+    const int adc = r2 / 4, ch = r2 % 4;
+    const int grp = ch / 2, pos = ch % 2;
+    const int base = 16 + block * 112 + 16 + segment * 12 + grp * 6 + adc;
+    offs[c] = {static_cast<uint16_t>(base), static_cast<uint16_t>(base + 2),
+               static_cast<uint16_t>(base + 4), static_cast<uint8_t>(pos)};
+  }
+  const uint64_t row = S * 128;
+  for (uint64_t t = 0; t + 1 < T; t += 2) {
+    const uint8_t* f0 = frames + t * 464;
+    const uint8_t* f1 = f0 + 464;
+    int32_t* orow = out + (t / 2) * row;
+    std::memset(orow + C, 0, (row - C) * sizeof(int32_t));
+    for (uint64_t j = 0; j < C; ++j) {
+      const Off& o = offs[chan_list[j]];
+      uint32_t v0, v1;
+      if (o.pos == 0) {
+        v0 = f0[o.lo] | (static_cast<uint32_t>(f0[o.mid] & 0x0F) << 8);
+        v1 = f1[o.lo] | (static_cast<uint32_t>(f1[o.mid] & 0x0F) << 8);
+      } else {
+        v0 = (f0[o.mid] >> 4) | (static_cast<uint32_t>(f0[o.hi]) << 4);
+        v1 = (f1[o.mid] >> 4) | (static_cast<uint32_t>(f1[o.hi]) << 4);
+      }
+      orow[j] = static_cast<int32_t>(v0 | (v1 << 16));
+    }
+  }
+}
+
 // Set perfectly incrementing timestamps + sequence ids (emulator repair).
 void wibeth_fake_headers(uint8_t* frames, uint64_t n_frames, uint64_t first_ts,
                          uint64_t tick, uint64_t first_seq) {

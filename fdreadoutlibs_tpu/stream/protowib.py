@@ -64,6 +64,11 @@ class WIBFrameProcessor(TaskRawDataProcessor):
         self.k_slots = config.get("tpg_pallas_k_slots", 4)
         self._device_compact = bool(config.get("tpg_device_compact", True))
         self._max_hits = config.get("tpg_max_hits")
+        # time2 feed: the HOST decodes the 12-bit nibble codec and pairs
+        # two ticks per int32 word (native.relayout_time2_protowib); the
+        # device runs the plain time_packed dual-plane FIR datapath
+        # (BENCH_NOTES "time2 feed" — pallas backend only)
+        self._time2_feed = bool(config.get("tpg_time2_feed", False))
 
         self.add_preprocess_task(self.timestamp_check)
         self.add_preprocess_task(self.frame_error_check)
@@ -82,6 +87,9 @@ class WIBFrameProcessor(TaskRawDataProcessor):
         self._ind_stack = None
         self._coll_state = None
         self._ind_state = None
+        from .. import native
+        self._t2_buf_coll = native.FeedBuffer()   # time2 feed output reuse
+        self._t2_buf_ind = native.FeedBuffer()
         coll_off, ind_off = protowib.register_offline_channels(
             self.min_collection_offline, self.min_induction_offline)
         self.collection_offlines = coll_off
@@ -187,8 +195,11 @@ class WIBFrameProcessor(TaskRawDataProcessor):
 
         if self.backend == "pallas":
             # fused device ingest: whole frames -> on-device 12-bit decode
-            # -> dual-plane Pallas TPG (ops/ingest.process_packed_protowib)
-            h_coll, h_ind = self._run_pallas_packed(flat)
+            # -> dual-plane Pallas TPG (ops/ingest.process_packed_protowib);
+            # or the time2 host feed when configured
+            h_coll, h_ind = (self._run_pallas_time2(flat)
+                             if self._time2_feed
+                             else self._run_pallas_packed(flat))
         else:
             adcs = protowib.get_adcs(flat).astype(np.int32)
             coll = adcs[:, protowib.COLLECTION_INDEX_TO_CHAN]
@@ -210,14 +221,9 @@ class WIBFrameProcessor(TaskRawDataProcessor):
         from ..models import run_model
         return run_model(adcs, cfg, backend=self.backend, state=state)
 
-    def _run_pallas_packed(self, flat_frames: np.ndarray):
-        """Fused device ingest for one link: (T, 464 B) frames shipped
-        whole; decode + both plane kernels run inside one jit."""
-        import jax.numpy as jnp
-        from ..ops.ingest import collect_hits, process_packed_protowib
-        from ..ops.pallas_tpg import auto_tc, pack_state
+    def _ensure_stacks(self, knobs):
+        from ..ops.pallas_tpg import pack_state
         from ..utils.tuning import kernel_knobs
-        knobs = kernel_knobs(self.coll_cfg, protowib.N_COLLECTION)
         if self._coll_stack is None:
             self._coll_stack = pack_state(
                 self._coll_state, protowib.N_COLLECTION,
@@ -226,6 +232,65 @@ class WIBFrameProcessor(TaskRawDataProcessor):
             self._ind_stack = pack_state(
                 self._ind_state, protowib.N_INDUCTION,
                 block_sublanes=ind_knobs["block_sublanes"])
+
+    def _run_pallas_time2(self, flat_frames: np.ndarray):
+        """Time2 host feed for one link: the host pays the 12-bit nibble
+        decode + time pairing (native.relayout_time2_protowib, plane
+        register order), the device runs the plain time_packed FIR
+        datapath — the ProtoWIB arm of the feed matrix (BENCH_NOTES
+        "time2 feed"; cf. StreamingIngest(time2=True) for the
+        channel-major formats)."""
+        import jax.numpy as jnp
+        from .. import native
+        from ..ops.ingest import collect_hits, process_time2_feed
+        from ..ops.pallas_tpg import auto_tc
+        from ..utils.tuning import kernel_knobs
+        knobs = kernel_knobs(self.coll_cfg, protowib.N_COLLECTION)
+        self._ensure_stacks(knobs)
+        T = flat_frames.shape[0]
+        tc = auto_tc(T, cap=512 if self._interpret else knobs["tc"])
+        u = knobs["unroll"]
+        unroll = u if (not self._interpret and tc % u == 0) else 1
+        # the time_packed datapath consumes two ticks per step: tc and
+        # unroll must be even (T is even — 12 ticks per superchunk)
+        unroll = unroll if unroll % 2 == 0 else 2
+        if tc % 2:
+            tc = next((d for d in range(tc, 1, -1)
+                       if T % d == 0 and d % 2 == 0), T)
+
+        def run(chan_idx, buf, stack, cfg, C):
+            feed = jnp.asarray(native.relayout_time2_protowib(
+                flat_frames, chan_idx,
+                out=buf.get((T // 2, native._pad_sublanes8(C), 128))))
+            return process_time2_feed(feed, stack, cfg, C, tc=tc,
+                                      k_slots=self.k_slots, unroll=unroll,
+                                      interpret=self._interpret)
+
+        (c_slots, c_n, self._coll_stack) = run(
+            protowib.COLLECTION_INDEX_TO_CHAN, self._t2_buf_coll,
+            self._coll_stack, self.coll_cfg, protowib.N_COLLECTION)
+        (i_slots, i_n, self._ind_stack) = run(
+            protowib.INDUCTION_INDEX_TO_CHAN, self._t2_buf_ind,
+            self._ind_stack, self.ind_cfg, protowib.N_INDUCTION)
+        h_coll, d_c = collect_hits(c_slots, c_n, protowib.N_COLLECTION,
+                                   max_hits=self._max_hits,
+                                   device=self._device_compact)
+        h_ind, d_i = collect_hits(i_slots, i_n, protowib.N_INDUCTION,
+                                  max_hits=self._max_hits,
+                                  device=self._device_compact)
+        if d_c or d_i:
+            self.metrics.inc("num_hits_dropped", d_c + d_i)
+        return h_coll, h_ind
+
+    def _run_pallas_packed(self, flat_frames: np.ndarray):
+        """Fused device ingest for one link: (T, 464 B) frames shipped
+        whole; decode + both plane kernels run inside one jit."""
+        import jax.numpy as jnp
+        from ..ops.ingest import collect_hits, process_packed_protowib
+        from ..ops.pallas_tpg import auto_tc
+        from ..utils.tuning import kernel_knobs
+        knobs = kernel_knobs(self.coll_cfg, protowib.N_COLLECTION)
+        self._ensure_stacks(knobs)
         T = flat_frames.shape[0]
         words = jnp.asarray(protowib.frames_bytes_to_u32(flat_frames))
         tc = auto_tc(T, cap=512 if self._interpret else knobs["tc"])

@@ -209,3 +209,69 @@ def test_pallas_fused_state_carries_across_batches():
     key = ["time_start", "channel"]
     np.testing.assert_array_equal(np.sort(results["reference"], order=key),
                                   np.sort(results["pallas"], order=key))
+
+
+def test_pallas_time2_feed_matches_packed():
+    """The time2 host feed (native.relayout_time2_protowib: host 12-bit
+    decode + time pairing -> plain time_packed dual-plane FIR datapath)
+    produces the identical TP stream as the fused packed ingest, with
+    carried state across batches."""
+    rng = np.random.default_rng(29)
+    batches = []
+    ts = 50_000
+    pulse_c = int(protowib.COLLECTION_INDEX_TO_CHAN[11])
+    pulse_i = int(protowib.INDUCTION_INDEX_TO_CHAN[3])
+    for b in range(2):
+        sc = protowib.empty_superchunks(4)
+        frames = protowib.superchunk_frames(sc).reshape(
+            -1, protowib.FRAME_SIZE)
+        adcs = (900 + rng.normal(0, 10, (len(frames), 256))).astype(np.uint16)
+        adcs[20 + 10 * b:30 + 10 * b, pulse_c] += 700
+        adcs[8:14, pulse_i] += 700
+        protowib.set_adcs(frames, adcs)
+        protowib.fake_timestamps(sc, ts)
+        batches.append(sc)
+        ts += 4 * 300
+
+    results = {}
+    for name, conf in (("packed", {}), ("time2", {"tpg_time2_feed": True})):
+        proc, handler = make_processor(tpg_backend="pallas",
+                                       tpg_pallas_interpret=True, **conf)
+        for sc in batches:
+            proc.process(sc.copy())
+        tpset = handler.try_sending_tpsets(10**12)
+        results[name] = np.array(list(tpset.objects)) if tpset else \
+            np.zeros(0)
+    assert len(results["packed"]) >= 2
+    key = ["time_start", "channel"]
+    np.testing.assert_array_equal(np.sort(results["packed"], order=key),
+                                  np.sort(results["time2"], order=key))
+
+
+def test_protowib_time2_codec_parity():
+    """native.relayout_time2_protowib == numpy fallback == direct decode,
+    both planes, incl. out= reuse."""
+    from fdreadoutlibs_tpu import native
+    rng = np.random.default_rng(5)
+    T = 24
+    frames = protowib.empty_frames(T)
+    adcs = rng.integers(0, 1 << 12, size=(T, 256), dtype=np.uint16)
+    protowib.set_adcs(frames, adcs)
+    for chan in (protowib.COLLECTION_INDEX_TO_CHAN,
+                 protowib.INDUCTION_INDEX_TO_CHAN):
+        a = native.relayout_time2_protowib(frames, chan)
+        orig = native.load
+        native.load = lambda: None
+        try:
+            b = native.relayout_time2_protowib(frames, chan)
+        finally:
+            native.load = orig
+        np.testing.assert_array_equal(a, b)
+        C = len(chan)
+        want = adcs[:, np.asarray(chan)].astype(np.int32)
+        flat = a.reshape(T // 2, -1)[:, :C]
+        np.testing.assert_array_equal(flat & 0xFFFF, want[0::2])
+        np.testing.assert_array_equal((flat >> 16) & 0xFFFF, want[1::2])
+        out = native._aligned_empty(a.shape, np.int32)
+        np.testing.assert_array_equal(
+            native.relayout_time2_protowib(frames, chan, out=out), a)
