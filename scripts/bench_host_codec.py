@@ -93,11 +93,15 @@ def main():
         finally:
             native.load = orig
 
-    # cross-check: every configuration must produce identical bytes
-    ref = native.relayout_time2(words)
+    # cross-check: every benchmarked configuration (both codecs, every
+    # thread count) must produce identical bytes
+    ref_t2 = native.relayout_time2(words)
+    ref_w14 = native.relayout_words14(words)
     for nt in args.threads:
-        assert np.array_equal(ref, native.relayout_time2(words,
-                                                         nthreads=nt))
+        assert np.array_equal(ref_t2,
+                              native.relayout_time2(words, nthreads=nt))
+        assert np.array_equal(ref_w14,
+                              native.relayout_words14(words, nthreads=nt))
     results["parity"] = "ok"
     print(json.dumps(results))
     return 0

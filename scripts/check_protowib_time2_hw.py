@@ -57,10 +57,14 @@ def main():
         proc.start()
         for sc in batches:
             proc.process(sc.copy())
-        tpset = handler.try_sending_tpsets(10 ** 12)
-        results[name] = (np.sort(np.array(list(tpset.objects)),
+        # drain EVERY window (one try_sending_tpsets call emits one
+        # aligned tpset_window_size window — review r3)
+        tps = []
+        while (tpset := handler.try_sending_tpsets(10 ** 12)) is not None:
+            tps.extend(tpset.objects)
+        results[name] = (np.sort(np.array(tps),
                                  order=["time_start", "channel"])
-                         if tpset else np.zeros(0))
+                         if tps else np.zeros(0))
 
     assert len(results["packed"]) >= 6, len(results["packed"])
     np.testing.assert_array_equal(results["packed"], results["time2"])
