@@ -213,7 +213,13 @@ class WIBFrameProcessor(TaskRawDataProcessor):
         self._emit_tps(h_coll, self.collection_offlines, timestamp, current)
         self._emit_tps(h_ind, self.induction_offlines, timestamp, current)
         if self.tp_handler is not None:
-            self.tp_handler.try_sending_tpsets(current)
+            # drain every safely-closed window: one call emits at most one
+            # aligned window (hpp:59-92 semantics), which matches the
+            # reference's per-superchunk call rate but not this
+            # processor's coarse batches (a 384-tick batch spans ~5
+            # windows — a single call would grow the heap without bound)
+            while self.tp_handler.try_sending_tpsets(current) is not None:
+                pass
 
     def _run(self, adcs, state, cfg):
         """Run one plane's stream through the selected backend

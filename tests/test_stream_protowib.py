@@ -283,3 +283,36 @@ def test_protowib_time2_codec_parity():
         out = native._aligned_empty(a.shape, np.int32)
         np.testing.assert_array_equal(
             native.relayout_time2_protowib(frames, chan, out=out), a)
+
+
+def test_handler_backlog_bounded_across_coarse_batches():
+    """One try_sending_tpsets call drains one window; the processor must
+    loop per batch or a multi-window batch grows the heap without bound
+    (a 384-tick batch spans ~5 aligned 2000-clock windows)."""
+    handler = WIBTPHandler(tp_sink=QueueSender(), tpset_sink=QueueSender(),
+                           tp_timeout=10_000, tpset_window_size=2_000)
+    proc = WIBFrameProcessor(tp_handler=handler,
+                             errored_frame_sink=QueueSender())
+    proc.conf({"crate_id": 0, "slot_id": 0, "link_id": 0,
+               "enable_tpg": True, "tpg_backend": "reference"})
+    proc.start()
+    ts = 50_000
+    rng = np.random.default_rng(41)
+    chan = int(protowib.COLLECTION_INDEX_TO_CHAN[2])
+    for b in range(3):
+        n_sc = 32                              # 384 ticks = 9600 clocks
+        sc = protowib.empty_superchunks(n_sc)
+        frames = protowib.superchunk_frames(sc).reshape(
+            -1, protowib.FRAME_SIZE)
+        adcs = (900 + rng.normal(0, 3, (len(frames), 256))).astype(np.uint16)
+        for t0 in range(16, 360, 48):          # a TP in most windows
+            adcs[t0:t0 + 10, chan] += 700
+        protowib.set_adcs(frames, adcs)
+        protowib.fake_timestamps(sc, ts)
+        proc.process(sc)
+        ts += n_sc * 300
+    # after each batch every window older than (current - timeout -
+    # window) must have been drained: the heap holds at most the tail
+    # windows still inside the tardy allowance, NOT the whole run
+    assert handler.sent_tpsets >= 6, handler.sent_tpsets
+    assert len(handler) <= 16, len(handler)
