@@ -324,10 +324,49 @@ def _tunnel_gate():
         time.sleep(60)
 
 
+def bench_host_codecs(seconds: float = 2.0):
+    """Steady-state host feed codec throughput (pure CPU — meaningful
+    even when the TPU tunnel is degraded).  Reused aligned output
+    buffers, one core: the production calling convention
+    (scripts/bench_host_codec.py is the full harness)."""
+    from fdreadoutlibs_tpu import native
+    if native.load() is None:
+        return {}
+    L, T = 40, 4096
+    rng = np.random.default_rng(1)
+    words = rng.integers(0, 2 ** 32, size=(L, T, 28), dtype=np.uint32)
+    gb = words.nbytes / 1e9
+    out = {}
+    for name, fn in [
+            ("time2", lambda b: native.relayout_time2(
+                words, out=b.get((T // 2, native._pad_sublanes8(64 * L),
+                                  128)))),
+            ("words14", lambda b: native.relayout_words14(
+                words, out=b.get((T, -(-4 * L // 128), 7, 128))))]:
+        buf = native.FeedBuffer()
+        fn(buf)                                  # warm / page-fault
+        t0 = time.perf_counter()
+        n = 0
+        while time.perf_counter() - t0 < seconds:
+            fn(buf)
+            n += 1
+        dt = (time.perf_counter() - t0) / n
+        out[f"host_{name}_GBps_per_core"] = round(gb / dt, 2)
+    return out
+
+
 def main():
     tunnel = _tunnel_gate()
 
+    import os
+
     import jax
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        # make the env knob effective even where a sitecustomize points
+        # the default backend at a (possibly wedged) TPU tunnel at
+        # interpreter start (CLAUDE.md gotcha): an explicit CPU smoke run
+        # must never touch the tunnel
+        jax.config.update("jax_platforms", "cpu")
     from fdreadoutlibs_tpu.ops import TPGConfig
 
     on_tpu = jax.default_backend() == "tpu"
@@ -419,6 +458,12 @@ def main():
             if key in tunnel:
                 out["tunnel_" + key if key == "sync_ms" else key] = \
                     tunnel[key]
+    try:
+        codec = bench_host_codecs()
+        if codec:
+            out["host_codecs"] = codec
+    except Exception as e:  # noqa: BLE001 — never cost the headline
+        out["host_codec_error"] = str(e)[-200:]
     if extra:
         out["production_variants"] = extra
         # overhead of paying ingest at all, against the best shipped
