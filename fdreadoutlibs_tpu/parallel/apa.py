@@ -229,6 +229,7 @@ class APAPipeline:
             raise ValueError("fused_unpack and time2_feed are exclusive")
         self.cfg = cfg
         self.time2_feed = time2_feed
+        self._feed_buf = None              # lazy native.FeedBuffer
         self.step = make_apa_step(self.mesh, cfg, max_hits_per_link,
                                   backend=backend, interpret=interpret,
                                   fused_unpack=fused_unpack,
@@ -273,10 +274,18 @@ class APAPipeline:
             from .. import native
             D = self.mesh.devices.size
             Lloc = self.n_links // D
-            feeds = np.stack([
+            T = words.shape[1]
+            # relayout each device's link group directly into one
+            # double-buffered stacked feed (native.FeedBuffer): no fresh
+            # ~50 MB allocations and no np.stack copy per batch
+            if self._feed_buf is None:
+                self._feed_buf = native.FeedBuffer()
+            feeds = self._feed_buf.get(
+                (D, T // 2, native._pad_sublanes8(64 * Lloc), 128))
+            for d in range(D):
                 native.relayout_time2(
-                    np.ascontiguousarray(words[d * Lloc:(d + 1) * Lloc]))
-                for d in range(D)])
+                    np.ascontiguousarray(words[d * Lloc:(d + 1) * Lloc]),
+                    out=feeds[d])
             return self.process_feed(feeds)
         sharding = NamedSharding(self.mesh, P("link"))
         words = jax.device_put(np.ascontiguousarray(words), sharding)
