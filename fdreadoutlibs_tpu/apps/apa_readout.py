@@ -46,7 +46,8 @@ class APAReadoutApp:
                  threshold_on_collection: bool = False,
                  fused_unpack: bool = False,
                  words14_feed: bool = False,
-                 time2_feed: bool = False):
+                 time2_feed: bool = False,
+                 codec_threads: int = 1):
         if words14_feed and time2_feed:
             raise ValueError("words14_feed and time2_feed are exclusive")
         if fused_unpack and time2_feed:
@@ -115,6 +116,8 @@ class APAReadoutApp:
         self._dropped_total = 0
         from .. import native
         self._feed_buf = native.FeedBuffer()  # host feed output reuse
+        # host codec thread fan-out (~2 cores cover an APA; native mt)
+        self.codec_threads = max(1, int(codec_threads))
 
     # ---- the fused hot path over all links ------------------------------
     def _device_pass(self, frames_links: np.ndarray):
@@ -162,7 +165,8 @@ class APAReadoutApp:
             from ..ops.ingest import process_words14_feed
             dev_in = jnp.asarray(native.relayout_words14(
                 words, out=self._feed_buf.get((T, -(-4 * L // 128),
-                                               7, 128))))
+                                               7, 128)),
+                nthreads=self.codec_threads))
             fn = process_words14_feed
         elif self.time2_feed:
             # host-side unpack + time-pairing (two ticks per int32 word)
@@ -170,7 +174,8 @@ class APAReadoutApp:
             from ..ops.ingest import process_time2_feed
             S = native._pad_sublanes8(C)
             dev_in = jnp.asarray(native.relayout_time2(
-                words, out=self._feed_buf.get((T // 2, S, 128))))
+                words, out=self._feed_buf.get((T // 2, S, 128)),
+                nthreads=self.codec_threads))
             fn = process_time2_feed
             ur = ur if ur % 2 == 0 else 2       # two ticks per word
         else:
@@ -278,6 +283,9 @@ def main(argv=None) -> int:
                          "the fused kernel with zero device relayout — "
                          "the fastest ingest surface (implies "
                          "--fused-unpack)")
+    ap.add_argument("--codec-threads", type=int, default=1,
+                    help="host feed codec std::thread fan-out "
+                         "(~2 cores cover an APA at the measured rates)")
     ap.add_argument("--time2-feed", action="store_true",
                     help="host-side unpack + time-pairing "
                          "(native.relayout_time2): the device runs the "
@@ -291,7 +299,8 @@ def main(argv=None) -> int:
                         threshold_on_collection=args.threshold_on_collection,
                         fused_unpack=args.fused_unpack,
                         words14_feed=args.words14_feed,
-                        time2_feed=args.time2_feed)
+                        time2_feed=args.time2_feed,
+                        codec_threads=args.codec_threads)
     rng = np.random.default_rng(0)
     ts = 0x1000000
     t_wall = time.perf_counter()
