@@ -249,6 +249,19 @@ def bench_fresh_and_ingest(cfg, tc, k_slots, unroll, adcs, rmf,
     return out
 
 
+def _parse_probe_output(stdout: str):
+    """Find the probe's JSON line in subprocess stdout (the jax/libtpu
+    runtime may print its own messages around it); None if absent."""
+    for line in reversed(stdout.strip().splitlines()):
+        try:
+            parsed = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(parsed, dict) and "sync_ms" in parsed:
+            return parsed
+    return None
+
+
 def _tunnel_gate():
     """Probe the remote-TPU tunnel in a SUBPROCESS before this process
     touches jax, and wait (bounded) for a healthy phase.
@@ -296,20 +309,13 @@ def _tunnel_gate():
             r = subprocess.run([sys.executable, "-c", probe_src],
                                capture_output=True, text=True, timeout=240)
             if r.returncode == 0:
-                # scan for the probe's JSON line (the jax/libtpu runtime
-                # may print its own messages around it)
-                for line in reversed(r.stdout.strip().splitlines()):
-                    try:
-                        parsed = json.loads(line)
-                    except ValueError:
-                        continue
-                    if isinstance(parsed, dict) and "sync_ms" in parsed:
-                        last = parsed
-                        if last.get("backend") != "tpu":
-                            return last   # CPU smoke run: nothing to gate
-                        state = ("slow" if last["sync_ms"] > 1500
-                                 else "healthy")
-                        break
+                parsed = _parse_probe_output(r.stdout)
+                if parsed is not None:
+                    last = parsed
+                    if last.get("backend") != "tpu":
+                        return last       # CPU smoke run: nothing to gate
+                    state = ("slow" if last["sync_ms"] > 1500
+                             else "healthy")
         except (subprocess.TimeoutExpired, OSError):
             pass
         waited = time.time() - t_start

@@ -61,3 +61,16 @@ def test_empty_batch_is_harmless():
     proc.start()
     proc.process(wibeth.empty_frames(0))
     assert proc.metrics.count("num_hits") == 0
+
+
+def test_bench_probe_output_parsing():
+    """The tunnel-gate probe's JSON line is found amid runtime chatter
+    and malformed lines never raise (review r3)."""
+    import bench
+    p = bench._parse_probe_output
+    good = '{"backend": "tpu", "sync_ms": 88.2}'
+    assert p(good) == {"backend": "tpu", "sync_ms": 88.2}
+    assert p(f"libtpu init...\n{good}\nshutting down runtime\n") \
+        == {"backend": "tpu", "sync_ms": 88.2}
+    assert p("{this is not json\n{\"other\": 1}\n") is None
+    assert p("") is None
