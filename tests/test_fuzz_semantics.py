@@ -62,3 +62,30 @@ def test_random_config_uneven_batches(seed):
         if k in state:
             np.testing.assert_array_equal(np.asarray(state[k]), v,
                                           err_msg=f"{cfg} state[{k}]")
+
+
+@pytest.mark.parametrize("seed", [101, 707])
+def test_random_config_pallas_interpret(seed):
+    """One fuzz case also through the Pallas kernel (interpret mode,
+    uneven 2-window split) — the same randomized config space reaches
+    the third backend."""
+    import jax.numpy as jnp
+
+    from fdreadoutlibs_tpu.ops.pallas_tpg import (decode_pallas_hits,
+                                                  pack_adcs, pack_state,
+                                                  process_window_pallas)
+    cfg, rmf, adcs, bounds = _case(seed)
+    h_ref, st_ref = run_reference(adcs, cfg, rs_memory_factor=rmf)
+    packed = pack_adcs(adcs)
+    stack = pack_state(seed_chanstate(init_chanstate(C), adcs[0], rmf), C)
+    parts, dropped = [], 0
+    cut = bounds[len(bounds) // 2]              # one uneven split
+    for a, b in ((0, cut), (cut, T)):
+        slots, nclose, stack = process_window_pallas(
+            jnp.asarray(packed[a:b]), stack, cfg, tc=b - a, k_slots=32,
+            interpret=True)
+        h, d = decode_pallas_hits(slots, nclose, C, tick_offset=a)
+        parts.append(h)
+        dropped += d
+    assert dropped == 0
+    np.testing.assert_array_equal(concat_hits(parts), h_ref)
