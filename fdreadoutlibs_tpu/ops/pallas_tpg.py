@@ -338,6 +338,55 @@ def words14_channel_of_position(n_channels: int) -> np.ndarray:
     return out
 
 
+def _decode_ticks(adc_ref, base: int, unroll: int, time2: bool,
+                  words14: bool, words14_gather: bool):
+    """Yield the unroll consecutive ticks' s_raw rows starting at trace-time
+    tick index ``base`` (base may be traced; base+u offsets are trace-time).
+    Single source for the three ADC input encodings: plain (T, S, 128)
+    rows, time-paired words (tick 2j low half / 2j+1 high half,
+    pack_adcs_time2 — time2 requires even unroll so pairs never straddle
+    an unroll boundary), and packed words14 rows unpacked in-register."""
+    word0 = None
+    for u in range(unroll):
+        tick_i = base + u
+        if time2:
+            if u % 2 == 0:
+                word0 = adc_ref[tick_i // 2]
+                yield (word0 << 16) >> 16
+            else:
+                yield word0 >> 16
+        elif words14:
+            yield (_unpack14_rows_gather if words14_gather
+                   else _unpack14_rows)(adc_ref[tick_i])
+        else:
+            yield adc_ref[tick_i]
+
+
+def _emit_records(rec: dict, closed, tick, cfg: TPGConfig, slot_words: list,
+                  nclose, k_slots: int):
+    """Pack a tick's hit record into record_words(cfg) int32 words and
+    write it into slot ``n_closed[c]`` via K one-hot vector selects
+    (module docstring).  Mutates slot_words; returns the new nclose."""
+    if "w0" in rec:          # packed layout already carries w0
+        w0 = rec["w0"]
+    else:
+        charge32 = rec["charge"].astype(jnp.int32)
+        tover32 = rec["tover"].astype(jnp.int32)
+        w0 = (charge32 << 16) | tover32
+    w2 = jnp.full(closed.shape, tick + 1, jnp.int32)
+    if record_words(cfg) == 3:
+        peak32 = rec["peak_adc"].astype(jnp.int32)
+        ptime32 = rec["peak_time"].astype(jnp.int32)
+        w1 = (peak32 << 16) | ptime32
+        packed = jnp.stack([w0, w1, w2])  # (3, sub, 128)
+    else:
+        packed = jnp.stack([w0, w2])      # (2, sub, 128)
+    for k in range(k_slots):
+        sel = closed & (nclose == k)
+        slot_words[k] = jnp.where(sel[None], packed, slot_words[k])
+    return nclose + closed.astype(jnp.int32)
+
+
 def _tpg_kernel(adc_ref, state_ref, state_out_ref, slots_ref, nclose_ref,
                 *, cfg: TPGConfig, tc: int, k_slots: int, sub: int,
                 unroll: int = 1, time2: bool = False,
@@ -403,49 +452,15 @@ def _tpg_kernel(adc_ref, state_ref, state_out_ref, slots_ref, nclose_ref,
         slot_words = list(carry[nst:nst + k_slots])
         nclose = carry[nst + k_slots]
 
-        if time2:
-            # adc_ref holds time-paired words: tick 2j in the low half,
-            # tick 2j+1 in the high half (pack_adcs_time2)
-            word0 = None
-        for u in range(unroll):
+        for u, s_raw in enumerate(_decode_ticks(
+                adc_ref, i * unroll, unroll, time2, words14,
+                words14_gather)):
             tick_i = i * unroll + u
-            if time2:
-                if u % 2 == 0:
-                    word0 = adc_ref[(i * unroll + u) // 2]
-                    s_raw = (word0 << 16) >> 16
-                else:
-                    s_raw = word0 >> 16
-            elif words14:
-                # fused byte-ingest: unpack this tick's packed 14-bit
-                # words in-register (no materialized unpacked array)
-                s_raw = (_unpack14_rows_gather if words14_gather
-                         else _unpack14_rows)(adc_ref[tick_i])
-            else:
-                s_raw = adc_ref[tick_i]
             st, closed, rec = dispatch_tick(st, s_raw, cfg, jnp, fx=fx)
-
-            # pack the record into record_words(cfg) int32 words; unclosed
-            # lanes are ignored (the peak word is dropped for no-peak FIR)
-            tick = t_chunk * tc + tick_i
-            if "w0" in rec:          # packed layout already carries w0
-                w0 = rec["w0"]
-            else:
-                charge32 = rec["charge"].astype(jnp.int32)
-                tover32 = rec["tover"].astype(jnp.int32)
-                w0 = (charge32 << 16) | tover32
-            w2 = jnp.full(closed.shape, tick + 1, jnp.int32)
-            if record_words(cfg) == 3:
-                peak32 = rec["peak_adc"].astype(jnp.int32)
-                ptime32 = rec["peak_time"].astype(jnp.int32)
-                w1 = (peak32 << 16) | ptime32
-                packed = jnp.stack([w0, w1, w2])  # (3, sub, 128)
-            else:
-                packed = jnp.stack([w0, w2])      # (2, sub, 128)
-
-            for k in range(k_slots):
-                sel = closed & (nclose == k)
-                slot_words[k] = jnp.where(sel[None], packed, slot_words[k])
-            nclose = nclose + closed.astype(jnp.int32)
+            # unclosed lanes are ignored (the peak word is dropped for
+            # no-peak FIR)
+            nclose = _emit_records(rec, closed, t_chunk * tc + tick_i,
+                                   cfg, slot_words, nclose, k_slots)
 
         out = tuple(st[k] for k in keys)
         if is_fir:
@@ -479,18 +494,125 @@ def _tpg_kernel(adc_ref, state_ref, state_out_ref, slots_ref, nclose_ref,
     nclose_ref[0, 0] = carry[nst + k_slots]
 
 
+def _fir2_kernel(adc_ref, state_ref, state_out_ref, slots_ref, nclose_ref,
+                 s_ref, sig_ref, over_ref, toadd_ref, *maybe_filt,
+                 cfg: TPGConfig, tc: int, k_slots: int, sub: int,
+                 unroll: int = 1, time2: bool = False, words14: bool = False,
+                 words14_gather: bool = False):
+    """Two-pass FIR schedule: the FIR convolution and threshold compare do
+    not feed the recurrent state (given pass A's outputs), so they are
+    lifted out of the serial per-tick chain into whole-(tc, sub, 128) slab
+    vector ops:
+
+    * pass A (recurrent, per tick): pedestal frugal + merged-IQR chains;
+      emits the clamped sample and sigma per tick into VMEM slabs;
+    * pass B (no loop): 8-tap FIR as shifted slab views of one contiguous
+      sample buffer + dynamic-threshold compare — data-independent across
+      ticks, so the VPU pipelines it with no serial stalls;
+    * pass C (recurrent, per tick): hit close/charge/tover chain + K-slot
+      emission, reading the precomputed is_over/to_add rows.
+
+    Calls the SAME fir.py pieces as the fused tick (fir_iqr_update,
+    fir_pedestal_sub, fir_filter, fir_threshold, fir_to_add,
+    fir_hit_update), so it is bit-exact by construction and pinned by the
+    backend-parity tests.  int32 state only; ring rows carried as in the
+    fused kernel (state rows _FIR_ROW0+j = s_{t-8+j}, oldest-first).
+    """
+    from .fir import (default_taps, fir_filter, fir_hit_update,
+                      fir_iqr_update, fir_pedestal_sub, fir_threshold,
+                      fir_to_add)
+    t_chunk = pl.program_id(1)
+    keys = live_fields(cfg)
+    kidx = {k: _STATE_KEYS.index(k) for k in keys}
+    fx = I32Fx.make(jnp)
+    filt_ref = maybe_filt[0] if maybe_filt else None
+    taps = cfg.taps or default_taps(cfg)
+
+    @pl.when(t_chunk == 0)
+    def _():
+        state_out_ref[...] = state_ref[...]
+
+    # ---- pass A: recurrent pedestal/IQR state -> s and sigma slabs
+    a_keys = ("pedestals", "accum", "quantile25", "accum25",
+              "quantile75", "accum75")
+    for j in range(N_FIR_TAPS):     # seed the NTAPS history rows
+        s_ref[j] = state_out_ref[0, _FIR_ROW0 + j]
+    carry_a = tuple(state_out_ref[0, kidx[k]] for k in a_keys)
+
+    def body_a(i, carry):
+        st = dict(zip(a_keys, carry))
+        for u, s_raw in enumerate(_decode_ticks(
+                adc_ref, i * unroll, unroll, time2, words14,
+                words14_gather)):
+            tick_i = i * unroll + u
+            upd, sigma = fir_iqr_update(st, s_raw, cfg, jnp, fx)
+            updp, s = fir_pedestal_sub(st, s_raw, cfg, jnp, fx)
+            st.update(upd)
+            st.update(updp)
+            s_ref[N_FIR_TAPS + tick_i] = s
+            sig_ref[tick_i] = sigma
+        return tuple(st[k] for k in a_keys)
+
+    carry_a = jax.lax.fori_loop(0, tc // unroll, body_a, carry_a)
+    for n, k in enumerate(a_keys):
+        state_out_ref[0, kidx[k]] = carry_a[n]
+    for j in range(N_FIR_TAPS):     # carry the ring: last NTAPS samples
+        state_out_ref[0, _FIR_ROW0 + j] = s_ref[tc + j]
+
+    # ---- pass B: filter + threshold on whole time slabs
+    bufs = tuple(s_ref[j:j + tc] for j in range(N_FIR_TAPS))
+    filt = fir_filter(bufs, taps, fx)
+    is_over = fir_threshold(filt, sig_ref[...], cfg, fx)
+    over_ref[...] = is_over.astype(jnp.int32)
+    toadd_ref[...] = fir_to_add(filt, is_over, cfg, jnp, fx)
+    if filt_ref is not None:        # peak tracking reads filt in pass C
+        filt_ref[...] = filt
+
+    # ---- pass C: recurrent hit chain + K-slot emission
+    c_keys = tuple(k for k in keys if k.startswith("hit_")
+                   or k == "prev_was_over")
+    carry_c = tuple(state_out_ref[0, kidx[k]] for k in c_keys)
+    zero_slot = jnp.zeros(slots_ref.shape[2:], slots_ref.dtype)
+    carry_c += tuple(zero_slot[k] for k in range(k_slots))
+    carry_c += (jnp.zeros(nclose_ref.shape[2:], nclose_ref.dtype),)
+    ncst = len(c_keys)
+
+    def body_c(i, carry):
+        st = dict(zip(c_keys, carry[:ncst]))
+        slot_words = list(carry[ncst:ncst + k_slots])
+        nclose = carry[ncst + k_slots]
+        for u in range(unroll):
+            tick_i = i * unroll + u
+            over_t = over_ref[tick_i] != 0
+            filt_t = filt_ref[tick_i] if filt_ref is not None else None
+            updh, closed, rec = fir_hit_update(
+                st, over_t, toadd_ref[tick_i], filt_t, cfg, jnp, fx)
+            st.update(updh)
+            nclose = _emit_records(rec, closed, t_chunk * tc + tick_i,
+                                   cfg, slot_words, nclose, k_slots)
+        return tuple(st[k] for k in c_keys) + tuple(slot_words) + (nclose,)
+
+    carry_c = jax.lax.fori_loop(0, tc // unroll, body_c, carry_c)
+    for n, k in enumerate(c_keys):
+        state_out_ref[0, kidx[k]] = carry_c[n]
+    for k in range(k_slots):
+        slots_ref[0, 0, k] = carry_c[ncst + k]
+    nclose_ref[0, 0] = carry_c[ncst + k_slots]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "tc", "k_slots", "interpret",
                                     "unroll", "vmem_limit_mb", "time_packed",
                                     "fir_packed", "words14",
-                                    "words14_gather"))
+                                    "words14_gather", "fir_twopass"))
 def process_window_pallas(adcs, state_stack, cfg: TPGConfig, tc: int = 256,
                           k_slots: int = 4, interpret: bool = False,
                           unroll: int = 1, vmem_limit_mb: int | None = None,
                           time_packed: bool = False,
                           fir_packed: bool | None = None,
                           words14: bool = False,
-                          words14_gather: bool = False):
+                          words14_gather: bool = False,
+                          fir_twopass: bool = False):
     """Run the fused kernel over a (T, S, 128) int32 window.
 
     Args:
@@ -549,10 +671,36 @@ def process_window_pallas(adcs, state_stack, cfg: TPGConfig, tc: int = 256,
         and dtype == jnp.int32
 
     nw = record_words(cfg)
-    kernel = functools.partial(_tpg_kernel, cfg=cfg, tc=tc, k_slots=k_slots,
-                               sub=sub, unroll=unroll, time2=time_packed,
-                               fir_packed=fir_packed, words14=words14,
-                               words14_gather=words14_gather)
+    scratch_shapes = []
+    if fir_twopass:
+        if cfg.algorithm != Algorithm.FIR or dtype != jnp.int32:
+            raise ValueError("fir_twopass requires the FIR family with "
+                             "int32 state")
+        if fir_packed:
+            raise ValueError("fir_twopass and fir_packed are exclusive "
+                             "(the packed SWAR carry is fused-tick-only)")
+        from jax.experimental.pallas import tpu as pltpu
+        # pass A -> B -> C hand-off slabs: contiguous samples (with the
+        # NTAPS-row ring history prefix), sigma, is_over, to_add, and
+        # filt only when peak tracking reads it in pass C
+        scratch_shapes = [
+            pltpu.VMEM((tc + N_FIR_TAPS, sub, LANES), jnp.int32),
+            pltpu.VMEM((tc, sub, LANES), jnp.int32),
+            pltpu.VMEM((tc, sub, LANES), jnp.int32),
+            pltpu.VMEM((tc, sub, LANES), jnp.int32),
+        ]
+        if cfg.track_peaks:
+            scratch_shapes.append(pltpu.VMEM((tc, sub, LANES), jnp.int32))
+        kernel = functools.partial(_fir2_kernel, cfg=cfg, tc=tc,
+                                   k_slots=k_slots, sub=sub, unroll=unroll,
+                                   time2=time_packed, words14=words14,
+                                   words14_gather=words14_gather)
+    else:
+        kernel = functools.partial(_tpg_kernel, cfg=cfg, tc=tc,
+                                   k_slots=k_slots, sub=sub, unroll=unroll,
+                                   time2=time_packed, fir_packed=fir_packed,
+                                   words14=words14,
+                                   words14_gather=words14_gather)
     compiler_params = None
     if vmem_limit_mb is not None and not interpret:
         from jax.experimental.pallas import tpu as pltpu
@@ -588,6 +736,7 @@ def process_window_pallas(adcs, state_stack, cfg: TPGConfig, tc: int = 256,
             jax.ShapeDtypeStruct((nb, n_chunks, sub, LANES), jnp.int32),
         ],
         input_output_aliases={1: 0},
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(adcs, state_stack)
     return slots, nclose, state_out

@@ -9,8 +9,9 @@ Usage:
       --config "tc=512,unroll=16,sub=8" --config "tc=512,unroll=64,sub=8"
 
 Config keys: tc, k, unroll, sub (0 = whole block), packed (0/1 fir SWAR),
-mfmix (1 = threshold-on-collection mixed memory factors), vmem.  Unset
-keys fall back to --tc/--k/--unroll defaults.
+twopass (1 = two-pass FIR schedule), mfmix (1 = threshold-on-collection
+mixed memory factors), vmem.  Unset keys fall back to --tc/--k/--unroll
+defaults.
 """
 
 import argparse
@@ -67,7 +68,8 @@ def main():
     packed = jnp.asarray(pack_adcs(adcs))
 
     defaults = {"tc": args.tc, "k": args.k, "unroll": args.unroll,
-                "sub": 0, "packed": -1, "mfmix": 0, "vmem": 64}
+                "sub": 0, "packed": -1, "twopass": 0, "mfmix": 0,
+                "vmem": 64}
     configs = [parse_config(s, defaults) for s in args.config]
     fns, states = [], []
     for c_ in configs:
@@ -82,7 +84,7 @@ def main():
                 slots, nclose, s = process_window_pallas(
                     packed, s, cfg, tc=_c["tc"], k_slots=_c["k"],
                     unroll=_c["unroll"], vmem_limit_mb=_c["vmem"],
-                    fir_packed=_fp)
+                    fir_packed=_fp, fir_twopass=bool(_c["twopass"]))
                 return s, jnp.sum(nclose)
             s, counts = jax.lax.scan(body, s, None, length=args.windows)
             return s, counts

@@ -245,3 +245,154 @@ class TestMergedQuantileEquivalence:
         for T in (1, 5, 320, 511, -511):
             np.testing.assert_array_equal(
                 wrap_i16(wrap_i16(a) * T), wrap_i16(a * T))
+
+
+class TestFIRTwoPass:
+    """The two-pass Pallas schedule (pallas_tpg._fir2_kernel: recurrent
+    pedestal/IQR pass -> whole-slab filter+threshold -> recurrent hit
+    pass) composes the SAME fir.py tick pieces as the fused kernel, so it
+    must be bit-exact vs the oracle — hits, counts, and carried state —
+    across every input encoding and config variant the fused path has."""
+
+    def test_matches_reference_with_window_carry(self):
+        adcs = random_stream(128, 48, seed=33, noise=4, base=900,
+                             n_signals=60)
+        h_ref, st_ref = run_reference(adcs, FIR_CFG, window=128)
+        h_tp, st_tp, dropped = run_pallas(adcs, FIR_CFG, tc=32, window=64,
+                                          fir_twopass=True)
+        assert dropped == 0 and len(h_ref) > 0
+        np.testing.assert_array_equal(h_tp, h_ref)
+        np.testing.assert_array_equal(st_tp["fir_prev"][:, :48],
+                                      st_ref["fir_prev"])
+        for k in ("pedestals", "quantile25", "quantile75", "hit_charge",
+                  "hit_tover", "prev_was_over"):
+            np.testing.assert_array_equal(st_tp[k][:48],
+                                          np.asarray(st_ref[k]), err_msg=k)
+
+    def test_multiblock(self):
+        """Blocked grid (nb>1): per-block scratch slabs must not leak
+        across channel blocks."""
+        C = 256
+        adcs = random_stream(64, C, seed=37, noise=4, base=900,
+                             n_signals=80)
+        h_ref, _ = run_reference(adcs, FIR_CFG)
+        h_tp, _, dropped = run_pallas(adcs, FIR_CFG, tc=32, k_slots=4,
+                                      block_sublanes=8, fir_twopass=True)
+        assert dropped == 0 and len(h_ref) > 0
+        assert h_ref["channel"].max() >= 128
+        np.testing.assert_array_equal(h_tp, h_ref)
+
+    def test_config_variants_match_fused(self):
+        """track_peaks / peak_gated / naive threshold semantics / unroll:
+        two-pass vs fused kernel raw outputs (slots, counts, state stack)."""
+        import jax.numpy as jnp
+        from fdreadoutlibs_tpu.ops import TPGConfig
+        from fdreadoutlibs_tpu.ops.chanstate import (init_chanstate,
+                                                     seed_chanstate)
+        from fdreadoutlibs_tpu.ops.pallas_tpg import (pack_adcs, pack_state,
+                                                      process_window_pallas)
+        adcs = random_stream(64, 32, seed=39, noise=4, base=900,
+                             n_signals=25)
+        variants = [
+            dict(track_peaks=False),
+            dict(track_peaks=True, peak_gated=True),
+            dict(fir_avx_semantics=False),
+            dict(threshold=700),          # wrap-guard fallback branch
+        ]
+        for extra in variants:
+            cfg = TPGConfig(algorithm=Algorithm.FIR, threshold=5,
+                            tap_exponent=6, **{k: v for k, v in
+                                               extra.items()
+                                               if k != "threshold"})
+            if "threshold" in extra:
+                cfg = TPGConfig(algorithm=Algorithm.FIR,
+                                threshold=extra["threshold"],
+                                tap_exponent=6)
+            st = seed_chanstate(init_chanstate(32), adcs[0],
+                                cfg.rs_memory_factor_x10)
+            pa = jnp.asarray(pack_adcs(adcs))
+            for unroll in (1, 2):
+                outs = [process_window_pallas(
+                            pa, pack_state(st, 32), cfg, tc=32, k_slots=4,
+                            interpret=True, unroll=unroll, fir_twopass=tp)
+                        for tp in (False, True)]
+                for n, (a, b) in zip(("slots", "nclose", "state"),
+                                     zip(*outs)):
+                    np.testing.assert_array_equal(
+                        np.asarray(a), np.asarray(b),
+                        err_msg=f"{extra} unroll={unroll} {n}")
+
+    def test_time2_input(self):
+        """Time-paired ADC words through the two-pass decode."""
+        import jax.numpy as jnp
+        from fdreadoutlibs_tpu.ops.chanstate import (init_chanstate,
+                                                     seed_chanstate)
+        from fdreadoutlibs_tpu.ops.pallas_tpg import (
+            pack_adcs, pack_adcs_time2, pack_state, process_window_pallas)
+        adcs = random_stream(64, 32, seed=41, noise=4, base=900,
+                             n_signals=25)
+        st = seed_chanstate(init_chanstate(32), adcs[0],
+                            FIR_CFG.rs_memory_factor_x10)
+        a = process_window_pallas(jnp.asarray(pack_adcs(adcs)),
+                                  pack_state(st, 32), FIR_CFG, tc=32,
+                                  k_slots=4, interpret=True,
+                                  fir_twopass=True)
+        b = process_window_pallas(jnp.asarray(pack_adcs_time2(adcs)),
+                                  pack_state(st, 32), FIR_CFG, tc=32,
+                                  k_slots=4, interpret=True, unroll=2,
+                                  time_packed=True, fir_twopass=True)
+        for n, (x, y) in zip(("slots", "nclose", "state"), zip(a, b)):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                          err_msg=n)
+
+    def test_words14_input(self):
+        """Fused in-kernel 14-bit unpack through the two-pass decode."""
+        import jax.numpy as jnp
+        from fdreadoutlibs_tpu.formats import wibeth
+        from fdreadoutlibs_tpu.ops.chanstate import (init_chanstate,
+                                                     seed_chanstate)
+        from fdreadoutlibs_tpu.ops.ingest import pack_words14_jnp
+        from fdreadoutlibs_tpu.ops.pallas_tpg import (
+            pack_state, process_window_pallas, words14_positions)
+        C, T = 128, 64
+        L, nf = C // 64, T // 64
+        rng = np.random.default_rng(43)
+        adcs = (900 + rng.normal(0, 4, size=(T, C))).astype(np.int32)
+        adcs[20:26, 70] += 300
+        frames = wibeth.empty_frames(L * nf)
+        a4 = adcs.reshape(nf, 64, L, 64).transpose(2, 0, 1, 3)
+        wibeth.set_adcs(frames,
+                        a4.reshape(L * nf, 64, 64).astype(np.uint16))
+        W = pack_words14_jnp(jnp.asarray(
+            wibeth.frames_bytes_to_u32(frames).reshape(L, T, 28)))
+        pos = words14_positions(C)
+        st = seed_chanstate(init_chanstate(C), adcs[0],
+                            FIR_CFG.rs_memory_factor_x10)
+        outs = [process_window_pallas(
+                    W, pack_state(st, C, positions=pos), FIR_CFG, tc=32,
+                    k_slots=4, interpret=True, words14=True, fir_twopass=tp)
+                for tp in (False, True)]
+        for n, (x, y) in zip(("slots", "nclose", "state"), zip(*outs)):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                          err_msg=n)
+
+    def test_rejects_invalid_combinations(self):
+        import pytest
+        import jax.numpy as jnp
+        from fdreadoutlibs_tpu.ops import TPGConfig
+        from fdreadoutlibs_tpu.ops.chanstate import (init_chanstate,
+                                                     seed_chanstate)
+        from fdreadoutlibs_tpu.ops.pallas_tpg import (pack_adcs, pack_state,
+                                                      process_window_pallas)
+        adcs = np.full((32, 16), 900, np.int32)
+        cfg_st = TPGConfig(threshold=100)
+        st = seed_chanstate(init_chanstate(16), adcs[0],
+                            cfg_st.rs_memory_factor_x10)
+        pa = jnp.asarray(pack_adcs(adcs))
+        with pytest.raises(ValueError, match="fir_twopass"):
+            process_window_pallas(pa, pack_state(st, 16), cfg_st, tc=32,
+                                  interpret=True, fir_twopass=True)
+        with pytest.raises(ValueError, match="exclusive"):
+            process_window_pallas(pa, pack_state(st, 16), FIR_CFG, tc=32,
+                                  interpret=True, fir_twopass=True,
+                                  fir_packed=True)

@@ -16,7 +16,8 @@ from tests.test_tpg_scan import random_stream
 
 
 def run_pallas(adcs, cfg, rs_memory_factor=None, tc=32, k_slots=8,
-               window=None, block_sublanes=None, fir_packed=None):
+               window=None, block_sublanes=None, fir_packed=None,
+               fir_twopass=False):
     """Pallas-backend equivalent of reference.run_reference (interpret mode)."""
     import jax.numpy as jnp
     adcs = np.asarray(adcs, dtype=np.int32)
@@ -32,7 +33,8 @@ def run_pallas(adcs, cfg, rs_memory_factor=None, tc=32, k_slots=8,
     for t0 in range(0, T, window):
         slots, nclose, stack = process_window_pallas(
             jnp.asarray(packed[t0:t0 + window]), stack, cfg, tc=tc,
-            k_slots=k_slots, interpret=True, fir_packed=fir_packed)
+            k_slots=k_slots, interpret=True, fir_packed=fir_packed,
+            fir_twopass=fir_twopass)
         h, d = decode_pallas_hits(slots, nclose, C, tick_offset=t0)
         parts.append(h)
         dropped += d
