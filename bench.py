@@ -26,7 +26,7 @@ import numpy as np
 
 
 def bench_algorithm(cfg, tc, k_slots, unroll, on_tpu, adcs, rmf,
-                    n_windows, trials=5):
+                    n_windows, trials=5, fir_twopass=False):
     import jax
     import jax.numpy as jnp
     from fdreadoutlibs_tpu.ops.chanstate import init_chanstate, seed_chanstate
@@ -45,7 +45,8 @@ def bench_algorithm(cfg, tc, k_slots, unroll, on_tpu, adcs, rmf,
         return process_window_pallas(packed, s, cfg, tc=tc, k_slots=k_slots,
                                      unroll=unroll,
                                      vmem_limit_mb=64 if on_tpu else None,
-                                     interpret=not on_tpu)
+                                     interpret=not on_tpu,
+                                     fir_twopass=fir_twopass)
 
     # scan N windows inside one jit so the (tunnel-inflated) per-dispatch
     # overhead is amortized device-side, as a streaming deployment would
@@ -403,9 +404,10 @@ def main():
 
     def knobs(cfg):
         # shipped per-algorithm table, overridable by an autotuned file
-        # (FDREADOUT_TUNED) — including the swept k_slots
+        # (FDREADOUT_TUNED) — including the swept k_slots and the FIR
+        # schedule choice (fused vs two-pass)
         k = kernel_knobs(cfg, C)
-        return k["tc"], k["k_slots"], k["unroll"]
+        return k["tc"], k["k_slots"], k["unroll"], k["fir_twopass"]
 
     prod = TPGConfig.from_raw("AbsRS", threshold=150)
     simple = TPGConfig.from_raw("SimpleThreshold", threshold=150)
@@ -420,11 +422,11 @@ def main():
         "FIR": (fir, *knobs(fir), None),
     }
     if not on_tpu:  # smoke-test shapes: tc must divide T
-        runs = {k: (cfg, 256, 2, 8, rmf)
-                for k, (cfg, _, _, _, rmf) in runs.items()}
+        runs = {k: (cfg, 256, 2, 8, tp, rmf)
+                for k, (cfg, _, _, _, tp, rmf) in runs.items()}
 
     results = {}
-    for name, (cfg, tc, k, unroll, rmf) in runs.items():
+    for name, (cfg, tc, k, unroll, twopass, rmf) in runs.items():
         if rmf is None:
             rmf = cfg.rs_memory_factor_x10
         # the headline (production) number gets extra trials: the tunnel's
@@ -432,14 +434,14 @@ def main():
         trials = 7 if name == "AbsRS_production" else 5
         results[name] = round(bench_algorithm(
             cfg, tc, k, unroll, on_tpu, adcs, rmf, N_WINDOWS,
-            trials=trials), 2)
+            trials=trials, fir_twopass=twopass), 2)
 
     # production config again, but paying what the headline never pays:
     # distinct data per window, and the fused byte-ingest path (on-device
     # 14-bit unpack at APA scale) — VERDICT r2 #3
     extra = {}
     if on_tpu:
-        cfg, tc, k, unroll, rmf = runs["AbsRS_production"]
+        cfg, tc, k, unroll, _tp, rmf = runs["AbsRS_production"]
         try:
             extra = bench_fresh_and_ingest(cfg, tc, k, unroll, adcs, rmf,
                                            N_WINDOWS)

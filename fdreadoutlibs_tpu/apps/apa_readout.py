@@ -183,7 +183,8 @@ class APAReadoutApp:
             fn = process_packed_frames_fused if self.fused_unpack \
                 else process_packed_frames
         slots, nclose, self._stack = fn(
-            dev_in, self._stack, self.cfg, C, tc=tc, k_slots=4, unroll=ur)
+            dev_in, self._stack, self.cfg, C, tc=tc, k_slots=4, unroll=ur,
+            fir_twopass=knobs["fir_twopass"])
         # device-side compaction: only the hit list crosses to the host
         # (~40x less transfer than the raw slot buffers; BENCH_NOTES);
         # overflow beyond the auto max_hits is counted in `dropped`

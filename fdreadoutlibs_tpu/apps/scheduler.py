@@ -65,6 +65,7 @@ class MultiAPAScheduler:
             else (64 if tc > 512 else None)
         self.k_slots = k_slots
         self.unroll = knobs["unroll"]
+        self.fir_twopass = knobs["fir_twopass"]
         self.interpret = interpret
         self._stacks = [None] * n_apas          # per-APA device state
         self._pending = [None] * n_apas         # (slots, nclose, tick_off)
@@ -113,7 +114,8 @@ class MultiAPAScheduler:
             unroll=self.unroll if (not self.interpret and
                                    tc % self.unroll == 0) else 1,
             interpret=self.interpret,
-            vmem_limit_mb=None if tc <= 512 else self.vmem_limit_mb)
+            vmem_limit_mb=None if tc <= 512 else self.vmem_limit_mb,
+            fir_twopass=self.fir_twopass)
         self._pending[apa] = (slots, nclose, self._tick_offset[apa])
         self._tick_offset[apa] += T
         self._batches[apa] += 1

@@ -277,7 +277,8 @@ def cmd_profile(args) -> int:
         slots, nclose, s = process_window_pallas(
             packed, s, cfg, tc=tc, k_slots=args.k_slots,
             unroll=args.unroll if (on_tpu and tc % args.unroll == 0) else 1,
-            vmem_limit_mb=64 if on_tpu else None, interpret=not on_tpu)
+            vmem_limit_mb=64 if on_tpu else None, interpret=not on_tpu,
+            fir_twopass=args.fir_twopass)
         return slots, nclose, s
 
     run(state)                      # compile outside the trace
@@ -519,6 +520,8 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--tc", type=int, default=512)
     pr.add_argument("--k-slots", type=int, default=1)
     pr.add_argument("--unroll", type=int, default=32)
+    pr.add_argument("--fir-twopass", action="store_true",
+                    help="profile the two-pass FIR schedule")
     pr.add_argument("--top", type=int, default=10,
                     help="print the top-N trace ops by total time "
                          "(0 = skip the summary)")

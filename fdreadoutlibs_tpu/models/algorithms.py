@@ -96,7 +96,9 @@ def run_model(adcs: np.ndarray, cfg: TPGConfig, backend: str = "scan",
                                       pack_state, process_window_pallas,
                                       unpack_state)
         from ..ops.hits import concat_hits
+        from ..utils.tuning import kernel_knobs
         interpret = jax.default_backend() != "tpu"
+        twopass = kernel_knobs(cfg, C)["fir_twopass"]
         stack = pack_state(state, C,
                            block_sublanes=default_block_sublanes(cfg, C))
         packed = pack_adcs(adcs)
@@ -108,7 +110,7 @@ def run_model(adcs: np.ndarray, cfg: TPGConfig, backend: str = "scan",
                 jnp.asarray(packed[t0:t0 + w]), stack, cfg, tc=w, k_slots=8,
                 unroll=8 if (not interpret and w % 8 == 0) else 1,
                 vmem_limit_mb=None if interpret else 64,
-                interpret=interpret)
+                interpret=interpret, fir_twopass=twopass)
             h, _ = decode_pallas_hits(slots, nclose, C, tick_offset=t0)
             parts.append(h)
             t0 += w

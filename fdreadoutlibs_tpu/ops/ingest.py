@@ -30,12 +30,14 @@ def host_words(frames: np.ndarray) -> np.ndarray:
 @functools.partial(jax.jit, static_argnames=("cfg", "tc", "k_slots",
                                              "unroll", "n_channels",
                                              "interpret", "vmem_limit_mb",
-                                             "unpack_impl"))
+                                             "unpack_impl",
+                                             "fir_twopass"))
 def process_packed_frames(words, state_stack, cfg: TPGConfig,
                           n_channels: int, tc: int = 512, k_slots: int = 2,
                           unroll: int = 16, interpret: bool = False,
                           vmem_limit_mb: int | None = None,
-                          unpack_impl: str = "shifts"):
+                          unpack_impl: str = "shifts",
+                          fir_twopass: bool = False):
     """words: (L, T, 28) uint32 packed rows for L links of 64 channels.
 
     Returns (slots, nclose, new_state) like process_window_pallas, with
@@ -56,7 +58,8 @@ def process_packed_frames(words, state_stack, cfg: TPGConfig,
     return process_window_pallas(packed, state_stack, cfg, tc=tc,
                                  k_slots=k_slots, unroll=unroll,
                                  interpret=interpret,
-                                 vmem_limit_mb=vmem_limit_mb)
+                                 vmem_limit_mb=vmem_limit_mb,
+                                 fir_twopass=fir_twopass)
 
 
 def pack_words14_jnp(words):
@@ -76,12 +79,14 @@ def pack_words14_jnp(words):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tc", "k_slots",
                                              "unroll", "n_channels",
-                                             "interpret", "vmem_limit_mb"))
+                                             "interpret", "vmem_limit_mb",
+                                             "fir_twopass"))
 def process_packed_frames_fused(words, state_stack, cfg: TPGConfig,
                                 n_channels: int, tc: int = 512,
                                 k_slots: int = 2, unroll: int = 16,
                                 interpret: bool = False,
-                                vmem_limit_mb: int | None = None):
+                                vmem_limit_mb: int | None = None,
+                                fir_twopass: bool = False):
     """Fully fused byte-ingest: packed (L, T, 28) uint32 words -> in-KERNEL
     14-bit unpack -> TPG, with no materialized unpacked array (the XLA
     unpack pass costs ~0.7 ms/window at APA scale, BENCH_NOTES r3).
@@ -96,17 +101,19 @@ def process_packed_frames_fused(words, state_stack, cfg: TPGConfig,
                                  k_slots=k_slots, unroll=unroll,
                                  interpret=interpret,
                                  vmem_limit_mb=vmem_limit_mb,
-                                 words14=True)
+                                 words14=True, fir_twopass=fir_twopass)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tc", "k_slots",
                                              "unroll", "n_channels",
-                                             "interpret", "vmem_limit_mb"))
+                                             "interpret", "vmem_limit_mb",
+                                             "fir_twopass"))
 def process_words14_feed(W, state_stack, cfg: TPGConfig,
                          n_channels: int, tc: int = 512,
                          k_slots: int = 2, unroll: int = 16,
                          interpret: bool = False,
-                         vmem_limit_mb: int | None = None):
+                         vmem_limit_mb: int | None = None,
+                         fir_twopass: bool = False):
     """Direct words14 feed: the input is ALREADY in the words14 row order
     — (T, WR, 7, 128) int32, as produced by native.relayout_words14 on
     the host (or by a words14-ordered NIC/DMA source) — so the device
@@ -121,17 +128,19 @@ def process_words14_feed(W, state_stack, cfg: TPGConfig,
                                  k_slots=k_slots, unroll=unroll,
                                  interpret=interpret,
                                  vmem_limit_mb=vmem_limit_mb,
-                                 words14=True)
+                                 words14=True, fir_twopass=fir_twopass)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tc", "k_slots",
                                              "unroll", "n_channels",
-                                             "interpret", "vmem_limit_mb"))
+                                             "interpret", "vmem_limit_mb",
+                                             "fir_twopass"))
 def process_time2_feed(W2, state_stack, cfg: TPGConfig,
                        n_channels: int, tc: int = 512,
                        k_slots: int = 2, unroll: int = 16,
                        interpret: bool = False,
-                       vmem_limit_mb: int | None = None):
+                       vmem_limit_mb: int | None = None,
+                       fir_twopass: bool = False):
     """Time-paired host feed: the input is UNPACKED on the host into the
     kernel's time_packed canonical layout — (T//2, S, 128) int32 holding
     adc(2t) | adc(2t+1) << 16 at flat lane c (native.relayout_time2) —
@@ -149,16 +158,19 @@ def process_time2_feed(W2, state_stack, cfg: TPGConfig,
                                  k_slots=k_slots, unroll=unroll,
                                  interpret=interpret,
                                  vmem_limit_mb=vmem_limit_mb,
-                                 time_packed=True)
+                                 time_packed=True,
+                                 fir_twopass=fir_twopass)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tc", "k_slots",
                                              "unroll", "n_channels",
-                                             "interpret", "vmem_limit_mb"))
+                                             "interpret", "vmem_limit_mb",
+                                             "fir_twopass"))
 def process_packed_wib2(words, state_stack, cfg: TPGConfig,
                         n_channels: int, tc: int = 512, k_slots: int = 4,
                         unroll: int = 16, interpret: bool = False,
-                        vmem_limit_mb: int | None = None):
+                        vmem_limit_mb: int | None = None,
+                        fir_twopass: bool = False):
     """WIB2 fused ingest: words (L, T, 112) uint32 packed rows (each WIB2
     frame is ONE tick of 256 channels); channel = link*256 + c."""
     from ..formats import wib2
@@ -172,16 +184,19 @@ def process_packed_wib2(words, state_stack, cfg: TPGConfig,
     return process_window_pallas(packed, state_stack, cfg, tc=tc,
                                  k_slots=k_slots, unroll=unroll,
                                  interpret=interpret,
-                                 vmem_limit_mb=vmem_limit_mb)
+                                 vmem_limit_mb=vmem_limit_mb,
+                                 fir_twopass=fir_twopass)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tc", "k_slots",
                                              "unroll", "n_channels",
-                                             "interpret", "vmem_limit_mb"))
+                                             "interpret", "vmem_limit_mb",
+                                             "fir_twopass"))
 def process_packed_daphne(words, state_stack, cfg: TPGConfig,
                           n_channels: int, tc: int = 512, k_slots: int = 4,
                           unroll: int = 16, interpret: bool = False,
-                          vmem_limit_mb: int | None = None):
+                          vmem_limit_mb: int | None = None,
+                          fir_twopass: bool = False):
     """DAPHNE-stream fused ingest: words (L, N, 112) uint32 packed rows —
     each stream frame is 64 ticks of 4 channels; channel = link*4 + c."""
     from ..formats import daphne
@@ -197,17 +212,20 @@ def process_packed_daphne(words, state_stack, cfg: TPGConfig,
     return process_window_pallas(packed, state_stack, cfg, tc=tc,
                                  k_slots=k_slots, unroll=unroll,
                                  interpret=interpret,
-                                 vmem_limit_mb=vmem_limit_mb)
+                                 vmem_limit_mb=vmem_limit_mb,
+                                 fir_twopass=fir_twopass)
 
 
 @functools.partial(jax.jit, static_argnames=("coll_cfg", "ind_cfg", "tc",
                                              "k_slots", "unroll",
-                                             "interpret", "vmem_limit_mb"))
+                                             "interpret", "vmem_limit_mb",
+                                             "fir_twopass"))
 def process_packed_protowib(words, coll_stack, ind_stack,
                             coll_cfg: TPGConfig, ind_cfg: TPGConfig,
                             tc: int = 12, k_slots: int = 4,
                             unroll: int = 1, interpret: bool = False,
-                            vmem_limit_mb: int | None = None):
+                            vmem_limit_mb: int | None = None,
+                            fir_twopass: bool = False):
     """ProtoWIB fused ingest: words (T, 116) uint32 whole frames (one tick
     of 256 channels each).  Runs the legacy dual-plane pipeline as two
     fused kernels over static lane subsets of one device batch — the TPU
@@ -230,7 +248,8 @@ def process_packed_protowib(words, coll_stack, ind_stack,
         return process_window_pallas(padded.reshape(T, S, LANES), stack,
                                      cfg, tc=tc, k_slots=k_slots,
                                      unroll=unroll, interpret=interpret,
-                                     vmem_limit_mb=vmem_limit_mb)
+                                     vmem_limit_mb=vmem_limit_mb,
+                                     fir_twopass=fir_twopass)
 
     return (run(pw.COLLECTION_INDEX_TO_CHAN, coll_stack, coll_cfg),
             run(pw.INDUCTION_INDEX_TO_CHAN, ind_stack, ind_cfg))
@@ -294,7 +313,8 @@ class StreamingIngest:
                  interpret: bool = False,
                  format: str = "wibeth", device_compact: bool = False,
                  max_hits: int = 1024, rs_memory_factor=None,
-                 fused: bool = False, time2: bool = False):
+                 fused: bool = False, time2: bool = False,
+                 fir_twopass: bool | None = None):
         from ..formats import daphne, wib2
         self.cfg = cfg
         self.n_links = n_links
@@ -344,6 +364,8 @@ class StreamingIngest:
         self.tc = tc if tc is not None else knobs["tc"]
         self.k_slots = k_slots
         self.unroll = unroll if unroll is not None else knobs["unroll"]
+        self.fir_twopass = fir_twopass if fir_twopass is not None \
+            else knobs["fir_twopass"]
         self._block_sublanes = knobs["block_sublanes"]
         if self._positions is not None:
             from .pallas_tpg import words14_block_sublanes
@@ -402,7 +424,8 @@ class StreamingIngest:
         slots, nclose, self.stack = self._fn(
             jnp.asarray(words), self.stack, self.cfg, self.n_channels,
             tc=tc, k_slots=self.k_slots, unroll=unroll,
-            interpret=self.interpret)
+            interpret=self.interpret,
+            fir_twopass=self.fir_twopass)
         if self.device_compact:
             self._pending = compact_on_device(
                 slots, nclose, self.tick_offset, self.n_channels,
@@ -431,7 +454,8 @@ class StreamingIngest:
         slots, nclose, self.stack = process_words14_feed(
             jnp.asarray(W), self.stack, self.cfg, self.n_channels,
             tc=tc, k_slots=self.k_slots, unroll=unroll,
-            interpret=self.interpret)
+            interpret=self.interpret,
+            fir_twopass=self.fir_twopass)
         if self.device_compact:
             self._pending = compact_on_device(
                 slots, nclose, self.tick_offset, self.n_channels,
@@ -494,7 +518,8 @@ class StreamingIngest:
         slots, nclose, self.stack = process_time2_feed(
             jnp.asarray(W2), self.stack, self.cfg, self.n_channels,
             tc=tc, k_slots=self.k_slots, unroll=unroll,
-            interpret=self.interpret)
+            interpret=self.interpret,
+            fir_twopass=self.fir_twopass)
         if self.device_compact:
             self._pending = compact_on_device(
                 slots, nclose, self.tick_offset, self.n_channels,

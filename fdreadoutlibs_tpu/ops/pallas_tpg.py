@@ -121,7 +121,8 @@ SHIPPED_KNOBS = {
     Algorithm.SIMPLE_THRESHOLD: {"sub": 0, "tc": 512, "unroll": 32, "k": 1},
     Algorithm.ABS_RS: {"sub": 0, "tc": 256, "unroll": 32, "k": 1},
     Algorithm.STANDARD_RS: {"sub": 0, "tc": 512, "unroll": 32, "k": 1},
-    Algorithm.FIR: {"sub": 8, "tc": 512, "unroll": 32, "k": 1},
+    Algorithm.FIR: {"sub": 8, "tc": 512, "unroll": 32, "k": 1,
+                    "twopass": 0},
 }
 
 

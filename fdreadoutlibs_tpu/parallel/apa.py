@@ -73,7 +73,8 @@ from ..ops.hits import compact_slot_words as _compact_link_slots  # noqa: E402
 def make_apa_step(mesh: Mesh, cfg: TPGConfig, max_hits_per_link: int = 512,
                   backend: str = "scan", k_slots: int = 8,
                   interpret: bool = False, fused_unpack: bool = False,
-                  time2_feed: bool = False):
+                  time2_feed: bool = False,
+                  fir_twopass: bool | None = None):
     """Build the jitted multi-chip step.
 
     step(words (L, T, 28) uint32, state {k: (L, 64) int32}) ->
@@ -92,6 +93,12 @@ def make_apa_step(mesh: Mesh, cfg: TPGConfig, max_hits_per_link: int = 512,
     of each device's link group, the host/NIC ingest fast path): each
     chip consumes its shard with zero on-device unpack/relayout.
     """
+
+    if fir_twopass is None:
+        # tuned-file/shipped FIR schedule choice (utils.tuning); the knob
+        # is per-algorithm, so any channel count resolves it
+        from ..utils.tuning import kernel_knobs
+        fir_twopass = kernel_knobs(cfg, N_CH)["fir_twopass"]
 
     def _local_pallas(words, state):
         from ..ops.pallas_tpg import (LANES, auto_tc, default_block_sublanes,
@@ -139,7 +146,7 @@ def make_apa_step(mesh: Mesh, cfg: TPGConfig, max_hits_per_link: int = 512,
             kernel_in, _stack_from_state(st, C, sub, positions=pos), cfg,
             tc=tc, k_slots=k_slots, unroll=unroll,
             interpret=interpret, words14=fused_unpack,
-            time_packed=time2_feed)
+            time_packed=time2_feed, fir_twopass=fir_twopass)
         # per-link device-side decode: slots (NB, n_chunks, K, nw, SUB, 128)
         # — per-chunk slots fold into one wider slot axis (records carry
         # absolute ticks); nw=2 is the no-peak record layout

@@ -270,7 +270,8 @@ class WIBFrameProcessor(TaskRawDataProcessor):
                 out=buf.get((T // 2, native._pad_sublanes8(C), 128))))
             return process_time2_feed(feed, stack, cfg, C, tc=tc,
                                       k_slots=self.k_slots, unroll=unroll,
-                                      interpret=self._interpret)
+                                      interpret=self._interpret,
+                                      fir_twopass=knobs["fir_twopass"])
 
         (c_slots, c_n, self._coll_stack) = run(
             protowib.COLLECTION_INDEX_TO_CHAN, self._t2_buf_coll,
@@ -306,7 +307,8 @@ class WIBFrameProcessor(TaskRawDataProcessor):
             process_packed_protowib(words, self._coll_stack, self._ind_stack,
                                     self.coll_cfg, self.ind_cfg, tc=tc,
                                     k_slots=self.k_slots, unroll=unroll,
-                                    interpret=self._interpret)
+                                    interpret=self._interpret,
+                                    fir_twopass=knobs["fir_twopass"])
         h_coll, d_c = collect_hits(c_slots, c_n, protowib.N_COLLECTION,
                                    max_hits=self._max_hits,
                                    device=self._device_compact)

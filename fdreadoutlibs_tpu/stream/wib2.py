@@ -143,7 +143,7 @@ class WIB2FrameProcessor(WIBEthFrameProcessor):
             jnp.asarray(words), self._pallas_stack, self.tpg_cfg, C, tc=tc,
             k_slots=self.k_slots,
             unroll=u if (not self._interpret and tc % u == 0) else 1,
-            interpret=self._interpret)
+            interpret=self._interpret, fir_twopass=knobs["fir_twopass"])
         hits, dropped = collect_hits(slots, nclose, C,
                                      max_hits=self._max_hits,
                                      device=self._device_compact)

@@ -268,7 +268,8 @@ class WIBEthFrameProcessor(TaskRawDataProcessor):
         slots, nclose, self._pallas_stack = process_packed_frames(
             jnp.asarray(words.reshape(1, T, 28)), self._pallas_stack,
             self.tpg_cfg, C, tc=tc, k_slots=self.k_slots,
-            unroll=unroll, interpret=self._interpret)
+            unroll=unroll, interpret=self._interpret,
+            fir_twopass=knobs["fir_twopass"])
         hits, dropped = collect_hits(slots, nclose, C,
                                      max_hits=self._max_hits,
                                      device=self._device_compact)

@@ -97,9 +97,14 @@ def kernel_knobs(cfg, n_channels: int, tc: Optional[int] = None,
     t_tc = _tuned_int(tuned, "tc", 1)
     t_un = _tuned_int(tuned, "unroll", 1)
     t_k = _tuned_int(tuned, "k", 1)
+    t_tp = _tuned_int(tuned, "twopass", 0)
+    if shipped.get("twopass") is None:
+        t_tp = None          # schedule knob only exists for FIR
     return {"tc": tc if tc is not None else
             (t_tc if t_tc is not None else shipped["tc"]),
             "unroll": unroll if unroll is not None else
             (t_un if t_un is not None else shipped["unroll"]),
             "k_slots": t_k if t_k is not None else shipped.get("k", 1),
-            "block_sublanes": block}
+            "block_sublanes": block,
+            "fir_twopass": bool(t_tp if t_tp is not None
+                                else shipped.get("twopass", 0))}

@@ -50,6 +50,13 @@ def candidate_space(quick: bool):
             for s, tc, u, k in itertools.product(subs, tcs, unrolls, ks)]
 
 
+def fir_space(quick: bool):
+    # the FIR family additionally sweeps the kernel schedule: fused tick
+    # vs the two-pass split (pallas_tpg fir_twopass)
+    return [c | {"twopass": tp} for c in candidate_space(quick)
+            for tp in (0, 1)]
+
+
 def measure_candidates(alg, cands, channels, ticks, windows, trials,
                        log=print):
     """Compile every candidate, then interleave slope trials round-robin.
@@ -86,7 +93,8 @@ def measure_candidates(alg, cands, channels, ticks, windows, trials,
                     slots, nclose, s = process_window_pallas(
                         packed, s, cfg, tc=_c["tc"],
                         k_slots=_c.get("k", 1),
-                        unroll=_c["unroll"], vmem_limit_mb=64)
+                        unroll=_c["unroll"], vmem_limit_mb=64,
+                        fir_twopass=bool(_c.get("twopass", 0)))
                     return s, jnp.sum(nclose)
                 s, counts = jax.lax.scan(body, s, None, length=windows)
                 return s, counts
@@ -116,7 +124,9 @@ def measure_candidates(alg, cands, channels, ticks, windows, trials,
     for r in runs:
         ms = float(np.median(r["slopes"])) * 1e3 if r["slopes"] else \
             float("nan")
-        out.append({k: r[k] for k in ("sub", "tc", "unroll", "k")} |
+        keys = ("sub", "tc", "unroll", "k") + \
+            (("twopass",) if "twopass" in r else ())
+        out.append({k: r[k] for k in keys} |
                    {"ms": round(ms, 4),
                     "gsps": round(T * C / ms / 1e6, 1) if ms == ms else None})
     return out
@@ -142,7 +152,9 @@ def main():
     winners = {}
     for alg in ([args.alg] if args.alg else ALGS):
         print(f"# tuning {alg}")
-        results = measure_candidates(alg, candidate_space(args.quick),
+        space = fir_space(args.quick) if alg == "FIR" \
+            else candidate_space(args.quick)
+        results = measure_candidates(alg, space,
                                      args.channels, args.ticks,
                                      args.windows, args.trials)
         for r in sorted(results, key=lambda r: r["ms"]):
@@ -150,8 +162,9 @@ def main():
         ok = [r for r in results if r["ms"] == r["ms"]]
         if ok:
             best = min(ok, key=lambda r: r["ms"])
-            winners[alg] = {k: best[k] for k in ("sub", "tc", "unroll",
-                                                 "k")} | \
+            keys = ("sub", "tc", "unroll", "k") + \
+                (("twopass",) if "twopass" in best else ())
+            winners[alg] = {k: best[k] for k in keys} | \
                 {"gsps": best["gsps"]}
     print(json.dumps({"tuned": winners}))
     if args.out:

@@ -28,7 +28,7 @@ class TestKernelKnobs:
         cfg = TPGConfig(threshold=150)
         k = tuning.kernel_knobs(cfg, 2560, tc=512, unroll=32)
         assert k == {"tc": 512, "unroll": 32, "k_slots": 1,
-                     "block_sublanes": None}
+                     "block_sublanes": None, "fir_twopass": False}
 
     def test_shipped_table_governs(self):
         from fdreadoutlibs_tpu.ops.pallas_tpg import SHIPPED_KNOBS
@@ -46,13 +46,24 @@ class TestKernelKnobs:
         cfg = TPGConfig(algorithm=Algorithm.ABS_RS, threshold=150)
         k = tuning.kernel_knobs(cfg, 2560)
         assert k == {"tc": 128, "unroll": 16, "k_slots": 1,
-                     "block_sublanes": 8}
+                     "block_sublanes": 8, "fir_twopass": False}
         # explicit arguments beat the tuned file (documented precedence)
         k_exp = tuning.kernel_knobs(cfg, 2560, tc=512, unroll=32)
         assert k_exp["tc"] == 512 and k_exp["unroll"] == 32
         # other algorithms keep their defaults
         k2 = tuning.kernel_knobs(TPGConfig(threshold=150), 2560)
         assert k2["tc"] == 512 and k2["block_sublanes"] is None
+
+    def test_tuned_twopass(self, tmp_path, monkeypatch):
+        """The FIR schedule knob resolves from the tuned file; non-FIR
+        families ignore it (the fused tick is their only schedule)."""
+        path = write_tuned(tmp_path, {"FIR": {"twopass": 1},
+                                      "AbsRS": {"twopass": 1}})
+        monkeypatch.setenv("FDREADOUT_TUNED", path)
+        fir = TPGConfig(algorithm=Algorithm.FIR, threshold=5)
+        assert tuning.kernel_knobs(fir, 2560)["fir_twopass"] is True
+        rs = TPGConfig(algorithm=Algorithm.ABS_RS, threshold=150)
+        assert tuning.kernel_knobs(rs, 2560)["fir_twopass"] is False
 
     def test_tuned_k_slots(self, tmp_path, monkeypatch):
         path = write_tuned(tmp_path, {"AbsRS": {"k": 2}})
@@ -171,6 +182,34 @@ class TestStreamingIngestPickup:
         np.testing.assert_array_equal(h_default[0], h_tuned[0])
         assert len(h_default[0]) > 0
 
+    def test_fir_twopass_hits_unchanged(self, tmp_path, monkeypatch):
+        """A tuned twopass=1 flows end-to-end through StreamingIngest
+        and changes NOTHING about the hits (schedule, not physics)."""
+        from fdreadoutlibs_tpu.formats import wibeth
+        from fdreadoutlibs_tpu.ops.ingest import StreamingIngest
+
+        rng = np.random.default_rng(5)
+        frames = wibeth.empty_frames(2)
+        adcs = (800 + rng.normal(0, 4, size=(2, 64, 64))).astype(np.uint16)
+        adcs[0, 20:28, 9] += 400
+        wibeth.set_adcs(frames, adcs)
+        batch = frames[None]                     # one link
+        cfg = TPGConfig(algorithm=Algorithm.FIR, threshold=5,
+                        track_peaks=False)
+
+        def run():
+            ing = StreamingIngest(cfg, n_links=1, interpret=True)
+            ing.submit(batch)
+            return ing.flush()
+
+        h_default = run()
+        path = write_tuned(tmp_path, {"FIR": {"twopass": 1}})
+        monkeypatch.setenv("FDREADOUT_TUNED", path)
+        tuning._cache.clear()
+        h_twopass = run()
+        np.testing.assert_array_equal(h_default[0], h_twopass[0])
+        assert len(h_default[0]) > 0
+
 
 def test_autotune_quick_space_spans_shipped_winners():
     """--quick must be able to reproduce every shipped winner, or its
@@ -187,3 +226,9 @@ def test_autotune_quick_space_spans_shipped_winners():
              for c in autotune.candidate_space(quick=True)}
     for alg, k in SHIPPED_KNOBS.items():
         assert (k["sub"], k["tc"], k["unroll"]) in quick, alg
+    from fdreadoutlibs_tpu.ops import Algorithm as _Alg
+    fir_shipped = SHIPPED_KNOBS[_Alg.FIR]
+    fir_quick = {(c["sub"], c["tc"], c["unroll"], c["twopass"])
+                 for c in autotune.fir_space(quick=True)}
+    assert (fir_shipped["sub"], fir_shipped["tc"], fir_shipped["unroll"],
+            fir_shipped["twopass"]) in fir_quick
