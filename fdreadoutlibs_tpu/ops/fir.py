@@ -197,19 +197,29 @@ def fir_to_add(filt, is_over, cfg: TPGConfig, xp, fx):
     return xp.where(is_over, filt >> cfg.tap_exponent, fx.zero)
 
 
-def fir_hit_update(st: dict, is_over, to_add, filt, cfg: TPGConfig, xp, fx):
+def fir_hit_update(st: dict, is_over, to_add, filt, cfg: TPGConfig, xp, fx,
+                   closed=None):
     """Recurrent hit-state chain (unpacked layout): close detection,
     saturating charge/tover accumulation, optional peak tracking.
 
     ``filt`` is read only when ``cfg.track_peaks`` (the reference FIR
     kernels carry no peak registers — module docstring); pass None
     otherwise.  Returns ``(updates, closed, record)``.
+
+    ``closed`` (schedule plumbing, not physics): the lifted-emission
+    two-pass kernel precomputes closed = prev_over & ~is_over as a whole
+    time slab from the is_over slab (pallas_tpg._fir2_kernel pass B) and
+    then neither reads nor carries ``prev_was_over`` here — when given,
+    the updates omit that row.  Parity with the default form is pinned by
+    the fused-vs-two-pass tests.
     """
     one, zero = fx.one, fx.zero
     charge0 = st["hit_charge"]
     tover0 = st["hit_tover"]
-    prev_over = st["prev_was_over"] != 0
-    closed = prev_over & ~is_over
+    precomputed_closed = closed is not None
+    if not precomputed_closed:
+        prev_over = st["prev_was_over"] != 0
+        closed = prev_over & ~is_over
     # filt can be negative while over (wrapped threshold product), so the
     # AVX adds_epi16 floor applies (PARITY.md "charge saturation")
     charge = fx.add_clamp(charge0, to_add, INT16_MAX,
@@ -231,7 +241,8 @@ def fir_hit_update(st: dict, is_over, to_add, filt, cfg: TPGConfig, xp, fx):
               "peak_adc": peak_adc, "peak_time": peak_time}
     out["hit_charge"] = xp.where(closed, zero, charge)
     out["hit_tover"] = xp.where(closed, zero, tover)
-    out["prev_was_over"] = xp.where(is_over, one, zero)
+    if not precomputed_closed:
+        out["prev_was_over"] = xp.where(is_over, one, zero)
     return out, closed, record
 
 

@@ -496,10 +496,10 @@ def _tpg_kernel(adc_ref, state_ref, state_out_ref, slots_ref, nclose_ref,
 
 
 def _fir2_kernel(adc_ref, state_ref, state_out_ref, slots_ref, nclose_ref,
-                 s_ref, sig_ref, over_ref, toadd_ref, *maybe_filt,
+                 s_ref, sig_ref, over_ref, toadd_ref, *scratch,
                  cfg: TPGConfig, tc: int, k_slots: int, sub: int,
                  unroll: int = 1, time2: bool = False, words14: bool = False,
-                 words14_gather: bool = False):
+                 words14_gather: bool = False, lift: bool = False):
     """Two-pass FIR schedule: the FIR convolution and threshold compare do
     not feed the recurrent state (given pass A's outputs), so they are
     lifted out of the serial per-tick chain into whole-(tc, sub, 128) slab
@@ -512,6 +512,26 @@ def _fir2_kernel(adc_ref, state_ref, state_out_ref, slots_ref, nclose_ref,
       ticks, so the VPU pipelines it with no serial stalls;
     * pass C (recurrent, per tick): hit close/charge/tover chain + K-slot
       emission, reading the precomputed is_over/to_add rows.
+
+    ``lift=True`` (fir_twopass=2) additionally lifts everything around
+    the chain that does NOT feed it out of pass C:
+
+    * pass B also computes closed = prev_over & ~is_over as a slab
+      (prev_over is the is_over slab shifted one tick, carry-in from
+      state) and the carried-out prev_was_over row (= is_over[tc-1]);
+    * pass C keeps ONLY the recurrent charge/tover (and peak) chains —
+      it writes each tick's packed record words to a slab instead of
+      doing the K-way slot selects;
+    * pass D (no loop) derives the per-channel close ordinal as an
+      exclusive cumulative sum of the closed slab (a log2(tc)-step
+      shift-add ladder of whole-slab adds), builds each slot's one-hot
+      time selector closed & (ordinal == k), and reduces the record
+      slabs over time — emission becomes k_slots masked slab reductions
+      instead of tc*k_slots serial selects.  nclose is the inclusive
+      sum's last row.  Identical outputs: the selector is one-hot along
+      time per (channel, k), so the masked sum IS the selected record,
+      and channels without a k-th close reduce to the same zero word the
+      serial form leaves behind.
 
     Calls the SAME fir.py pieces as the fused tick (fir_iqr_update,
     fir_pedestal_sub, fir_filter, fir_threshold, fir_to_add,
@@ -526,7 +546,13 @@ def _fir2_kernel(adc_ref, state_ref, state_out_ref, slots_ref, nclose_ref,
     keys = live_fields(cfg)
     kidx = {k: _STATE_KEYS.index(k) for k in keys}
     fx = I32Fx.make(jnp)
-    filt_ref = maybe_filt[0] if maybe_filt else None
+    scratch = list(scratch)
+    filt_ref = scratch.pop(0) if cfg.track_peaks else None
+    if lift:
+        closed_ref = scratch.pop(0)
+        # per-tick record-word slabs: w0 = charge|tover (+ w1 = peaks);
+        # the tick word w2 comes from an iota in pass D
+        w_refs = [scratch.pop(0) for _ in range(record_words(cfg) - 1)]
     taps = cfg.taps or default_taps(cfg)
 
     @pl.when(t_chunk == 0)
@@ -564,41 +590,92 @@ def _fir2_kernel(adc_ref, state_ref, state_out_ref, slots_ref, nclose_ref,
     bufs = tuple(s_ref[j:j + tc] for j in range(N_FIR_TAPS))
     filt = fir_filter(bufs, taps, fx)
     is_over = fir_threshold(filt, sig_ref[...], cfg, fx)
-    over_ref[...] = is_over.astype(jnp.int32)
+    over_i32 = is_over.astype(jnp.int32)
+    over_ref[...] = over_i32
     toadd_ref[...] = fir_to_add(filt, is_over, cfg, jnp, fx)
     if filt_ref is not None:        # peak tracking reads filt in pass C
         filt_ref[...] = filt
+    if lift:
+        # closed as a slab: prev_over is the is_over slab shifted one
+        # tick (carry-in from the state row); the carried-out
+        # prev_was_over is just the last tick's is_over
+        prev0 = state_out_ref[0, kidx["prev_was_over"]]
+        prev = jnp.concatenate([prev0[None], over_i32[:-1]], axis=0)
+        closed_slab = (prev != 0) & ~is_over
+        closed_ref[...] = closed_slab.astype(jnp.int32)
+        state_out_ref[0, kidx["prev_was_over"]] = over_i32[tc - 1]
 
-    # ---- pass C: recurrent hit chain + K-slot emission
+    # ---- pass C: recurrent hit chain (+ K-slot emission unless lifted)
     c_keys = tuple(k for k in keys if k.startswith("hit_")
-                   or k == "prev_was_over")
+                   or (k == "prev_was_over" and not lift))
     carry_c = tuple(state_out_ref[0, kidx[k]] for k in c_keys)
-    zero_slot = jnp.zeros(slots_ref.shape[2:], slots_ref.dtype)
-    carry_c += tuple(zero_slot[k] for k in range(k_slots))
-    carry_c += (jnp.zeros(nclose_ref.shape[2:], nclose_ref.dtype),)
     ncst = len(c_keys)
+    if not lift:
+        zero_slot = jnp.zeros(slots_ref.shape[2:], slots_ref.dtype)
+        carry_c += tuple(zero_slot[k] for k in range(k_slots))
+        carry_c += (jnp.zeros(nclose_ref.shape[2:], nclose_ref.dtype),)
 
     def body_c(i, carry):
         st = dict(zip(c_keys, carry[:ncst]))
         slot_words = list(carry[ncst:ncst + k_slots])
-        nclose = carry[ncst + k_slots]
+        nclose = carry[ncst + k_slots] if not lift else None
         for u in range(unroll):
             tick_i = i * unroll + u
             over_t = over_ref[tick_i] != 0
             filt_t = filt_ref[tick_i] if filt_ref is not None else None
-            updh, closed, rec = fir_hit_update(
-                st, over_t, toadd_ref[tick_i], filt_t, cfg, jnp, fx)
-            st.update(updh)
-            nclose = _emit_records(rec, closed, t_chunk * tc + tick_i,
-                                   cfg, slot_words, nclose, k_slots)
-        return tuple(st[k] for k in c_keys) + tuple(slot_words) + (nclose,)
+            if lift:
+                updh, _, rec = fir_hit_update(
+                    st, over_t, toadd_ref[tick_i], filt_t, cfg, jnp, fx,
+                    closed=closed_ref[tick_i] != 0)
+                st.update(updh)
+                w_refs[0][tick_i] = (rec["charge"] << 16) | rec["tover"]
+                if len(w_refs) == 2:
+                    w_refs[1][tick_i] = (rec["peak_adc"] << 16) | \
+                        rec["peak_time"]
+            else:
+                updh, closed, rec = fir_hit_update(
+                    st, over_t, toadd_ref[tick_i], filt_t, cfg, jnp, fx)
+                st.update(updh)
+                nclose = _emit_records(rec, closed, t_chunk * tc + tick_i,
+                                       cfg, slot_words, nclose, k_slots)
+        out = tuple(st[k] for k in c_keys)
+        if not lift:
+            out += tuple(slot_words) + (nclose,)
+        return out
 
     carry_c = jax.lax.fori_loop(0, tc // unroll, body_c, carry_c)
     for n, k in enumerate(c_keys):
         state_out_ref[0, kidx[k]] = carry_c[n]
+    if not lift:
+        for k in range(k_slots):
+            slots_ref[0, 0, k] = carry_c[ncst + k]
+        nclose_ref[0, 0] = carry_c[ncst + k_slots]
+        return
+
+    # ---- pass D (lift): one-hot slot selection as slab reductions
+    # inclusive cumulative close count along time: log2(tc) shift-add
+    # ladder of whole-slab adds (Hillis-Steele; Mosaic has no native
+    # scan, and the ladder is 9 slab ops at tc=512)
+    x = closed_ref[...]
+    d = 1
+    while d < tc:
+        x = x + jnp.concatenate(
+            [jnp.zeros((d, sub, LANES), jnp.int32), x[:-d]], axis=0)
+        d *= 2
+    ordinal = x - closed_ref[...]             # exclusive: closes BEFORE t
+    nclose_ref[0, 0] = x[tc - 1]
+    w2 = jax.lax.broadcasted_iota(jnp.int32, (tc, sub, LANES), 0) + \
+        (t_chunk * tc + 1)
+    closed_b = closed_ref[...] != 0
+    zero = jnp.zeros((tc, sub, LANES), jnp.int32)
     for k in range(k_slots):
-        slots_ref[0, 0, k] = carry_c[ncst + k]
-    nclose_ref[0, 0] = carry_c[ncst + k_slots]
+        sel = closed_b & (ordinal == k)
+        words = [jnp.sum(jnp.where(sel, w_refs[0][...], zero), axis=0)]
+        if len(w_refs) == 2:
+            words.append(jnp.sum(jnp.where(sel, w_refs[1][...], zero),
+                                 axis=0))
+        words.append(jnp.sum(jnp.where(sel, w2, zero), axis=0))
+        slots_ref[0, 0, k] = jnp.stack(words)
 
 
 @functools.partial(jax.jit,
@@ -613,7 +690,7 @@ def process_window_pallas(adcs, state_stack, cfg: TPGConfig, tc: int = 256,
                           fir_packed: bool | None = None,
                           words14: bool = False,
                           words14_gather: bool = False,
-                          fir_twopass: bool = False):
+                          fir_twopass: bool | int = False):
     """Run the fused kernel over a (T, S, 128) int32 window.
 
     Args:
@@ -681,21 +758,26 @@ def process_window_pallas(adcs, state_stack, cfg: TPGConfig, tc: int = 256,
             raise ValueError("fir_twopass and fir_packed are exclusive "
                              "(the packed SWAR carry is fused-tick-only)")
         from jax.experimental.pallas import tpu as pltpu
+        lift = int(fir_twopass) >= 2
         # pass A -> B -> C hand-off slabs: contiguous samples (with the
-        # NTAPS-row ring history prefix), sigma, is_over, to_add, and
-        # filt only when peak tracking reads it in pass C
+        # NTAPS-row ring history prefix), sigma, is_over, to_add, filt
+        # only when peak tracking reads it in pass C, and — lifted
+        # emission only — the closed slab plus the per-tick record words
         scratch_shapes = [
             pltpu.VMEM((tc + N_FIR_TAPS, sub, LANES), jnp.int32),
             pltpu.VMEM((tc, sub, LANES), jnp.int32),
             pltpu.VMEM((tc, sub, LANES), jnp.int32),
             pltpu.VMEM((tc, sub, LANES), jnp.int32),
         ]
-        if cfg.track_peaks:
-            scratch_shapes.append(pltpu.VMEM((tc, sub, LANES), jnp.int32))
+        # lift adds the closed slab + (nw - 1) record-word slabs = nw
+        n_extra = (1 if cfg.track_peaks else 0) + (nw if lift else 0)
+        scratch_shapes += [pltpu.VMEM((tc, sub, LANES), jnp.int32)
+                           for _ in range(n_extra)]
         kernel = functools.partial(_fir2_kernel, cfg=cfg, tc=tc,
                                    k_slots=k_slots, sub=sub, unroll=unroll,
                                    time2=time_packed, words14=words14,
-                                   words14_gather=words14_gather)
+                                   words14_gather=words14_gather,
+                                   lift=lift)
     else:
         kernel = functools.partial(_tpg_kernel, cfg=cfg, tc=tc,
                                    k_slots=k_slots, sub=sub, unroll=unroll,

@@ -106,5 +106,6 @@ def kernel_knobs(cfg, n_channels: int, tc: Optional[int] = None,
             (t_un if t_un is not None else shipped["unroll"]),
             "k_slots": t_k if t_k is not None else shipped.get("k", 1),
             "block_sublanes": block,
-            "fir_twopass": bool(t_tp if t_tp is not None
-                                else shipped.get("twopass", 0))}
+            # 0 = fused tick, 1 = two-pass, 2 = two-pass + lifted emission
+            "fir_twopass": int(t_tp if t_tp is not None
+                               else shipped.get("twopass", 0))}

@@ -53,8 +53,9 @@ def candidate_space(quick: bool):
 def fir_space(quick: bool):
     # the FIR family additionally sweeps the kernel schedule: fused tick
     # vs the two-pass split (pallas_tpg fir_twopass)
+    # 0 = fused tick, 1 = two-pass, 2 = two-pass + lifted emission
     return [c | {"twopass": tp} for c in candidate_space(quick)
-            for tp in (0, 1)]
+            for tp in (0, 1, 2)]
 
 
 def measure_candidates(alg, cands, channels, ticks, windows, trials,
@@ -94,7 +95,7 @@ def measure_candidates(alg, cands, channels, ticks, windows, trials,
                         packed, s, cfg, tc=_c["tc"],
                         k_slots=_c.get("k", 1),
                         unroll=_c["unroll"], vmem_limit_mb=64,
-                        fir_twopass=bool(_c.get("twopass", 0)))
+                        fir_twopass=_c.get("twopass", 0))
                     return s, jnp.sum(nclose)
                 s, counts = jax.lax.scan(body, s, None, length=windows)
                 return s, counts

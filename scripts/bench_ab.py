@@ -84,7 +84,7 @@ def main():
                 slots, nclose, s = process_window_pallas(
                     packed, s, cfg, tc=_c["tc"], k_slots=_c["k"],
                     unroll=_c["unroll"], vmem_limit_mb=_c["vmem"],
-                    fir_packed=_fp, fir_twopass=bool(_c["twopass"]))
+                    fir_packed=_fp, fir_twopass=_c["twopass"])
                 return s, jnp.sum(nclose)
             s, counts = jax.lax.scan(body, s, None, length=args.windows)
             return s, counts

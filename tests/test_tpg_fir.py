@@ -1,6 +1,7 @@
 """FIR+IQR family tests: filter design, oracle behavior, backend parity."""
 
 import numpy as np
+import pytest
 
 from fdreadoutlibs_tpu.ops import TPGConfig, Algorithm
 from fdreadoutlibs_tpu.ops.fir import default_taps, firwin, firwin_int
@@ -248,18 +249,21 @@ class TestMergedQuantileEquivalence:
 
 
 class TestFIRTwoPass:
-    """The two-pass Pallas schedule (pallas_tpg._fir2_kernel: recurrent
+    """The two-pass Pallas schedules (pallas_tpg._fir2_kernel: recurrent
     pedestal/IQR pass -> whole-slab filter+threshold -> recurrent hit
-    pass) composes the SAME fir.py tick pieces as the fused kernel, so it
-    must be bit-exact vs the oracle — hits, counts, and carried state —
-    across every input encoding and config variant the fused path has."""
+    pass; fir_twopass=2 additionally lifts closed detection and K-slot
+    emission into slab ops) compose the SAME fir.py tick pieces as the
+    fused kernel, so they must be bit-exact vs the oracle — hits, counts,
+    and carried state — across every input encoding and config variant
+    the fused path has."""
 
-    def test_matches_reference_with_window_carry(self):
+    @pytest.mark.parametrize("tp", [1, 2])
+    def test_matches_reference_with_window_carry(self, tp):
         adcs = random_stream(128, 48, seed=33, noise=4, base=900,
                              n_signals=60)
         h_ref, st_ref = run_reference(adcs, FIR_CFG, window=128)
         h_tp, st_tp, dropped = run_pallas(adcs, FIR_CFG, tc=32, window=64,
-                                          fir_twopass=True)
+                                          fir_twopass=tp)
         assert dropped == 0 and len(h_ref) > 0
         np.testing.assert_array_equal(h_tp, h_ref)
         np.testing.assert_array_equal(st_tp["fir_prev"][:, :48],
@@ -269,7 +273,8 @@ class TestFIRTwoPass:
             np.testing.assert_array_equal(st_tp[k][:48],
                                           np.asarray(st_ref[k]), err_msg=k)
 
-    def test_multiblock(self):
+    @pytest.mark.parametrize("tp", [1, 2])
+    def test_multiblock(self, tp):
         """Blocked grid (nb>1): per-block scratch slabs must not leak
         across channel blocks."""
         C = 256
@@ -277,7 +282,7 @@ class TestFIRTwoPass:
                              n_signals=80)
         h_ref, _ = run_reference(adcs, FIR_CFG)
         h_tp, _, dropped = run_pallas(adcs, FIR_CFG, tc=32, k_slots=4,
-                                      block_sublanes=8, fir_twopass=True)
+                                      block_sublanes=8, fir_twopass=tp)
         assert dropped == 0 and len(h_ref) > 0
         assert h_ref["channel"].max() >= 128
         np.testing.assert_array_equal(h_tp, h_ref)
@@ -315,12 +320,13 @@ class TestFIRTwoPass:
                 outs = [process_window_pallas(
                             pa, pack_state(st, 32), cfg, tc=32, k_slots=4,
                             interpret=True, unroll=unroll, fir_twopass=tp)
-                        for tp in (False, True)]
-                for n, (a, b) in zip(("slots", "nclose", "state"),
+                        for tp in (0, 1, 2)]
+                for n, outs_n in zip(("slots", "nclose", "state"),
                                      zip(*outs)):
-                    np.testing.assert_array_equal(
-                        np.asarray(a), np.asarray(b),
-                        err_msg=f"{extra} unroll={unroll} {n}")
+                    for tp, y in enumerate(outs_n[1:], start=1):
+                        np.testing.assert_array_equal(
+                            np.asarray(outs_n[0]), np.asarray(y),
+                            err_msg=f"{extra} unroll={unroll} tp={tp} {n}")
 
     def test_time2_input(self):
         """Time-paired ADC words through the two-pass decode."""
@@ -335,15 +341,15 @@ class TestFIRTwoPass:
                             FIR_CFG.rs_memory_factor_x10)
         a = process_window_pallas(jnp.asarray(pack_adcs(adcs)),
                                   pack_state(st, 32), FIR_CFG, tc=32,
-                                  k_slots=4, interpret=True,
-                                  fir_twopass=True)
-        b = process_window_pallas(jnp.asarray(pack_adcs_time2(adcs)),
-                                  pack_state(st, 32), FIR_CFG, tc=32,
-                                  k_slots=4, interpret=True, unroll=2,
-                                  time_packed=True, fir_twopass=True)
-        for n, (x, y) in zip(("slots", "nclose", "state"), zip(a, b)):
-            np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
-                                          err_msg=n)
+                                  k_slots=4, interpret=True)
+        for tp in (1, 2):
+            b = process_window_pallas(jnp.asarray(pack_adcs_time2(adcs)),
+                                      pack_state(st, 32), FIR_CFG, tc=32,
+                                      k_slots=4, interpret=True, unroll=2,
+                                      time_packed=True, fir_twopass=tp)
+            for n, (x, y) in zip(("slots", "nclose", "state"), zip(a, b)):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                              err_msg=f"tp={tp} {n}")
 
     def test_words14_input(self):
         """Fused in-kernel 14-bit unpack through the two-pass decode."""
@@ -371,10 +377,12 @@ class TestFIRTwoPass:
         outs = [process_window_pallas(
                     W, pack_state(st, C, positions=pos), FIR_CFG, tc=32,
                     k_slots=4, interpret=True, words14=True, fir_twopass=tp)
-                for tp in (False, True)]
-        for n, (x, y) in zip(("slots", "nclose", "state"), zip(*outs)):
-            np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
-                                          err_msg=n)
+                for tp in (0, 1, 2)]
+        for n, outs_n in zip(("slots", "nclose", "state"), zip(*outs)):
+            for tp, y in enumerate(outs_n[1:], start=1):
+                np.testing.assert_array_equal(np.asarray(outs_n[0]),
+                                              np.asarray(y),
+                                              err_msg=f"tp={tp} {n}")
 
     def test_rejects_invalid_combinations(self):
         import pytest

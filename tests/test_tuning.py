@@ -28,7 +28,7 @@ class TestKernelKnobs:
         cfg = TPGConfig(threshold=150)
         k = tuning.kernel_knobs(cfg, 2560, tc=512, unroll=32)
         assert k == {"tc": 512, "unroll": 32, "k_slots": 1,
-                     "block_sublanes": None, "fir_twopass": False}
+                     "block_sublanes": None, "fir_twopass": 0}
 
     def test_shipped_table_governs(self):
         from fdreadoutlibs_tpu.ops.pallas_tpg import SHIPPED_KNOBS
@@ -46,7 +46,7 @@ class TestKernelKnobs:
         cfg = TPGConfig(algorithm=Algorithm.ABS_RS, threshold=150)
         k = tuning.kernel_knobs(cfg, 2560)
         assert k == {"tc": 128, "unroll": 16, "k_slots": 1,
-                     "block_sublanes": 8, "fir_twopass": False}
+                     "block_sublanes": 8, "fir_twopass": 0}
         # explicit arguments beat the tuned file (documented precedence)
         k_exp = tuning.kernel_knobs(cfg, 2560, tc=512, unroll=32)
         assert k_exp["tc"] == 512 and k_exp["unroll"] == 32
@@ -61,9 +61,9 @@ class TestKernelKnobs:
                                       "AbsRS": {"twopass": 1}})
         monkeypatch.setenv("FDREADOUT_TUNED", path)
         fir = TPGConfig(algorithm=Algorithm.FIR, threshold=5)
-        assert tuning.kernel_knobs(fir, 2560)["fir_twopass"] is True
+        assert tuning.kernel_knobs(fir, 2560)["fir_twopass"] == 1
         rs = TPGConfig(algorithm=Algorithm.ABS_RS, threshold=150)
-        assert tuning.kernel_knobs(rs, 2560)["fir_twopass"] is False
+        assert tuning.kernel_knobs(rs, 2560)["fir_twopass"] == 0
 
     def test_tuned_k_slots(self, tmp_path, monkeypatch):
         path = write_tuned(tmp_path, {"AbsRS": {"k": 2}})
