@@ -64,11 +64,12 @@ def test_random_config_uneven_batches(seed):
                                           err_msg=f"{cfg} state[{k}]")
 
 
-@pytest.mark.parametrize("seed", [101, 707])
+@pytest.mark.parametrize("seed", [101, 404, 707])  # 404 draws FIR
 def test_random_config_pallas_interpret(seed):
     """One fuzz case also through the Pallas kernel (interpret mode,
     uneven 2-window split) — the same randomized config space reaches
-    the third backend."""
+    the third backend.  FIR draws additionally run the two-pass
+    schedules on the same uneven split."""
     import jax.numpy as jnp
 
     from fdreadoutlibs_tpu.ops.pallas_tpg import (decode_pallas_hits,
@@ -77,15 +78,19 @@ def test_random_config_pallas_interpret(seed):
     cfg, rmf, adcs, bounds = _case(seed)
     h_ref, st_ref = run_reference(adcs, cfg, rs_memory_factor=rmf)
     packed = pack_adcs(adcs)
-    stack = pack_state(seed_chanstate(init_chanstate(C), adcs[0], rmf), C)
-    parts, dropped = [], 0
+    schedules = (0, 1, 2) if cfg.algorithm == Algorithm.FIR else (0,)
     cut = bounds[len(bounds) // 2]              # one uneven split
-    for a, b in ((0, cut), (cut, T)):
-        slots, nclose, stack = process_window_pallas(
-            jnp.asarray(packed[a:b]), stack, cfg, tc=b - a, k_slots=32,
-            interpret=True)
-        h, d = decode_pallas_hits(slots, nclose, C, tick_offset=a)
-        parts.append(h)
-        dropped += d
-    assert dropped == 0
-    np.testing.assert_array_equal(concat_hits(parts), h_ref)
+    for tp in schedules:
+        stack = pack_state(seed_chanstate(init_chanstate(C), adcs[0], rmf),
+                           C)
+        parts, dropped = [], 0
+        for a, b in ((0, cut), (cut, T)):
+            slots, nclose, stack = process_window_pallas(
+                jnp.asarray(packed[a:b]), stack, cfg, tc=b - a, k_slots=32,
+                interpret=True, fir_twopass=tp)
+            h, d = decode_pallas_hits(slots, nclose, C, tick_offset=a)
+            parts.append(h)
+            dropped += d
+        assert dropped == 0
+        np.testing.assert_array_equal(concat_hits(parts), h_ref,
+                                      err_msg=f"fir_twopass={tp}")
