@@ -520,8 +520,10 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--tc", type=int, default=512)
     pr.add_argument("--k-slots", type=int, default=1)
     pr.add_argument("--unroll", type=int, default=32)
-    pr.add_argument("--fir-twopass", action="store_true",
-                    help="profile the two-pass FIR schedule")
+    pr.add_argument("--fir-twopass", type=int, default=0,
+                    choices=(0, 1, 2),
+                    help="FIR kernel schedule: 0 fused, 1 two-pass, "
+                         "2 two-pass + lifted emission")
     pr.add_argument("--top", type=int, default=10,
                     help="print the top-N trace ops by total time "
                          "(0 = skip the summary)")
