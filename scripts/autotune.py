@@ -13,6 +13,10 @@ Usage:
   python scripts/autotune.py                       # all four algorithms
   python scripts/autotune.py --alg FIR --out tuned.json
   python scripts/autotune.py --quick               # smaller space
+  python scripts/autotune.py --quick --confirm 3   # + twice-confirmed rule:
+      re-A/B the top finishers vs the shipped default in two independent
+      rotated passes; the emitted tuned entry switches knobs only when
+      the challenger wins BOTH passes by >2% (else it re-states shipped)
 
 Feed the winners back through the existing knobs:
 StreamingIngest(tc=..., unroll=...), pack_state(block_sublanes=...),
@@ -59,10 +63,15 @@ def fir_space(quick: bool):
 
 
 def measure_candidates(alg, cands, channels, ticks, windows, trials,
-                       log=print):
-    """Compile every candidate, then interleave slope trials round-robin.
+                       log=print, passes=1):
+    """Compile every candidate, then interleave slope trials round-robin,
+    ROTATING the visit order every trial so slow tunnel phases hit every
+    candidate equally (one-shot fixed-order rankings have lied before:
+    round-3's FIR sweep winner failed its interleaved re-A/B).
     Returns the candidate list with 'ms' medians filled in (NaN = failed
-    to compile or never produced a positive slope)."""
+    to compile or never produced a positive slope); with passes>1 also
+    'ms_passes', the per-pass medians (independent evidence for the
+    twice-confirmed rule)."""
     import jax
     import jax.numpy as jnp
     from fdreadoutlibs_tpu.ops import TPGConfig
@@ -104,7 +113,8 @@ def measure_candidates(alg, cands, channels, ticks, windows, trials,
         except Exception as e:          # invalid layout / OOM: skip
             log(f"#   {cand} failed to compile: {type(e).__name__}")
             continue
-        runs.append({**cand, "_fn": fn, "_st": st0, "slopes": []})
+        runs.append({**cand, "_fn": fn, "_st": st0,
+                     "slopes": [[] for _ in range(passes)]})
 
     def chain(fn, n, s):
         t0 = time.perf_counter()
@@ -113,24 +123,90 @@ def measure_candidates(alg, cands, channels, ticks, windows, trials,
         _ = float(jnp.sum(s[:, 0]))
         return time.perf_counter() - t0
 
-    for t in range(trials):
-        for r in runs:                  # interleaved round-robin
-            t_a = chain(r["_fn"], 1, r["_st"])
-            t_b = chain(r["_fn"], 6, r["_st"])
-            slope = (t_b - t_a) / 5 / windows
-            if slope > 0:
-                r["slopes"].append(slope)
+    rot = 0
+    for p in range(passes):
+        for t in range(trials):
+            order = runs[rot % len(runs):] + runs[:rot % len(runs)] \
+                if runs else []
+            rot += 1
+            for r in order:             # interleaved, rotated round-robin
+                t_a = chain(r["_fn"], 1, r["_st"])
+                t_b = chain(r["_fn"], 6, r["_st"])
+                slope = (t_b - t_a) / 5 / windows
+                if slope > 0:
+                    r["slopes"][p].append(slope)
 
     out = []
     for r in runs:
-        ms = float(np.median(r["slopes"])) * 1e3 if r["slopes"] else \
-            float("nan")
+        flat = [s for ps in r["slopes"] for s in ps]
+        ms = float(np.median(flat)) * 1e3 if flat else float("nan")
         keys = ("sub", "tc", "unroll", "k") + \
             (("twopass",) if "twopass" in r else ())
-        out.append({k: r[k] for k in keys} |
-                   {"ms": round(ms, 4),
-                    "gsps": round(T * C / ms / 1e6, 1) if ms == ms else None})
+        row = {k: r[k] for k in keys} | \
+            {"ms": round(ms, 4),
+             "gsps": round(T * C / ms / 1e6, 1) if ms == ms else None}
+        if passes > 1:
+            row["ms_passes"] = [
+                round(float(np.median(ps)) * 1e3, 4) if ps else float("nan")
+                for ps in r["slopes"]]
+        out.append(row)
     return out
+
+
+def _confirm_stage(alg, ok, sweep_winner, args):
+    """Re-A/B the sweep's top finishers against the shipped default in two
+    independent rotated passes (the twice-confirmed rule, BENCH_NOTES:
+    one-shot sweep rankings have flipped on re-measurement twice).
+
+    Returns the tuned-file entry for ``alg``: the challenger's knobs only
+    if it beat shipped in BOTH passes by >2%; otherwise the shipped knobs
+    (so ``--confirm --out`` always writes a deployable file), with the
+    evidence attached under 'confirm'."""
+    from fdreadoutlibs_tpu.ops import TPGConfig
+    from fdreadoutlibs_tpu.ops.pallas_tpg import SHIPPED_KNOBS
+
+    cfg = TPGConfig.from_raw(alg, threshold=5 if alg == "FIR" else 150)
+    shipped = dict(SHIPPED_KNOBS[cfg.algorithm])
+    keys = tuple(k for k in ("sub", "tc", "unroll", "k", "twopass")
+                 if k in shipped)
+
+    def knobs(row):
+        return {k: row[k] for k in keys if k in row}
+
+    finalists, seen = [], set()
+    for row in sorted(ok, key=lambda r: r["ms"])[:args.confirm]:
+        cand = knobs(row)
+        key = tuple(sorted(cand.items()))
+        if key not in seen:
+            seen.add(key)
+            finalists.append(cand)
+    ship_key = tuple(sorted(shipped.items()))
+    if ship_key not in seen:
+        finalists.append(shipped)
+
+    print(f"# confirming {alg}: {len(finalists)} arms x 2 passes")
+    rows = measure_candidates(alg, finalists, args.channels, args.ticks,
+                              args.windows, args.confirm_trials, passes=2)
+    for r in rows:
+        print(json.dumps({"alg": alg, "confirm": True, **r}))
+    by_key = {tuple(sorted(knobs(r).items())): r for r in rows}
+    ship_row = by_key.get(ship_key)
+    evidence = [r for r in rows if r["ms"] == r["ms"]]
+    if ship_row is None or ship_row["ms"] != ship_row["ms"]:
+        # shipped arm failed to measure: keep the plain sweep winner but
+        # mark it unconfirmed rather than pretend it passed the bar
+        return sweep_winner | {"confirmed": False, "confirm": evidence}
+    challengers = [
+        r for r in evidence
+        if tuple(sorted(knobs(r).items())) != ship_key
+        and all(m == m and s == s and m < 0.98 * s for m, s in
+                zip(r["ms_passes"], ship_row["ms_passes"]))]
+    if challengers:
+        best = min(challengers, key=lambda r: r["ms"])
+        return knobs(best) | {"gsps": best["gsps"], "confirmed": True,
+                              "confirm": evidence}
+    return knobs(ship_row) | {"gsps": ship_row["gsps"],
+                              "confirmed": False, "confirm": evidence}
 
 
 def main():
@@ -143,6 +219,12 @@ def main():
     ap.add_argument("--ticks", type=int, default=8192)
     ap.add_argument("--windows", type=int, default=16)
     ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--confirm", type=int, default=0, metavar="N",
+                    help="after the sweep, re-A/B the top N finishers "
+                    "against the shipped default in two independent "
+                    "rotated passes; a switch is only recommended if it "
+                    "beats shipped in BOTH (the twice-confirmed rule)")
+    ap.add_argument("--confirm-trials", type=int, default=4)
     args = ap.parse_args()
 
     import jax
@@ -167,6 +249,8 @@ def main():
                 (("twopass",) if "twopass" in best else ())
             winners[alg] = {k: best[k] for k in keys} | \
                 {"gsps": best["gsps"]}
+        if ok and args.confirm:
+            winners[alg] = _confirm_stage(alg, ok, winners[alg], args)
     print(json.dumps({"tuned": winners}))
     if args.out:
         with open(args.out, "w") as f:

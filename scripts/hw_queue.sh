@@ -40,5 +40,7 @@ run 3600 "FIR schedule A/B" python scripts/bench_ab.py --alg FIR --trials 5 \
   --config "sub=0,tc=256,twopass=2"
 run 1800 "ProtoWIB time2 hw parity" python scripts/check_protowib_time2_hw.py
 run 1800 "sharded Pallas hw parity" python scripts/check_sharded_pallas_hw.py
+run 5400 "autotune quick+confirm" python scripts/autotune.py --quick \
+  --confirm 3 --out /tmp/tuned_hwq.json
 run 2400 "bench"                  python bench.py
 echo "=== hw_queue done $(date -u +%H:%M:%S)" >> "$log"
