@@ -367,6 +367,23 @@ def main():
 
     import os
 
+    if (tunnel.get("tunnel_gate") == "proceeding_wedged"
+            and tunnel.get("backend") != "cpu"
+            and os.environ.get("FDREADOUT_BENCH_ON_WEDGE", "fail")
+            != "proceed"):
+        # The gate never saw one live probe across its whole budget
+        # (default 30 min): the tunnel is in an extended outage, and an
+        # in-process jax backend init would likely hang this process —
+        # and whatever driver invoked it — INDEFINITELY.  An honest
+        # failure line beats a hang; FDREADOUT_BENCH_ON_WEDGE=proceed
+        # restores the old try-anyway behavior.
+        print(json.dumps({
+            "metric": "apa_realtime_factor_swtpg_production",
+            "value": 0.0, "unit": "x_realtime_2560ch_APA",
+            "vs_baseline": 0.0, "error": "tpu_tunnel_wedged",
+            "tunnel_wait_s": tunnel.get("tunnel_wait_s")}))
+        return 1
+
     import jax
     if os.environ.get("JAX_PLATFORMS", "") == "cpu":
         # make the env knob effective even where a sitecustomize points

@@ -63,6 +63,24 @@ def test_empty_batch_is_harmless():
     assert proc.metrics.count("num_hits") == 0
 
 
+def test_bench_wedged_tunnel_fails_fast(monkeypatch, capsys):
+    """When the tunnel gate exhausts its budget without ONE live probe,
+    bench.main() must emit an honest failure JSON line and return 1
+    instead of walking into an in-process jax init that can hang the
+    driver indefinitely."""
+    import json
+
+    import bench
+    monkeypatch.setattr(bench, "_tunnel_gate", lambda: {
+        "tunnel_gate": "proceeding_wedged", "tunnel_wait_s": 1800.0})
+    assert bench.main() == 1
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    out = json.loads(line)
+    assert out["error"] == "tpu_tunnel_wedged"
+    assert out["value"] == 0.0
+    assert out["tunnel_wait_s"] == 1800.0
+
+
 def test_bench_probe_output_parsing():
     """The tunnel-gate probe's JSON line is found amid runtime chatter
     and malformed lines never raise (review r3)."""
