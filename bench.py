@@ -492,9 +492,14 @@ def main():
     if extra:
         out["production_variants"] = extra
         # overhead of paying ingest at all, against the best shipped
-        # ingest path (fused in-kernel unpack when present)
+        # ingest path — the time2 host feed when present (the device then
+        # runs the plain time_packed datapath), else the fused in-kernel
+        # unpack, else raw upload+device unpack.  Note this includes the
+        # tunnel's host->device transfer cost, which production hardware
+        # (local PCIe) would not pay — see BENCH_NOTES.
         f = extra.get("fresh_data")
-        g = extra.get("ingest_fused") or extra.get("ingest_inclusive")
+        g = extra.get("ingest_time2_feed") or extra.get("ingest_fused") \
+            or extra.get("ingest_inclusive")
         if f and g:
             out["unpack_overhead_pct"] = round(100 * (f / g - 1), 1)
     print(json.dumps(out))
