@@ -70,29 +70,14 @@ def _state_from_stack(stack, C: int,
 from ..ops.hits import compact_slot_words as _compact_link_slots  # noqa: E402
 
 
-def make_apa_step(mesh: Mesh, cfg: TPGConfig, max_hits_per_link: int = 512,
-                  backend: str = "scan", k_slots: int = 8,
-                  interpret: bool = False, fused_unpack: bool = False,
-                  time2_feed: bool = False,
-                  fir_twopass: bool | None = None):
-    """Build the jitted multi-chip step.
-
-    step(words (L, T, 28) uint32, state {k: (L, 64) int32}) ->
-      (hits (L, max_hits, 6) int32, n_hits (L,) int32, total_hits scalar,
-       dropped scalar, new_state) — ``dropped`` counts closes lost to
-      per-channel capacity (K-slot chunks in the pallas backend,
-      max_hits_per_link overflow in the scan backend)
-
-    Links shard over the mesh 'link' axis; the only collective is the psum
-    for the monitoring total.  backend="pallas" runs the production fused
-    kernel per shard (each device's links stack on its lane axis);
-    backend="scan" is the portable XLA path.
-
-    time2_feed=True changes the first step argument to per-DEVICE
-    time-paired feeds (D, T//2, S_loc, 128) int32 (native.relayout_time2
-    of each device's link group, the host/NIC ingest fast path): each
-    chip consumes its shard with zero on-device unpack/relayout.
-    """
+def _make_local(cfg: TPGConfig, max_hits_per_link: int, backend: str,
+                k_slots: int, interpret: bool, fused_unpack: bool,
+                time2_feed: bool, fir_twopass: bool | None):
+    """The per-shard step body shared by make_apa_step (1-D 'link' mesh)
+    and make_detector_step (2-D 'apa' x 'link' mesh): unpack + SWTPG scan
+    with carried state + device hit compaction, psum-ing the monitoring
+    aggregates over the 'link' axis ONLY (so a detector mesh gets per-APA
+    totals for free)."""
 
     if fir_twopass is None:
         # tuned-file/shipped FIR schedule choice (utils.tuning); the knob
@@ -204,12 +189,85 @@ def make_apa_step(mesh: Mesh, cfg: TPGConfig, max_hits_per_link: int = 512,
                      for k in STATE_KEYS}
         return hits, n_hits, total, dropped, new_state
 
+    return _local_pallas if backend == "pallas" else _local
+
+
+def make_apa_step(mesh: Mesh, cfg: TPGConfig, max_hits_per_link: int = 512,
+                  backend: str = "scan", k_slots: int = 8,
+                  interpret: bool = False, fused_unpack: bool = False,
+                  time2_feed: bool = False,
+                  fir_twopass: bool | None = None):
+    """Build the jitted multi-chip step.
+
+    step(words (L, T, 28) uint32, state {k: (L, 64) int32}) ->
+      (hits (L, max_hits, 6) int32, n_hits (L,) int32, total_hits scalar,
+       dropped scalar, new_state) — ``dropped`` counts closes lost to
+      per-channel capacity (K-slot chunks in the pallas backend,
+      max_hits_per_link overflow in the scan backend)
+
+    Links shard over the mesh 'link' axis; the only collective is the psum
+    for the monitoring total.  backend="pallas" runs the production fused
+    kernel per shard (each device's links stack on its lane axis);
+    backend="scan" is the portable XLA path.
+
+    time2_feed=True changes the first step argument to per-DEVICE
+    time-paired feeds (D, T//2, S_loc, 128) int32 (native.relayout_time2
+    of each device's link group, the host/NIC ingest fast path): each
+    chip consumes its shard with zero on-device unpack/relayout.
+    """
+    local = _make_local(cfg, max_hits_per_link, backend, k_slots,
+                        interpret, fused_unpack, time2_feed, fir_twopass)
     state_spec = {k: P("link") for k in STATE_KEYS}
-    local = _local_pallas if backend == "pallas" else _local
     step = shard_map(
         local, mesh=mesh,
         in_specs=(P("link"), state_spec),
         out_specs=(P("link"), P("link"), P(), P(), state_spec),
+        check_vma=False,
+    )
+    return jax.jit(step)
+
+
+def make_detector_step(mesh: Mesh, cfg: TPGConfig,
+                       max_hits_per_link: int = 512,
+                       backend: str = "scan", k_slots: int = 8,
+                       interpret: bool = False, fused_unpack: bool = False,
+                       time2_feed: bool = False,
+                       fir_twopass: bool | None = None):
+    """Build the jitted DETECTOR-scale step over a 2-D ('apa', 'link')
+    mesh: N independent APAs, each sharded over its own link-axis device
+    group (SURVEY §2.7 full scale-out; a far-detector module is 150 APAs).
+
+    step(words (A, L, T, 28) uint32, state {k: (A, L, 64) int32}) ->
+      (hits (A, L, max_hits, 6), n_hits (A, L), apa_totals (A,),
+       dropped (A,), new_state)
+
+    APAs never interact, so the 'apa' axis carries NO collectives at all;
+    the monitoring psum stays over 'link' only, which is exactly what
+    makes the aggregates PER-APA.  Each device hosts links of exactly one
+    APA (the production layout — one APA per chip or per contiguous ICI
+    group), enforced by requiring the mesh 'apa' axis to equal the APA
+    count, so the per-shard body is byte-identical to the 1-D step's.
+
+    With time2_feed=True the first argument is per-device feeds shaped
+    (A, D_link, T//2, S_loc, 128) (relayout each device's link group).
+    """
+    assert mesh.axis_names == ("apa", "link"), mesh.axis_names
+    local = _make_local(cfg, max_hits_per_link, backend, k_slots,
+                        interpret, fused_unpack, time2_feed, fir_twopass)
+
+    def local_apa(words, state):
+        # leading 'apa' dim is always 1 per shard (axis size == n_apas)
+        hits, n_hits, total, dropped, new_state = local(
+            words[0], {k: state[k][0] for k in state})
+        return (hits[None], n_hits[None], total[None], dropped[None],
+                {k: new_state[k][None] for k in new_state})
+
+    state_spec = {k: P("apa", "link") for k in STATE_KEYS}
+    step = shard_map(
+        local_apa, mesh=mesh,
+        in_specs=(P("apa", "link"), state_spec),
+        out_specs=(P("apa", "link"), P("apa", "link"), P("apa"), P("apa"),
+                   state_spec),
         check_vma=False,
     )
     return jax.jit(step)
@@ -311,3 +369,99 @@ class APAPipeline:
                                                              self.state)
         self.dropped_hits += int(dropped)
         return hits, n_hits, int(total)
+
+
+class DetectorPipeline:
+    """Detector-scale streaming pipeline: N independent APAs over a 2-D
+    ('apa', 'link') mesh, each APA sharded over its own link-axis device
+    group.  Per-APA hit totals come out of the step's link-only psum; the
+    'apa' axis never communicates (APAs are physically independent)."""
+
+    def __init__(self, n_apas: int, links_per_apa: int, cfg: TPGConfig,
+                 mesh: Optional[Mesh] = None, max_hits_per_link: int = 512,
+                 backend: str = "scan", interpret: bool = False,
+                 time2_feed: bool = False):
+        from .mesh import make_apa_link_mesh
+        self.mesh = mesh or make_apa_link_mesh(n_apas)
+        shape = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
+        if shape.get("apa") != n_apas:
+            raise ValueError(
+                f"mesh 'apa' axis ({shape.get('apa')}) must equal n_apas "
+                f"({n_apas}): each device hosts links of exactly one APA")
+        if links_per_apa % shape["link"]:
+            raise ValueError("links_per_apa must divide evenly over the "
+                             "mesh 'link' axis")
+        if time2_feed and backend != "pallas":
+            raise ValueError("time2_feed requires backend='pallas'")
+        self.cfg = cfg
+        self.n_apas = n_apas
+        self.links_per_apa = links_per_apa
+        self.time2_feed = time2_feed
+        self._feed_buf = None
+        self.step = make_detector_step(
+            self.mesh, cfg, max_hits_per_link, backend=backend,
+            interpret=interpret, time2_feed=time2_feed)
+        self.state = None
+        self.dropped_hits = np.zeros(n_apas, dtype=np.int64)  # per APA
+
+    def init_state(self, first_samples: np.ndarray,
+                   rs_memory_factor=None) -> None:
+        """Seed per-channel state from each APA's first time sample
+        ((A, L, 64) array).  ``rs_memory_factor`` is per-APA-shared
+        (scalar or (L*64,) — every APA has the same plane geometry)."""
+        if rs_memory_factor is None:
+            rs_memory_factor = self.cfg.rs_memory_factor_x10
+        self.cfg.check_memory_factors(rs_memory_factor)
+        A, L = self.n_apas, self.links_per_apa
+        first = np.asarray(first_samples).reshape(A, L * N_CH)
+        per_apa = [seed_chanstate(init_chanstate(L * N_CH), first[a],
+                                  rs_memory_factor) for a in range(A)]
+        sharding = NamedSharding(self.mesh, P("apa", "link"))
+
+        def to_apa_link_major(k):
+            v = np.stack([np.asarray(st[k], dtype=np.int32)
+                          for st in per_apa])
+            if k == "fir_prev":   # (A, NTAPS, C) -> (A, L, NTAPS, 64)
+                return v.reshape(A, -1, L, N_CH).transpose(0, 2, 1, 3)
+            return v.reshape(A, L, N_CH)
+
+        self.state = {k: jax.device_put(to_apa_link_major(k), sharding)
+                      for k in STATE_KEYS}
+
+    def process(self, words: np.ndarray):
+        """words: (A, L, T, 28) uint32 packed ADC rows, one row block per
+        (apa, link).  Returns (hits (A, L, max_hits, 6), n_hits (A, L),
+        apa_totals (A,) int)."""
+        A, L = self.n_apas, self.links_per_apa
+        assert words.shape[:2] == (A, L), words.shape
+        if self.state is None:
+            from ..formats.bitpack import unpack_14bit
+            adcs0 = unpack_14bit(
+                np.asarray(words[:, :, 0]).reshape(A * L, -1),
+                N_CH).astype(np.int32)
+            self.init_state(adcs0.reshape(A, L, N_CH))
+        if self.time2_feed:
+            from .. import native
+            D = dict(zip(self.mesh.axis_names,
+                         self.mesh.devices.shape))["link"]
+            Lloc = L // D
+            T = words.shape[2]
+            if self._feed_buf is None:
+                self._feed_buf = native.FeedBuffer()
+            feeds = self._feed_buf.get(
+                (A, D, T // 2, native._pad_sublanes8(64 * Lloc), 128))
+            for a in range(A):
+                for d in range(D):
+                    native.relayout_time2(
+                        np.ascontiguousarray(
+                            words[a, d * Lloc:(d + 1) * Lloc]),
+                        out=feeds[a, d])
+            upload = feeds
+        else:
+            upload = np.ascontiguousarray(words)
+        sharding = NamedSharding(self.mesh, P("apa", "link"))
+        upload = jax.device_put(upload, sharding)
+        hits, n_hits, totals, dropped, self.state = self.step(upload,
+                                                              self.state)
+        self.dropped_hits += np.asarray(dropped, dtype=np.int64)
+        return hits, n_hits, np.asarray(totals, dtype=np.int64)
