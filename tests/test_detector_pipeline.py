@@ -114,6 +114,13 @@ def test_detector_pallas_backend_interpret():
         got = hits[a, 0][: n_hits[a, 0]]
         order = np.lexsort((got[:, 0], got[:, 1]))
         np.testing.assert_array_equal(got[order][:, 0], h_ref["channel"])
+    # the time2 host-feed ingest (per-device relayout -> time_packed
+    # datapath) produces the same hits under the 2-D mesh
+    det_t2 = DetectorPipeline(2, 1, cfg, mesh=mesh, backend="pallas",
+                              interpret=True, time2_feed=True)
+    _, n_t2, tot_t2 = det_t2.process(words)
+    np.testing.assert_array_equal(np.asarray(n_t2), n_hits)
+    np.testing.assert_array_equal(np.asarray(tot_t2), np.asarray(totals))
 
 
 def test_detector_mesh_validation():
