@@ -336,6 +336,11 @@ def bench_host_codecs(seconds: float = 2.0):
     even when the TPU tunnel is degraded).  Reused aligned output
     buffers, one core: the production calling convention
     (scripts/bench_host_codec.py is the full harness)."""
+    import os
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "scripts"))
+    import bench_host_codec as codec_bench
+
     from fdreadoutlibs_tpu import native
     if native.load() is None:
         return {}
@@ -346,18 +351,11 @@ def bench_host_codecs(seconds: float = 2.0):
     out = {}
     for name, fn in [
             ("time2", lambda b: native.relayout_time2(
-                words, out=b.get((T // 2, native._pad_sublanes8(64 * L),
-                                  128)))),
+                words, out=b.get(native.time2_feed_shape(L, T)))),
             ("words14", lambda b: native.relayout_words14(
-                words, out=b.get((T, -(-4 * L // 128), 7, 128))))]:
+                words, out=b.get(native.words14_feed_shape(L, T))))]:
         buf = native.FeedBuffer()
-        fn(buf)                                  # warm / page-fault
-        t0 = time.perf_counter()
-        n = 0
-        while time.perf_counter() - t0 < seconds:
-            fn(buf)
-            n += 1
-        dt = (time.perf_counter() - t0) / n
+        dt = codec_bench.bench_one(lambda: fn(buf), seconds)
         out[f"host_{name}_GBps_per_core"] = round(gb / dt, 2)
     return out
 

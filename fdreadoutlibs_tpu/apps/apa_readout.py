@@ -164,17 +164,17 @@ class APAReadoutApp:
             from .. import native
             from ..ops.ingest import process_words14_feed
             dev_in = jnp.asarray(native.relayout_words14(
-                words, out=self._feed_buf.get((T, -(-4 * L // 128),
-                                               7, 128)),
+                words, out=self._feed_buf.get(
+                    native.words14_feed_shape(L, T)),
                 nthreads=self.codec_threads))
             fn = process_words14_feed
         elif self.time2_feed:
             # host-side unpack + time-pairing (two ticks per int32 word)
             from .. import native
             from ..ops.ingest import process_time2_feed
-            S = native._pad_sublanes8(C)
             dev_in = jnp.asarray(native.relayout_time2(
-                words, out=self._feed_buf.get((T // 2, S, 128)),
+                words, out=self._feed_buf.get(
+                    native.time2_feed_shape(L, T)),
                 nthreads=self.codec_threads))
             fn = process_time2_feed
             ur = ur if ur % 2 == 0 else 2       # two ticks per word

@@ -337,6 +337,19 @@ def _pad_sublanes8(C: int) -> int:
     return -(-rows // 8) * 8                   # pad_sublanes(C, 8)
 
 
+def time2_feed_shape(n_links: int, n_ticks: int,
+                     ch_per_link: int = 64) -> tuple:
+    """Canonical relayout_time2 output shape for an (L, T, .) word block —
+    the one place the (T//2, S, 128) convention lives; every bench/feed
+    call site must use this instead of re-deriving the literals."""
+    return (n_ticks // 2, _pad_sublanes8(ch_per_link * n_links), 128)
+
+
+def words14_feed_shape(n_links: int, n_ticks: int) -> tuple:
+    """Canonical relayout_words14 output shape for an (L, T, 28) block."""
+    return (n_ticks, -(-4 * n_links // 128), 7, 128)
+
+
 def _pair_flat(adcs: np.ndarray, C: int, S: int) -> np.ndarray:
     """(T, C) int -> (T//2, S, 128) int32 time-paired canonical layout."""
     T = adcs.shape[0]

@@ -481,8 +481,8 @@ class StreamingIngest:
             return native.relayout_time2_daphne(
                 words, out=self._t2_bufs.get(shape))
         L, T, _ = words.shape
-        shape = (T // 2,
-                 native._pad_sublanes8(self._ch_per_link * L), 128)
+        shape = native.time2_feed_shape(L, T,
+                                        ch_per_link=self._ch_per_link)
         return native.relayout_time2(words, ch_per_link=self._ch_per_link,
                                      out=self._t2_bufs.get(shape))
 

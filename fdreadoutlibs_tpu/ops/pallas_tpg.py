@@ -678,6 +678,26 @@ def _fir2_kernel(adc_ref, state_ref, state_out_ref, slots_ref, nclose_ref,
         slots_ref[0, 0, k] = jnp.stack(words)
 
 
+def effective_vmem_limit_mb(vmem_limit_mb: int | None,
+                            fir_twopass: bool | int) -> int | None:
+    """Scoped-VMEM limit actually handed to Mosaic.
+
+    The two-pass FIR schedules allocate 10-20 MB of hand-off scratch
+    slabs on top of the double-buffered blocks, which exceeds Mosaic's
+    16 MB default scoped-VMEM budget at the shipped tc=512 knobs.  Every
+    validation surface (bench, autotune, hardware parity checks) passes
+    vmem_limit_mb=64 explicitly, but the streaming deployment surfaces
+    (StreamingIngest, frame processors, APAPipeline) leave it None — so
+    a tuned twopass schedule would compile in validation and fail in
+    production.  Raise the floor here, at the single kernel entry, so a
+    twopass schedule is deployable from any call site.  Callers that
+    pass an explicit (>=64) limit keep it.
+    """
+    if fir_twopass and (vmem_limit_mb is None or vmem_limit_mb < 64):
+        return 64
+    return vmem_limit_mb
+
+
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "tc", "k_slots", "interpret",
                                     "unroll", "vmem_limit_mb", "time_packed",
@@ -784,6 +804,7 @@ def process_window_pallas(adcs, state_stack, cfg: TPGConfig, tc: int = 256,
                                    time2=time_packed, fir_packed=fir_packed,
                                    words14=words14,
                                    words14_gather=words14_gather)
+    vmem_limit_mb = effective_vmem_limit_mb(vmem_limit_mb, fir_twopass)
     compiler_params = None
     if vmem_limit_mb is not None and not interpret:
         from jax.experimental.pallas import tpu as pltpu

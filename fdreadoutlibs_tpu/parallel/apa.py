@@ -280,7 +280,8 @@ class APAPipeline:
     def __init__(self, n_links: int, cfg: TPGConfig,
                  mesh: Optional[Mesh] = None, max_hits_per_link: int = 512,
                  backend: str = "scan", interpret: bool = False,
-                 fused_unpack: bool = False, time2_feed: bool = False):
+                 fused_unpack: bool = False, time2_feed: bool = False,
+                 codec_threads: int = 1):
         from .mesh import make_link_mesh
         self.mesh = mesh or make_link_mesh()
         self.n_links = n_links
@@ -294,6 +295,10 @@ class APAPipeline:
             raise ValueError("fused_unpack and time2_feed are exclusive")
         self.cfg = cfg
         self.time2_feed = time2_feed
+        # host relayout codec fan-out (native.relayout_time2 nthreads=;
+        # ~6.3 GB/s/core — a detector-scale feed loop is host-bound on a
+        # single core, see BENCH_NOTES "host codec")
+        self.codec_threads = codec_threads
         self._feed_buf = None              # lazy native.FeedBuffer
         self.step = make_apa_step(self.mesh, cfg, max_hits_per_link,
                                   backend=backend, interpret=interpret,
@@ -346,11 +351,11 @@ class APAPipeline:
             if self._feed_buf is None:
                 self._feed_buf = native.FeedBuffer()
             feeds = self._feed_buf.get(
-                (D, T // 2, native._pad_sublanes8(64 * Lloc), 128))
+                (D,) + native.time2_feed_shape(Lloc, T))
             for d in range(D):
                 native.relayout_time2(
                     np.ascontiguousarray(words[d * Lloc:(d + 1) * Lloc]),
-                    out=feeds[d])
+                    out=feeds[d], nthreads=self.codec_threads)
             return self.process_feed(feeds)
         sharding = NamedSharding(self.mesh, P("link"))
         words = jax.device_put(np.ascontiguousarray(words), sharding)
@@ -380,7 +385,7 @@ class DetectorPipeline:
     def __init__(self, n_apas: int, links_per_apa: int, cfg: TPGConfig,
                  mesh: Optional[Mesh] = None, max_hits_per_link: int = 512,
                  backend: str = "scan", interpret: bool = False,
-                 time2_feed: bool = False):
+                 time2_feed: bool = False, codec_threads: int = 1):
         from .mesh import make_apa_link_mesh
         self.mesh = mesh or make_apa_link_mesh(n_apas)
         shape = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
@@ -397,6 +402,10 @@ class DetectorPipeline:
         self.n_apas = n_apas
         self.links_per_apa = links_per_apa
         self.time2_feed = time2_feed
+        # host codec fan-out PER relayout call; at detector scale A*D
+        # serial calls per batch make the host codec the bottleneck
+        # without it (production sizing: ~2 cores per APA, docs/SIZING)
+        self.codec_threads = codec_threads
         self._feed_buf = None
         self.step = make_detector_step(
             self.mesh, cfg, max_hits_per_link, backend=backend,
@@ -449,13 +458,13 @@ class DetectorPipeline:
             if self._feed_buf is None:
                 self._feed_buf = native.FeedBuffer()
             feeds = self._feed_buf.get(
-                (A, D, T // 2, native._pad_sublanes8(64 * Lloc), 128))
+                (A, D) + native.time2_feed_shape(Lloc, T))
             for a in range(A):
                 for d in range(D):
                     native.relayout_time2(
                         np.ascontiguousarray(
                             words[a, d * Lloc:(d + 1) * Lloc]),
-                        out=feeds[a, d])
+                        out=feeds[a, d], nthreads=self.codec_threads)
             upload = feeds
         else:
             upload = np.ascontiguousarray(words)

@@ -267,7 +267,8 @@ class WIBFrameProcessor(TaskRawDataProcessor):
         def run(chan_idx, buf, stack, cfg, C):
             feed = jnp.asarray(native.relayout_time2_protowib(
                 flat_frames, chan_idx,
-                out=buf.get((T // 2, native._pad_sublanes8(C), 128))))
+                out=buf.get(native.time2_feed_shape(1, T,
+                                                    ch_per_link=C))))
             return process_time2_feed(feed, stack, cfg, C, tc=tc,
                                       k_slots=self.k_slots, unroll=unroll,
                                       interpret=self._interpret,

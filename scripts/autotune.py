@@ -193,9 +193,13 @@ def _confirm_stage(alg, ok, sweep_winner, args):
     ship_row = by_key.get(ship_key)
     evidence = [r for r in rows if r["ms"] == r["ms"]]
     if ship_row is None or ship_row["ms"] != ship_row["ms"]:
-        # shipped arm failed to measure: keep the plain sweep winner but
-        # mark it unconfirmed rather than pretend it passed the bar
-        return sweep_winner | {"confirmed": False, "confirm": evidence}
+        # Shipped arm failed to measure: nothing can clear the
+        # twice-confirmed bar without a baseline, so the deployable entry
+        # stays the shipped knobs (kernel_knobs ignores the metadata keys
+        # and would otherwise happily deploy an unconfirmed challenger).
+        # The sweep winner rides along as evidence for the human.
+        return dict(shipped) | {"confirmed": False, "confirm": evidence,
+                                "sweep_winner": sweep_winner}
     challengers = [
         r for r in evidence
         if tuple(sorted(knobs(r).items())) != ship_key

@@ -69,13 +69,13 @@ def main():
                "apa_rate_GBps": 8.75, "codecs": {}}
     for nt in args.threads:
         dt = bench_one(lambda: native.relayout_time2(
-            words, out=buf_t2.get((T // 2, native._pad_sublanes8(64 * L),
-                                   128)), nthreads=nt), args.seconds)
+            words, out=buf_t2.get(native.time2_feed_shape(L, T)),
+            nthreads=nt), args.seconds)
         results["codecs"][f"time2_t{nt}"] = {
             "ms_per_window": round(dt * 1e3, 2),
             "GBps_input": round(gb_in / dt, 2)}
         dt = bench_one(lambda: native.relayout_words14(
-            words, out=buf_w14.get((T, -(-4 * L // 128), 7, 128)),
+            words, out=buf_w14.get(native.words14_feed_shape(L, T)),
             nthreads=nt), args.seconds)
         results["codecs"][f"words14_t{nt}"] = {
             "ms_per_window": round(dt * 1e3, 2),

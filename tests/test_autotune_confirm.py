@@ -78,9 +78,15 @@ def test_sweep_winner_equal_to_shipped_stays_unconfirmed(monkeypatch):
     assert (w["tc"], w["sub"]) == (256, 0)
 
 
-def test_unmeasurable_shipped_arm_keeps_sweep_winner_unconfirmed(monkeypatch):
+def test_unmeasurable_shipped_arm_ships_shipped_knobs(monkeypatch):
+    # With no shipped baseline nothing can clear the twice-confirmed bar:
+    # the deployable entry must stay the shipped knobs (kernel_knobs
+    # ignores the 'confirmed' marker, so returning the sweep winner here
+    # would silently deploy a never-A/B'd config).  The sweep winner is
+    # still attached as evidence.
     nan = float("nan")
     w = _run(monkeypatch, {512: (0.8, [0.8, 0.8]), 256: (nan, [nan, nan])},
              _OK)
     assert w["confirmed"] is False
-    assert w["tc"] == 512
+    assert (w["tc"], w["sub"]) == (256, 0)
+    assert w["sweep_winner"]["tc"] == 512

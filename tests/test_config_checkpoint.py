@@ -115,6 +115,33 @@ class TestShardedCheckpoint:
                                           np.asarray(pipe.state[k]),
                                           err_msg=k)
 
+    def test_detector_state_roundtrip(self, tmp_path):
+        """The 2-D ('apa' x 'link') detector-scale state pytree checkpoints
+        and resumes bit-exactly on a fresh pipeline (each device writes its
+        shard; restore re-shards onto the current mesh)."""
+        import numpy as np
+        from fdreadoutlibs_tpu.ops import TPGConfig
+        from fdreadoutlibs_tpu.parallel import (DetectorPipeline,
+                                                make_apa_link_mesh)
+        from fdreadoutlibs_tpu.utils.checkpoint import (load_sharded_state,
+                                                        save_sharded_state)
+        from tests.test_detector_pipeline import make_apa_words
+
+        mesh = make_apa_link_mesh(2, 2, backend="cpu")
+        cfg = TPGConfig(threshold=120)
+        words, _ = make_apa_words(2, 4, n_frames=2, seed=22)
+
+        det = DetectorPipeline(2, 4, cfg, mesh=mesh)
+        det.process(words)
+        save_sharded_state(tmp_path / "det_state", det.state)
+        _, n_cont, _ = det.process(words)
+
+        det2 = DetectorPipeline(2, 4, cfg, mesh=mesh)
+        det2.process(words)
+        det2.state = load_sharded_state(tmp_path / "det_state", det2.state)
+        _, n_res, _ = det2.process(words)
+        np.testing.assert_array_equal(np.asarray(n_res), np.asarray(n_cont))
+
 
 class TestDAPHNEPallasCheckpoint:
     def test_daphne_pallas_resume_bitexact(self, tmp_path):

@@ -121,6 +121,14 @@ def test_detector_pallas_backend_interpret():
     _, n_t2, tot_t2 = det_t2.process(words)
     np.testing.assert_array_equal(np.asarray(n_t2), n_hits)
     np.testing.assert_array_equal(np.asarray(tot_t2), np.asarray(totals))
+    # the host codec thread fan-out (native relayout nthreads=) must not
+    # change the feed bytes
+    det_mt = DetectorPipeline(2, 1, cfg, mesh=mesh, backend="pallas",
+                              interpret=True, time2_feed=True,
+                              codec_threads=2)
+    _, n_mt, tot_mt = det_mt.process(words)
+    np.testing.assert_array_equal(np.asarray(n_mt), n_hits)
+    np.testing.assert_array_equal(np.asarray(tot_mt), np.asarray(totals))
 
 
 def test_detector_mesh_validation():

@@ -232,3 +232,17 @@ def test_autotune_quick_space_spans_shipped_winners():
                  for c in autotune.fir_space(quick=True)}
     assert (fir_shipped["sub"], fir_shipped["tc"], fir_shipped["unroll"],
             fir_shipped["twopass"]) in fir_quick
+
+
+def test_twopass_vmem_floor():
+    """A two-pass FIR schedule must be deployable from surfaces that never
+    pass vmem_limit_mb (StreamingIngest, frame processors): the kernel
+    entry raises the scoped-VMEM floor itself (review finding — the
+    scratch slabs exceed Mosaic's 16 MB default at the shipped tc=512)."""
+    from fdreadoutlibs_tpu.ops.pallas_tpg import effective_vmem_limit_mb
+    assert effective_vmem_limit_mb(None, 0) is None
+    assert effective_vmem_limit_mb(32, 0) == 32
+    assert effective_vmem_limit_mb(None, 1) == 64
+    assert effective_vmem_limit_mb(None, 2) == 64
+    assert effective_vmem_limit_mb(32, 1) == 64
+    assert effective_vmem_limit_mb(128, 2) == 128
