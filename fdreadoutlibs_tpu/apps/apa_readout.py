@@ -259,6 +259,11 @@ class APAReadoutApp:
                                  for p in self.procs)
         info["ts_errors"] = sum(p.metrics.count("num_ts_errors")
                                 for p in self.procs)
+        # per-channel closes beyond the K-slot capacity (K hits per
+        # channel per time chunk).  With EMULATED noise near the default
+        # threshold this counts 1-tick noise-hit chatter — expected for
+        # the demo; at production thresholds (~5 sigma) physical TP rates
+        # sit orders of magnitude below the capacity (pallas_tpg docs).
         info["hits_dropped"] = self._dropped_total
         return info
 
