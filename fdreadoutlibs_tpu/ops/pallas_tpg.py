@@ -56,6 +56,15 @@ from .step import dispatch_tick
 
 LANES = 128
 SUBLANES = 8                               # minimum sublane granule (int32 tile)
+
+# Emission record layout inside the tick loop (trace-time constant).
+# False: each K slot is carried as one stacked (nw, sub, 128) array and
+# _emit_records re-stacks the record words every tick.  True: the words
+# ride as k*nw separate (sub, 128) registers and stack only at chunk
+# writeback — nw fewer copies per tick IF Mosaic materializes the stack.
+# Hardware A/B via scripts/bench_stepform_ab.py --slots; shipped value
+# per BENCH_NOTES ("emission word carry").
+SLOT_WORD_CARRY = False
 N_FIR_TAPS = 8
 KSTATE = NSTATE + 1 + N_FIR_TAPS           # + rs_memory_factor + FIR ring rows
 _STATE_KEYS = FIELDS + ("rs_memory_factor",)
@@ -367,7 +376,12 @@ def _emit_records(rec: dict, closed, tick, cfg: TPGConfig, slot_words: list,
                   nclose, k_slots: int):
     """Pack a tick's hit record into record_words(cfg) int32 words and
     write it into slot ``n_closed[c]`` via K one-hot vector selects
-    (module docstring).  Mutates slot_words; returns the new nclose."""
+    (module docstring).  Mutates slot_words; returns the new nclose.
+
+    Each slot_words[k] entry is either a stacked (nw, sub, 128) array or
+    a list of nw (sub, 128) words (the SLOT_WORD_CARRY layout — the
+    per-tick jnp.stack drops out and the words stack once at kernel
+    writeback)."""
     if "w0" in rec:          # packed layout already carries w0
         w0 = rec["w0"]
     else:
@@ -378,13 +392,19 @@ def _emit_records(rec: dict, closed, tick, cfg: TPGConfig, slot_words: list,
     if record_words(cfg) == 3:
         peak32 = rec["peak_adc"].astype(jnp.int32)
         ptime32 = rec["peak_time"].astype(jnp.int32)
-        w1 = (peak32 << 16) | ptime32
-        packed = jnp.stack([w0, w1, w2])  # (3, sub, 128)
+        words = [w0, (peak32 << 16) | ptime32, w2]
     else:
-        packed = jnp.stack([w0, w2])      # (2, sub, 128)
-    for k in range(k_slots):
-        sel = closed & (nclose == k)
-        slot_words[k] = jnp.where(sel[None], packed, slot_words[k])
+        words = [w0, w2]
+    if slot_words and isinstance(slot_words[0], list):
+        for k in range(k_slots):
+            sel = closed & (nclose == k)
+            slot_words[k] = [jnp.where(sel, w, cur)
+                             for w, cur in zip(words, slot_words[k])]
+    else:
+        packed = jnp.stack(words)         # (nw, sub, 128)
+        for k in range(k_slots):
+            sel = closed & (nclose == k)
+            slot_words[k] = jnp.where(sel[None], packed, slot_words[k])
     return nclose + closed.astype(jnp.int32)
 
 
@@ -434,11 +454,19 @@ def _tpg_kernel(adc_ref, state_ref, state_out_ref, slots_ref, nclose_ref,
         carry0 += (qpair, apair, ct)
     # slots/nclose drain per time chunk (each chunk owns an output block),
     # so they start empty here rather than being read back
-    zero_slot = jnp.zeros(slots_ref.shape[2:], slots_ref.dtype)
-    carry0 += tuple(zero_slot[k] for k in range(k_slots))
+    nw = slots_ref.shape[3]
+    zero_word = jnp.zeros(slots_ref.shape[4:], slots_ref.dtype)
+    if SLOT_WORD_CARRY:
+        # records ride as k*nw separate (sub, 128) registers — no
+        # per-tick stack in _emit_records; stacked once at writeback
+        carry0 += (zero_word,) * (k_slots * nw)
+    else:
+        zero_slot = jnp.zeros(slots_ref.shape[3:], slots_ref.dtype)
+        carry0 += (zero_slot,) * k_slots
     carry0 += (jnp.zeros(nclose_ref.shape[2:], nclose_ref.dtype),)
     nst = len(keys) + (N_FIR_TAPS if is_fir else 0) + \
         (3 if fir_packed else 0)
+    n_slotc = k_slots * nw if SLOT_WORD_CARRY else k_slots
 
     def body(i, carry):
         st = dict(zip(keys, carry[:len(keys)]))
@@ -450,8 +478,11 @@ def _tpg_kernel(adc_ref, state_ref, state_out_ref, slots_ref, nclose_ref,
                 carry[pbase:pbase + 3]
         if cfg.algorithm == Algorithm.SIMPLE_THRESHOLD:
             st["rs_memory_factor"] = None
-        slot_words = list(carry[nst:nst + k_slots])
-        nclose = carry[nst + k_slots]
+        flat = carry[nst:nst + n_slotc]
+        slot_words = [list(flat[k * nw:(k + 1) * nw])
+                      for k in range(k_slots)] if SLOT_WORD_CARRY \
+            else list(flat)
+        nclose = carry[nst + n_slotc]
 
         for u, s_raw in enumerate(_decode_ticks(
                 adc_ref, i * unroll, unroll, time2, words14,
@@ -468,7 +499,11 @@ def _tpg_kernel(adc_ref, state_ref, state_out_ref, slots_ref, nclose_ref,
             out += tuple(st["fir_prev"])
         if fir_packed:
             out += (st["iqr_qpair"], st["iqr_apair"], st["hit_ct"])
-        return out + tuple(slot_words) + (nclose,)
+        if SLOT_WORD_CARRY:
+            out += tuple(w for sw in slot_words for w in sw)
+        else:
+            out += tuple(slot_words)
+        return out + (nclose,)
 
     carry = jax.lax.fori_loop(0, tc // unroll, body, carry0)
     for k in keys:
@@ -490,9 +525,14 @@ def _tpg_kernel(adc_ref, state_ref, state_out_ref, slots_ref, nclose_ref,
         _wrow("hit_charge", ct >> 16)
         _wrow("hit_tover", ct & 0x7FFF)
         _wrow("prev_was_over", (ct >> 15) & 1)
-    for k in range(k_slots):
-        slots_ref[0, 0, k] = carry[nst + k]
-    nclose_ref[0, 0] = carry[nst + k_slots]
+    if SLOT_WORD_CARRY:
+        for k in range(k_slots):
+            for j in range(nw):
+                slots_ref[0, 0, k, j] = carry[nst + k * nw + j]
+    else:
+        for k in range(k_slots):
+            slots_ref[0, 0, k] = carry[nst + k]
+    nclose_ref[0, 0] = carry[nst + n_slotc]
 
 
 def _fir2_kernel(adc_ref, state_ref, state_out_ref, slots_ref, nclose_ref,

@@ -111,6 +111,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--alg", default="all",
                     help="SimpleThreshold|AbsRS|StandardRS|FIR|all")
+    ap.add_argument("--mode", default="stepform",
+                    choices=["stepform", "slots"],
+                    help="stepform: frugal/flag formulation arms; slots: "
+                         "stacked vs word-carry emission layout "
+                         "(pallas_tpg.SLOT_WORD_CARRY)")
     ap.add_argument("--channels", type=int, default=2560)
     ap.add_argument("--ticks", type=int, default=8192)
     ap.add_argument("--windows", type=int, default=32)
@@ -133,14 +138,22 @@ def main():
     from fdreadoutlibs_tpu.utils.preflight import device_preflight
     from fdreadoutlibs_tpu.utils.tuning import kernel_knobs
 
+    import fdreadoutlibs_tpu.ops.pallas_tpg as pallas_mod
+
     assert jax.default_backend() == "tpu", "A/B needs the real chip"
     device_preflight()
-    mods = {"step": step_mod, "fir": fir_mod}
+    mods = {"step": step_mod, "fir": fir_mod, "pl": pallas_mod}
     orig = {("step", "frugal_update"): step_mod.frugal_update,
             ("fir", "frugal_update"): fir_mod.frugal_update,
             ("step", "tpg_tick"): step_mod.tpg_tick,
-            ("fir", "fir_hit_update"): fir_mod.fir_hit_update}
-    variants = make_variants()
+            ("fir", "fir_hit_update"): fir_mod.fir_hit_update,
+            ("pl", "SLOT_WORD_CARRY"): pallas_mod.SLOT_WORD_CARRY}
+    if args.mode == "slots":
+        variants = {"A_stacked": {},
+                    "A2_null": {},
+                    "B_word_carry": {("pl", "SLOT_WORD_CARRY"): True}}
+    else:
+        variants = make_variants()
 
     fams = (["SimpleThreshold", "AbsRS", "StandardRS", "FIR"]
             if args.alg == "all" else [args.alg])
@@ -190,10 +203,11 @@ def main():
                 for key in patches:
                     setattr(mods[key[0]], key[1], orig[key])
         # bit-exactness across arms: hits AND carried state identical
+        base_arm = list(variants)[0]
         for arm in first:
-            np.testing.assert_array_equal(first["A_shipped"][0], first[arm][0],
+            np.testing.assert_array_equal(first[base_arm][0], first[arm][0],
                                           err_msg=f"{fam} {arm} hits")
-            np.testing.assert_array_equal(first["A_shipped"][1], first[arm][1],
+            np.testing.assert_array_equal(first[base_arm][1], first[arm][1],
                                           err_msg=f"{fam} {arm} state")
 
         def chain(fn, n, s):
@@ -222,10 +236,10 @@ def main():
                                    round(float(np.percentile(arr, 75)), 4)]
                         if len(arr) else None,
                         "gsps": round(T * C / (dt * 1e-3) / 1e9, 1)}
-        base = res["A_shipped"]["ms"]
+        base = res[base_arm]["ms"]
         for arm in order[1:]:
             res[arm]["vs_A"] = round(base / res[arm]["ms"], 3)
-        res["hits"] = len(first["A_shipped"][0])
+        res["hits"] = len(first[base_arm][0])
         out[fam] = res
         print(json.dumps({fam: res}), flush=True)
     return 0

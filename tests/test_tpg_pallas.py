@@ -17,8 +17,12 @@ from tests.test_tpg_scan import random_stream
 
 def run_pallas(adcs, cfg, rs_memory_factor=None, tc=32, k_slots=8,
                window=None, block_sublanes=None, fir_packed=None,
-               fir_twopass=False):
-    """Pallas-backend equivalent of reference.run_reference (interpret mode)."""
+               fir_twopass=False, vmem_limit_mb=None):
+    """Pallas-backend equivalent of reference.run_reference (interpret mode).
+
+    vmem_limit_mb is unused in interpret mode but participates in the jit
+    cache key — pass distinct values to force a retrace when module-level
+    trace-time state (e.g. pallas_tpg.SLOT_WORD_CARRY) changed."""
     import jax.numpy as jnp
     adcs = np.asarray(adcs, dtype=np.int32)
     T, C = adcs.shape
@@ -34,7 +38,7 @@ def run_pallas(adcs, cfg, rs_memory_factor=None, tc=32, k_slots=8,
         slots, nclose, stack = process_window_pallas(
             jnp.asarray(packed[t0:t0 + window]), stack, cfg, tc=tc,
             k_slots=k_slots, interpret=True, fir_packed=fir_packed,
-            fir_twopass=fir_twopass)
+            fir_twopass=fir_twopass, vmem_limit_mb=vmem_limit_mb)
         h, d = decode_pallas_hits(slots, nclose, C, tick_offset=t0)
         parts.append(h)
         dropped += d
@@ -206,3 +210,34 @@ def test_time_packed_matches_unpacked():
         np.testing.assert_array_equal(ha, hb)
         assert da == db
         np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
+
+
+def test_slot_word_carry_layout_bitexact():
+    """The SLOT_WORD_CARRY emission layout (records carried as separate
+    word registers, stacked once at chunk writeback) is hit- and
+    state-identical to the stacked default across families and k>1
+    overflow (scripts/bench_stepform_ab.py --mode slots is its hardware
+    A/B)."""
+    from fdreadoutlibs_tpu.ops import pallas_tpg as P
+    adcs = random_stream(128, 48, seed=31)
+    for cfg in CONFIGS + [TPGConfig(algorithm=Algorithm.FIR, threshold=5,
+                                    track_peaks=False)]:
+        res = {}
+        for mode in (False, True):
+            P.SLOT_WORD_CARRY = mode
+            try:
+                # distinct vmem values force a retrace (the flag is
+                # trace-time state the jit cache key cannot see); unused
+                # in interpret mode so behavior is identical
+                res[mode] = run_pallas(adcs, cfg, tc=32, k_slots=2,
+                                       vmem_limit_mb=63 if mode else None)
+            finally:
+                P.SLOT_WORD_CARRY = False
+        h0, st0, d0 = res[False]
+        h1, st1, d1 = res[True]
+        np.testing.assert_array_equal(h0, h1, err_msg=str(cfg.algorithm))
+        assert d0 == d1
+        for k in st0:
+            if k in ("fir_prev", "fir_phase"):
+                continue
+            np.testing.assert_array_equal(st0[k], st1[k], err_msg=k)
