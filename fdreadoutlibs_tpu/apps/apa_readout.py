@@ -9,9 +9,19 @@ DataLinkHandler graph) wires the reference:
     -> one fused device ingest over all links: packed bytes -> on-device
        unpack -> SWTPG (channels stacked on the lane axis — the TPU
        replaces 40 per-link processor threads)
-    -> vectorized TP assembly per link
+    -> ONE vectorized TP assembly over the whole APA batch (40 per-link
+       assembly calls per batch are per-call-overhead-bound on the single
+       host core budgeted per APA — scripts/bench_tp_path.py; the
+       per-link path stays available as batched_assembly=False)
     -> TP latency buffer (native C++ when available)
-    -> TPSet windowing with heartbeats/cutoff + windowed data requests
+    -> TPSet windowing with heartbeats/cutoff + windowed data requests,
+       occupancy-bounded cleanup per batch
+
+Batched-assembly observability delta (documented): per-link processors
+still carry num_hits/num_tps_sent counters, but the per-channel TP
+histogram (top_channels) is tracked once at APA level
+(get_info()["apa_top_channels"]) instead of per link, and too-long/
+send-failure counters are APA-level.
 
 Run:  python -m fdreadoutlibs_tpu.apps.apa_readout --batches 8
 """
@@ -47,7 +57,8 @@ class APAReadoutApp:
                  fused_unpack: bool = False,
                  words14_feed: bool = False,
                  time2_feed: bool = False,
-                 codec_threads: int = 1):
+                 codec_threads: int = 1,
+                 batched_assembly: bool = True):
         if words14_feed and time2_feed:
             raise ValueError("words14_feed and time2_feed are exclusive")
         if fused_unpack and time2_feed:
@@ -119,10 +130,25 @@ class APAReadoutApp:
         # host codec thread fan-out (~2 cores cover an APA; native mt)
         self.codec_threads = max(1, int(codec_threads))
 
+        # batched whole-APA TP assembly (module docstring); lookup tables
+        # are built lazily after the first batch seeds every processor
+        self.batched_assembly = batched_assembly
+        from ..utils.metrics import MetricsCollector
+        self.metrics = MetricsCollector()        # APA-level (batched path)
+        self._offline_table = None
+        self._det_table = None
+        self._mask_sorted = None
+        # shipped-TP retention bound for the data-request path: trimmed
+        # oldest-first each batch (the per-link loop never cleaned the
+        # handler buffer — unbounded growth over a long run, and python-
+        # buffer consolidation cost grows with occupancy)
+        self.handler_max_occupancy = 1 << 20
+
     # ---- the fused hot path over all links ------------------------------
     def _device_pass(self, frames_links: np.ndarray):
-        """frames_links: (L, N, 7200) -> per-link hit arrays (fused device
-        ingest: packed bytes -> on-device unpack -> Pallas TPG)."""
+        """frames_links: (L, N, 7200) -> (global hit array over all L*64
+        channels, dropped count) (fused device ingest: packed bytes ->
+        on-device unpack -> Pallas TPG)."""
         import jax.numpy as jnp
         from ..ops.ingest import (host_words, process_packed_frames,
                                   process_packed_frames_fused)
@@ -191,13 +217,7 @@ class APAReadoutApp:
         from ..ops.ingest import collect_hits
         hits, dropped = collect_hits(slots, nclose, C,
                                      positions=self._positions)
-        per_link = []
-        for l in range(L):
-            lo, hi = l * 64, (l + 1) * 64
-            h = hits[(hits["channel"] >= lo) & (hits["channel"] < hi)].copy()
-            h["channel"] -= lo
-            per_link.append(h)
-        return per_link, int(dropped)
+        return hits, int(dropped)
 
     def process_batch(self, frames_links: np.ndarray):
         """frames_links: (L, N, 7200) one batch of N frames per link."""
@@ -217,12 +237,20 @@ class APAReadoutApp:
             self.readout[l].insert_payloads(frames)
             self.readout[l].cleanup(max_occupancy=2048)
 
-        per_link, dropped = self._device_pass(frames_links)
+        hits, dropped = self._device_pass(frames_links)
         self._dropped_total += dropped
+        link = hits["channel"] >> 6                 # 64 channels per link
+        n_hits_link = np.bincount(link, minlength=L)
         for l in range(L):
-            p = self.procs[l]
-            p.metrics.inc("num_hits", len(per_link[l]))
-            p.process_swtpg_hits(per_link[l], int(ts0[l]))
+            self.procs[l].metrics.inc("num_hits", int(n_hits_link[l]))
+        if self.batched_assembly:
+            self._assemble_batch(hits, link, ts0, L)
+        else:
+            for l in range(L):
+                in_link = link == l
+                h = hits[in_link].copy()
+                h["channel"] -= l * 64
+                self.procs[l].process_swtpg_hits(h, int(ts0[l]))
         # drain TPs into the latency buffer, emit TPSets; the newest frame
         # timestamp anchors the heartbeat clock so zero-TP batches still
         # advance downstream trigger aggregation
@@ -231,7 +259,51 @@ class APAReadoutApp:
         self.handler.note_stream_time(
             int(ts0.max()) + (N - 1) * wibeth.EXPECTED_TICK_DIFFERENCE)
         self.handler.send_tp_sets_once()
+        self.handler.cleanup(max_occupancy=self.handler_max_occupancy)
         return dropped
+
+    def _assemble_batch(self, hits: np.ndarray, link: np.ndarray,
+                        ts0: np.ndarray, L: int) -> None:
+        """One vectorized TP assembly over the whole APA batch (replaces
+        40 per-link process_swtpg_hits calls; stream/wibeth.assemble_tps
+        carries the reference semantics).  Bit-equivalent TP multiset to
+        the per-link path (tests/test_apa_readout.py pins it)."""
+        from ..stream.wibeth import assemble_tps
+        if self._offline_table is None:
+            # per-link register->offline tables concatenated onto the
+            # global channel axis; built after first_frame_setup seeded
+            # every processor
+            self._offline_table = np.concatenate(
+                [p.register_channels for p in self.procs])
+            self._det_table = np.array([p.det_id for p in self.procs],
+                                       dtype=np.int64)
+            mask = set().union(*[p.channel_mask_set for p in self.procs])
+            self._mask_sorted = (np.fromiter(sorted(mask), np.int64)
+                                 if mask else None)
+        tps, kept = assemble_tps(hits, ts0[link], self._offline_table,
+                                 self._det_table[link],
+                                 self.procs[0].tp_algo)
+        kept_link = link[kept]
+        # policy layer (mirrors WIBEthFrameProcessor._filter_and_send)
+        if self._mask_sorted is not None and len(tps):
+            keep = ~np.isin(tps["channel"], self._mask_sorted)
+            tps, kept_link = tps[keep], kept_link[keep]
+        too_long = tps["time_over_threshold"] > \
+            np.uint64(self.procs[0].tp_max_width)
+        n_long = int(too_long.sum())
+        if n_long:
+            self.metrics.inc("num_tps_suppressed_too_long", n_long)
+            tps, kept_link = tps[~too_long], kept_link[~too_long]
+        self.metrics.add_channel_tps(tps["channel"])
+        if len(tps) == 0:
+            return
+        sent = self.tp_q.try_send(tps)
+        counter = "num_tps_sent" if sent else "num_tps_send_failed"
+        if not sent:
+            self.metrics.inc("num_tps_send_failed", len(tps))
+        n_sent_link = np.bincount(kept_link, minlength=L)
+        for l in range(L):
+            self.procs[l].metrics.inc(counter, int(n_sent_link[l]))
 
     def request_raw(self, link: int, start_ts: int, end_ts: int):
         """Serve a trigger data request for raw frames on one link."""
@@ -265,6 +337,10 @@ class APAReadoutApp:
         # the demo; at production thresholds (~5 sigma) physical TP rates
         # sit orders of magnitude below the capacity (pallas_tpg docs).
         info["hits_dropped"] = self._dropped_total
+        if self.batched_assembly:
+            info["apa_top_channels"] = self.metrics.top_channels()
+            info["tps_suppressed_too_long"] = self.metrics.count(
+                "num_tps_suppressed_too_long")
         return info
 
 
@@ -297,6 +373,10 @@ def main(argv=None) -> int:
                          "(native.relayout_time2): the device runs the "
                          "plain kernel datapath at half the ADC HBM "
                          "traffic")
+    ap.add_argument("--per-link-assembly", action="store_true",
+                    help="40 per-link TP assembly calls per batch instead "
+                         "of the batched whole-APA assembly (A/B + "
+                         "reference-shaped observability)")
     args = ap.parse_args(argv)
 
     app = APAReadoutApp(n_links=args.links, algorithm=args.algorithm,
@@ -306,7 +386,8 @@ def main(argv=None) -> int:
                         fused_unpack=args.fused_unpack,
                         words14_feed=args.words14_feed,
                         time2_feed=args.time2_feed,
-                        codec_threads=args.codec_threads)
+                        codec_threads=args.codec_threads,
+                        batched_assembly=not args.per_link_assembly)
     rng = np.random.default_rng(0)
     ts = 0x1000000
     t_wall = time.perf_counter()

@@ -35,6 +35,62 @@ _ALGO_ENUM = {
 CLOCKS_PER_TPC_TICK = wibeth.SAMPLES_TICK_DIFFERENCE  # 32
 
 
+def assemble_tps(hits: np.ndarray, t_base, offline_table: np.ndarray,
+                 det_id, tp_algo) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized hit->TP assembly (WIBEthFrameProcessor.cpp:479-572),
+    shared by the per-link processor and the batched whole-APA path
+    (apps/apa_readout.py — 40 per-link assembly calls per batch are
+    per-call-overhead-bound, scripts/bench_tp_path.py).
+
+    hits: HIT_DTYPE records.  t_base: per-hit base timestamp (scalar or
+    (n,) int64 — the batched path passes the per-link batch timestamp
+    gathered per hit).  offline_table: register->offline channel lookup
+    indexed by hits["channel"].  det_id: scalar or per-hit vector.
+
+    Semantics pinned here: a hit is recorded only when its uint16-decoded
+    charge is nonzero (cpp:517-521 ``if (hit_charge[i] &&``); charge
+    crosses as its uint16 reinterpretation (the reference decodes kernel
+    output as uint16_t, cpp:484,544-545 — an RS hit whose samples sum
+    negative yields a large adc_integral); t_begin = ts + 32*(end-tover),
+    t_peak = t_begin + 32*peak_time (cpp:523-524).
+
+    Returns (tps, kept): the TP array and the integer indices of the
+    surviving hits (the caller's policy layer — channel mask, too-long
+    suppression, metrics — may need per-hit provenance).
+    """
+    charge_u16 = hits["charge"].astype(np.int64) & 0xFFFF
+    keep = charge_u16 != 0
+    if not keep.all():
+        kept = np.flatnonzero(keep)
+        hits, charge_u16 = hits[kept], charge_u16[kept]
+        if np.ndim(t_base):
+            t_base = t_base[kept]
+        if np.ndim(det_id):
+            det_id = det_id[kept]
+    else:
+        kept = np.arange(len(hits))
+    if len(hits) == 0:
+        return np.zeros(0, dtype=TP_DTYPE), kept
+    t_begin = (t_base + CLOCKS_PER_TPC_TICK
+               * (hits["end_tick"].astype(np.int64)
+                  - hits["tover"].astype(np.int64)))
+
+    tps = np.zeros(len(hits), dtype=TP_DTYPE)
+    tps["time_start"] = t_begin.astype(np.uint64)
+    tps["time_peak"] = (t_begin + CLOCKS_PER_TPC_TICK *
+                        hits["peak_time"].astype(np.int64)).astype(np.uint64)
+    tps["time_over_threshold"] = (
+        hits["tover"].astype(np.uint64) * CLOCKS_PER_TPC_TICK)
+    tps["channel"] = offline_table[hits["channel"]]
+    tps["adc_integral"] = charge_u16
+    tps["adc_peak"] = hits["peak_adc"]
+    tps["detid"] = det_id
+    tps["type"] = TPType.kTPC
+    tps["algorithm"] = tp_algo
+    tps["version"] = 1
+    return tps, kept
+
+
 class WIBEthFrameProcessor(TaskRawDataProcessor):
 
     def __init__(self, error_registry=None, tp_sink: Optional[Sender] = None):
@@ -319,37 +375,11 @@ class WIBEthFrameProcessor(TaskRawDataProcessor):
         t_begin = ts + 32 * (end_tick - tover); t_peak = t_begin +
         32 * peak_time (cpp:523-524).
         """
-        # the reference records a hit only when the uint16-decoded charge is
-        # nonzero (WIBEthFrameProcessor.cpp:517-521 `if (hit_charge[i] &&`);
-        # charge fields cross to TPs as their uint16 reinterpretation (the
-        # reference decodes the kernel output as uint16_t, cpp:484,544-545 —
-        # an RS hit whose samples sum negative yields a large adc_integral)
-        charge_u16 = hits["charge"].astype(np.int64) & 0xFFFF
-        keep = charge_u16 != 0
-        if not keep.all():
-            hits, charge_u16 = hits[keep], charge_u16[keep]
-        if len(hits) == 0:
+        tps, _ = assemble_tps(hits, np.int64(timestamp),
+                              self.register_channels, self.det_id,
+                              self.tp_algo)
+        if len(tps) == 0:
             return
-        t_begin = (np.int64(timestamp)
-                   + CLOCKS_PER_TPC_TICK
-                   * (hits["end_tick"].astype(np.int64)
-                      - hits["tover"].astype(np.int64)))
-        offline = self.register_channels[hits["channel"]]
-
-        tps = np.zeros(len(hits), dtype=TP_DTYPE)
-        tps["time_start"] = t_begin.astype(np.uint64)
-        tps["time_peak"] = (t_begin + CLOCKS_PER_TPC_TICK *
-                            hits["peak_time"].astype(np.int64)).astype(np.uint64)
-        tps["time_over_threshold"] = (
-            hits["tover"].astype(np.uint64) * CLOCKS_PER_TPC_TICK)
-        tps["channel"] = offline
-        tps["adc_integral"] = charge_u16
-        tps["adc_peak"] = hits["peak_adc"]
-        tps["detid"] = self.det_id
-        tps["type"] = TPType.kTPC
-        tps["algorithm"] = self.tp_algo
-        tps["version"] = 1
-
         self._filter_and_send(tps)
 
     def _filter_and_send(self, tps: np.ndarray) -> None:

@@ -28,6 +28,7 @@ class LatencyBuffer:
         self.capacity = capacity
         self.dtype = dtype          # record dtype; learned from first insert
         self._sorted: np.ndarray | None = None
+        self._keys: np.ndarray | None = None   # contiguous key column
         self._pending: list[np.ndarray] = []
         self._lock = threading.RLock()
         self.total_inserted = 0
@@ -53,14 +54,38 @@ class LatencyBuffer:
             return n
 
     def _consolidate(self) -> np.ndarray:
+        """Merge pending batches into the sorted store.
+
+        Two-way merge, O(n + k log k): re-sorting the whole buffer per
+        consolidation made the insert->window cycle O(n log n) per batch
+        and capped the TP request-handler loop at ~65k TPs/s at APA
+        occupancies (bench_tp_path).  side="right" keeps equal-key
+        stability identical to a stable argsort of [sorted, pending].
+        ``_keys`` mirrors the key field contiguously: searchsorted on a
+        structured-field view buffers the whole strided column per query
+        (another O(n)-per-call trap measured in bench_tp_path).
+        Min/max/occupancy queries deliberately do NOT consolidate (they
+        scan the pending maxima instead) so per-batch bookkeeping stays
+        O(pending) and the merge amortizes over window extractions."""
         if self._pending:
-            # skip a zero-length placeholder so its (possibly default)
-            # dtype never participates in promotion
-            parts = ([self._sorted] if self._sorted is not None
-                     and len(self._sorted) else []) + self._pending
-            merged = np.concatenate(parts)
-            order = np.argsort(merged[self.key], kind="stable")
-            self._sorted = merged[order]
+            pend = (np.concatenate(self._pending)
+                    if len(self._pending) > 1 else self._pending[0])
+            pkeys = np.ascontiguousarray(pend[self.key])
+            order = np.argsort(pkeys, kind="stable")
+            pend, pkeys = pend[order], pkeys[order]
+            if self._sorted is None or not len(self._sorted):
+                self._sorted, self._keys = pend, pkeys
+            else:
+                base, bkeys = self._sorted, self._keys
+                pos = np.searchsorted(bkeys, pkeys, side="right")
+                out = np.empty(len(base) + len(pend), dtype=base.dtype)
+                kout = np.empty(len(out), dtype=bkeys.dtype)
+                idx = pos + np.arange(len(pend))
+                mask = np.ones(len(out), dtype=bool)
+                mask[idx] = False
+                out[mask], kout[mask] = base, bkeys
+                out[idx], kout[idx] = pend, pkeys
+                self._sorted, self._keys = out, kout
             self._pending = []
         if self._sorted is None:
             # empty buffer: a zero-length array of the RECORD dtype (the
@@ -68,6 +93,7 @@ class LatencyBuffer:
             # and concatenation for callers that didn't length-check first)
             from ..formats.trigprim import TP_DTYPE
             self._sorted = np.zeros(0, dtype=self.dtype or TP_DTYPE)
+            self._keys = np.ascontiguousarray(self._sorted[self.key])
         return self._sorted
 
     # -- queries ---------------------------------------------------------
@@ -78,13 +104,19 @@ class LatencyBuffer:
 
     def oldest_ts(self):
         with self._lock:
-            arr = self._consolidate()
-            return int(arr[self.key][0]) if len(arr) else None
+            vals = []
+            if self._sorted is not None and len(self._sorted):
+                vals.append(int(self._keys[0]))
+            vals += [int(p[self.key].min()) for p in self._pending if len(p)]
+            return min(vals) if vals else None
 
     def newest_ts(self):
         with self._lock:
-            arr = self._consolidate()
-            return int(arr[self.key][-1]) if len(arr) else None
+            vals = []
+            if self._sorted is not None and len(self._sorted):
+                vals.append(int(self._keys[-1]))
+            vals += [int(p[self.key].max()) for p in self._pending if len(p)]
+            return max(vals) if vals else None
 
     def extract_window(self, start_ts: int, end_ts: int) -> np.ndarray:
         """All records with start_ts <= key < end_ts (kept in the buffer;
@@ -93,8 +125,8 @@ class LatencyBuffer:
             arr = self._consolidate()
             if not len(arr):
                 return arr
-            lo = np.searchsorted(arr[self.key], start_ts, side="left")
-            hi = np.searchsorted(arr[self.key], end_ts, side="left")
+            lo = np.searchsorted(self._keys, start_ts, side="left")
+            hi = np.searchsorted(self._keys, end_ts, side="left")
             return arr[lo:hi].copy()
 
     def key_at(self, idx: int):
@@ -104,17 +136,19 @@ class LatencyBuffer:
             arr = self._consolidate()
             if idx >= len(arr):
                 return None
-            return int(arr[self.key][idx])
+            return int(self._keys[idx])
 
     # -- cleanup ---------------------------------------------------------
     def pop_until(self, ts: int) -> int:
         """Drop records with key < ts; returns number dropped."""
         with self._lock:
             arr = self._consolidate()
-            lo = np.searchsorted(arr[self.key], ts, side="left") if len(arr) else 0
+            lo = np.searchsorted(self._keys, ts, side="left") if len(arr) else 0
             # copy the tail: a view would pin the whole pre-pop allocation
             # alive until the next consolidation (large payload buffers)
-            self._sorted = arr[lo:].copy() if lo else arr
+            if lo:
+                self._sorted = arr[lo:].copy()
+                self._keys = self._keys[lo:].copy()
             return int(lo)
 
     def pop_n(self, n: int) -> int:
@@ -124,16 +158,16 @@ class LatencyBuffer:
             n = min(int(n), len(arr))
             if n:
                 self._sorted = arr[n:].copy()
+                self._keys = self._keys[n:].copy()
             return n
 
     def cleanup_max_ts_diff(self, max_ts_diff: int) -> int:
         """DAPHNEListRequestHandler-style cleanup: pop the oldest until
         newest - oldest <= max_ts_diff (cpp:37-50)."""
         with self._lock:
-            arr = self._consolidate()
-            if not len(arr):
+            newest = self.newest_ts()
+            if newest is None:
                 return 0
-            newest = arr[self.key][-1]
             cutoff = int(newest) - int(max_ts_diff)
             return self.pop_until(cutoff)
 

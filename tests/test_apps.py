@@ -91,3 +91,46 @@ def test_exclusive_ingest_mode_guards():
         APAReadoutApp(n_links=1, fused_unpack=True, time2_feed=True)
     with pytest.raises(ValueError):
         APAReadoutApp(n_links=1, words14_feed=True, time2_feed=True)
+
+
+def test_batched_assembly_matches_per_link(interpret_ingest):
+    """The whole-APA vectorized TP assembly (apa_readout._assemble_batch)
+    produces the identical TP multiset and per-link counters as 40
+    per-link process_swtpg_hits calls (the reference-shaped path)."""
+    from fdreadoutlibs_tpu.apps.apa_readout import APAReadoutApp
+
+    def run(batched):
+        app = APAReadoutApp(n_links=3, threshold=200, algorithm="AbsRS",
+                            batched_assembly=batched)
+        rng = np.random.default_rng(5)
+        ts = 100_000
+        for b in range(3):
+            frames = np.zeros((3, 2, wibeth.FRAME_SIZE), np.uint8)
+            adcs = (800 + rng.normal(0, 10, (3, 2, 64, 64))) \
+                .astype(np.uint16)
+            for _ in range(12):
+                l, c = rng.integers(0, 3), rng.integers(0, 64)
+                f, t = rng.integers(0, 2), rng.integers(0, 50)
+                adcs[l, f, t:t + 6, c] += np.uint16(rng.integers(300, 900))
+            for l in range(3):
+                wibeth.set_adcs(frames[l], adcs[l])
+                wibeth.fake_timestamps(frames[l], ts)
+                wibeth.fake_seq_ids(frames[l], b * 2)
+                wibeth.fake_geoid(frames[l], 1, l // 8, l % 8)
+            app.process_batch(frames)
+            ts += 2 * 2048
+        tps = app.handler.buffer.snapshot()
+        per_link_sent = [p.metrics.count("num_tps_sent") for p in app.procs]
+        per_link_hits = [p.metrics.count("num_hits") for p in app.procs]
+        return tps, per_link_sent, per_link_hits, app.get_info()
+
+    tps_b, sent_b, hits_b, info_b = run(True)
+    tps_p, sent_p, hits_p, info_p = run(False)
+    assert sum(sent_b) > 0
+    assert sent_b == sent_p and hits_b == hits_p
+    # buffer contents identical as a sorted multiset
+    order = np.argsort(tps_b, order=("time_start", "channel", "time_peak"))
+    order_p = np.argsort(tps_p, order=("time_start", "channel", "time_peak"))
+    np.testing.assert_array_equal(tps_b[order], tps_p[order_p])
+    assert info_b["total_tps_sent"] == info_p["total_tps_sent"]
+    assert "apa_top_channels" in info_b

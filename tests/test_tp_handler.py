@@ -56,6 +56,49 @@ class TestLatencyBuffer:
         arr = buf.snapshot()
         np.testing.assert_array_equal(arr["channel"], [5, 2])
 
+    def test_stable_order_for_equal_keys_across_batches(self):
+        """Consolidated-then-pending equal keys keep arrival order (the
+        merge's side='right' pins this; it must match a stable argsort
+        of the concatenation)."""
+        buf = LatencyBuffer()
+        buf.insert(tps_at([10, 20], channels=[1, 2]))
+        buf.snapshot()                       # force consolidation
+        buf.insert(tps_at([10, 20], channels=[3, 4]))
+        arr = buf.snapshot()
+        np.testing.assert_array_equal(arr["time_start"], [10, 10, 20, 20])
+        np.testing.assert_array_equal(arr["channel"], [1, 3, 2, 4])
+
+    def test_merge_matches_full_stable_sort_randomized(self):
+        """The incremental two-way merge consolidation is record-identical
+        to one stable argsort over everything inserted (many batches,
+        duplicate keys, interleaved reads forcing partial merges)."""
+        rng = np.random.default_rng(11)
+        buf = LatencyBuffer()
+        all_batches = []
+        for i in range(13):
+            ts = rng.integers(0, 50, size=rng.integers(1, 40))
+            b = tps_at(ts.tolist(),
+                       channels=rng.integers(0, 99, len(ts)).tolist())
+            buf.insert(b)
+            all_batches.append(b)
+            if i % 3 == 0:
+                buf.extract_window(5, 25)    # partial consolidation points
+        got = buf.snapshot()
+        ref = np.concatenate(all_batches)
+        ref = ref[np.argsort(ref["time_start"], kind="stable")]
+        np.testing.assert_array_equal(got, ref)
+
+    def test_min_max_queries_skip_consolidation(self):
+        """oldest/newest scan pending batches without merging (per-batch
+        bookkeeping must stay O(pending); bench_tp_path)."""
+        buf = LatencyBuffer()
+        buf.insert(tps_at([30, 40]))
+        buf.snapshot()
+        buf.insert(tps_at([10, 99]))
+        assert buf.oldest_ts() == 10 and buf.newest_ts() == 99
+        assert buf._pending                  # still unmerged
+        assert buf.occupancy() == 4
+
 
 class TestTPRequestHandler:
     def make(self, min_latency=100, rate=1000):
@@ -334,3 +377,20 @@ class TestTPRequestHandler:
         time.sleep(0.1)
         h.stop()
         assert sink.sent >= 1
+
+
+def test_bench_tp_path_smoke():
+    """The TP-path host benchmark stages run and report sane rates
+    (tiny shapes; the full run is scripts/bench_tp_path.py)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts"))
+    import bench_tp_path as B
+    rng = np.random.default_rng(3)
+    lb = B.bench_latency_buffer(1, rng, n_batches=4, batch=64)
+    assert lb["python"]["insert_tps_per_s"] > 0
+    wh = B.bench_wib_tp_handler(1, rng, n_batches=4, batch=32)
+    assert wh["tps_per_s"] > 0
+    rh = B.bench_request_handler(1, rng, n_batches=8, batch=32)
+    assert rh["python"]["insert_window_tps_per_s"] > 0
