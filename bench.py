@@ -360,6 +360,32 @@ def bench_host_codecs(seconds: float = 2.0):
     return out
 
 
+def bench_host_tp_path(trials: int = 3):
+    """Compact host TP-path (L3/L4) summary (pure numpy, no device work;
+    scripts/bench_tp_path.py is the full harness): batched whole-APA TP
+    assembly core share at production cadence, TPSet-windowing loop rate
+    on the production (native when built) latency buffer, and the legacy
+    WIB handler rate."""
+    import os
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "scripts"))
+    import bench_tp_path as tp
+
+    rng = np.random.default_rng(7)
+    asm = tp.bench_tp_assembly(trials, rng)
+    rh = tp.bench_request_handler(trials, rng)
+    wh = tp.bench_wib_tp_handler(trials, rng)
+    prod = rh.get("native") or rh["python"]
+    return {
+        "apa_assembly_pct_core": asm["apa_batched"][
+            "apa_call_budget_used_pct"],
+        "request_handler_tps_per_s": prod["insert_window_tps_per_s"],
+        "request_handler_headroom_vs_256k": prod["headroom_vs_256k"],
+        "request_handler_buffer": "native" if "native" in rh else "python",
+        "wib_handler_tps_per_s": wh["tps_per_s"],
+    }
+
+
 def main():
     tunnel = _tunnel_gate()
 
@@ -487,6 +513,10 @@ def main():
             out["host_codecs"] = codec
     except Exception as e:  # noqa: BLE001 — never cost the headline
         out["host_codec_error"] = str(e)[-200:]
+    try:
+        out["host_tp_path"] = bench_host_tp_path()
+    except Exception as e:  # noqa: BLE001 — never cost the headline
+        out["host_tp_path_error"] = str(e)[-200:]
     if extra:
         out["production_variants"] = extra
         # overhead of paying ingest at all, against the best shipped

@@ -40,11 +40,6 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# the axon sitecustomize points the default backend at the TPU tunnel at
-# interpreter start; this bench must never touch it
-import jax
-jax.config.update("jax_platforms", "cpu")
-
 from fdreadoutlibs_tpu.formats import wibeth                  # noqa: E402
 from fdreadoutlibs_tpu.formats.trigprim import TP_DTYPE       # noqa: E402
 from fdreadoutlibs_tpu.ops.hits import HIT_DTYPE              # noqa: E402
@@ -282,6 +277,13 @@ def bench_wib_tp_handler(trials: int, rng, n_batches: int = 128,
 
 
 def main() -> int:
+    # the axon sitecustomize points the default backend at the TPU tunnel
+    # at interpreter start; a standalone run must never touch it.  (Done
+    # here, not at import: bench.py imports this module as a library
+    # mid-TPU-session, and a global platform flip there would reset the
+    # live backend.)  The stages themselves are pure numpy.
+    import jax
+    jax.config.update("jax_platforms", "cpu")
     ap = argparse.ArgumentParser()
     ap.add_argument("--trials", type=int, default=5)
     ap.add_argument("--quick", action="store_true",
