@@ -26,27 +26,183 @@ def payload_record_dtype(payload_size: int) -> np.dtype:
                      ("payload", np.uint8, (payload_size,))])
 
 
+class PayloadRingBuffer:
+    """Ordered retention buffer specialized for FIXED-SIZE, time-ordered
+    raw payload streams (the per-link readout case).
+
+    The general ordered buffers (LatencyBuffer / the native arena) pay a
+    record-interleave copy plus per-record insertion; for raw payloads
+    that made retention the dominant host cost — ~0.9 GB/s against an
+    8.8 GB/s/APA raw stream (scripts/bench_tp_path.py apa_host_loop).
+    Raw links arrive already time-ordered (sequence/timestamp checks run
+    upstream), so ordered retention needs no sorting at all: a compacting
+    linear buffer with separate contiguous key/payload arrays gives
+    one-memcpy insert at numpy copy speed, pointer-advance pops, and
+    direct searchsorted window queries.  When appends reach the array end
+    the live region is memmoved to the front — amortized O(1) because the
+    array holds 2x the live capacity.
+
+    Key monotonicity: keys are clamped to be non-decreasing on insert
+    (np.maximum.accumulate against the newest buffered key).  A frame
+    whose header timestamp jumps BACKWARD was already flagged by the
+    upstream timestamp check; clamping keeps window queries well-defined
+    instead of silently corrupting the order invariant.
+    """
+
+    def __init__(self, payload_size: int, capacity: int | None = None,
+                 pretouch: bool = True):
+        self.payload_size = int(payload_size)
+        self.capacity = capacity
+        rows = 2 * capacity if capacity else 256
+        self._keys = np.zeros(rows, dtype=np.uint64)
+        self._data = np.zeros((rows, self.payload_size), dtype=np.uint8)
+        if capacity and pretouch:
+            # fault the arena pages in NOW: without this the first pass
+            # through a bounded arena runs at page-fault speed (~1.5 GB/s
+            # measured) instead of memcpy speed (~6.7 GB/s), i.e. the
+            # first seconds of a run are the slowest — the opposite of
+            # what a DAQ wants.  One write per 4 KiB page suffices.
+            self._data[:, ::4096] = 0
+            self._data[:, -1] = 0
+        self._start = 0
+        self._end = 0
+        self.total_inserted = 0
+
+    def _live(self) -> int:
+        return self._end - self._start
+
+    def _make_room(self, n: int) -> None:
+        rows = len(self._keys)
+        if self._end + n <= rows:
+            return
+        live = self._live()
+        if live + n > rows:
+            # unbounded buffer: grow geometrically
+            new_rows = max(2 * rows, 2 * (live + n))
+            keys = np.zeros(new_rows, dtype=np.uint64)
+            data = np.zeros((new_rows, self.payload_size), np.uint8)
+            keys[:live] = self._keys[self._start:self._end]
+            data[:live] = self._data[self._start:self._end]
+            self._keys, self._data = keys, data
+        else:
+            # compact the live region to the front (amortized: the array
+            # holds >= 2x the live rows).  The .copy() avoids overlapping
+            # same-array slice assignment, which numpy does not guarantee.
+            self._keys[:live] = self._keys[self._start:self._end].copy()
+            self._data[:live] = self._data[self._start:self._end].copy()
+        self._start, self._end = 0, live
+
+    def insert(self, keys: np.ndarray, payloads: np.ndarray) -> int:
+        n = len(keys)
+        if n == 0:
+            return 0
+        if self.capacity is not None:
+            room = self.capacity - self._live()
+            if room <= 0:
+                return 0
+            if n > room:
+                keys, payloads, n = keys[:room], payloads[:room], room
+        self._make_room(n)
+        keys = np.maximum.accumulate(np.asarray(keys, dtype=np.uint64))
+        if self._live() and keys[0] < self._keys[self._end - 1]:
+            keys = np.maximum(keys, self._keys[self._end - 1])
+        self._keys[self._end:self._end + n] = keys
+        self._data[self._end:self._end + n] = payloads
+        self._end += n
+        self.total_inserted += n
+        return n
+
+    # -- queries ----------------------------------------------------------
+    def occupancy(self) -> int:
+        return self._live()
+
+    def oldest_ts(self):
+        return int(self._keys[self._start]) if self._live() else None
+
+    def newest_ts(self):
+        return int(self._keys[self._end - 1]) if self._live() else None
+
+    def key_at(self, idx: int):
+        if idx >= self._live():
+            return None
+        return int(self._keys[self._start + idx])
+
+    def _window_bounds(self, start_ts: int, end_ts: int) -> tuple[int, int]:
+        k = self._keys[self._start:self._end]
+        lo = int(np.searchsorted(k, start_ts, side="left"))
+        hi = int(np.searchsorted(k, end_ts, side="left"))
+        return self._start + lo, self._start + hi
+
+    def extract_window(self, start_ts: int, end_ts: int) -> np.ndarray:
+        """Payload rows with start_ts <= key < end_ts (non-consuming)."""
+        lo, hi = self._window_bounds(start_ts, end_ts)
+        return self._data[lo:hi].copy()
+
+    def extract_window_keys(self, start_ts: int, end_ts: int) -> np.ndarray:
+        lo, hi = self._window_bounds(start_ts, end_ts)
+        return self._keys[lo:hi].copy()
+
+    # -- cleanup ------------------------------------------------------------
+    def pop_until(self, ts: int) -> int:
+        lo, _ = self._window_bounds(ts, ts)
+        dropped = lo - self._start
+        self._start = lo
+        return dropped
+
+    def pop_n(self, n: int) -> int:
+        n = min(int(n), self._live())
+        self._start += n
+        return n
+
+    def cleanup_max_ts_diff(self, max_ts_diff: int) -> int:
+        if not self._live():
+            return 0
+        return self.pop_until(int(self._keys[self._end - 1])
+                              - int(max_ts_diff))
+
+    def snapshot(self) -> np.ndarray:
+        return self._data[self._start:self._end].copy()
+
+
 class ReadoutRequestHandler:
     """Per-link raw-data buffering and request service
-    (≈ DefaultRequestHandlerModel over a SkipListLatencyBuffer)."""
+    (≈ DefaultRequestHandlerModel over a SkipListLatencyBuffer).
+
+    Storage is the :class:`PayloadRingBuffer` by default — the general
+    record buffers made raw retention the dominant per-APA host cost
+    (class docstring above).  ``ring=False`` keeps the ordered record
+    buffer (python or native per ``prefer_native``) for streams that are
+    not time-ordered at arrival."""
 
     def __init__(self, adapter: TypeAdapter, capacity: int | None = None,
-                 prefer_native: bool = True):
+                 prefer_native: bool = True, ring: bool = True):
         self.adapter = adapter
+        self.ring = ring
         self.record_dtype = payload_record_dtype(adapter.fixed_payload_size)
-        self.buffer = make_latency_buffer(self.record_dtype, capacity,
-                                          prefer_native=prefer_native)
+        if ring:
+            self.buffer = PayloadRingBuffer(adapter.fixed_payload_size,
+                                            capacity)
+        else:
+            self.buffer = make_latency_buffer(self.record_dtype, capacity,
+                                              prefer_native=prefer_native)
         self.metrics = MetricsCollector()
 
-    def insert_payloads(self, payloads: np.ndarray) -> int:
-        """Store a batch of raw payloads ((N, size) uint8)."""
+    def insert_payloads(self, payloads: np.ndarray,
+                        keys: np.ndarray | None = None) -> int:
+        """Store a batch of raw payloads ((N, size) uint8).  ``keys``
+        (the per-payload first timestamps) may be passed when the caller
+        already decoded the headers (apa_readout's batched preprocess)."""
         n = payloads.shape[0]
-        recs = np.zeros(n, dtype=self.record_dtype)
-        recs["time_start"] = np.asarray(
-            self.adapter.get_first_timestamp(payloads), dtype=np.uint64) \
-            .reshape(n)
-        recs["payload"] = payloads
-        accepted = self.buffer.insert(recs)
+        if keys is None:
+            keys = self.adapter.get_first_timestamp(payloads)
+        keys = np.asarray(keys, dtype=np.uint64).reshape(n)
+        if self.ring:
+            accepted = self.buffer.insert(keys, payloads)
+        else:
+            recs = np.zeros(n, dtype=self.record_dtype)
+            recs["time_start"] = keys
+            recs["payload"] = payloads
+            accepted = self.buffer.insert(recs)
         self.metrics.inc("num_payloads_buffered", accepted)
         if accepted < n:
             self.metrics.inc("num_payloads_dropped", n - accepted)
@@ -58,8 +214,8 @@ class ReadoutRequestHandler:
         start is included, like get_fragment_pieces' window logic."""
         self.metrics.inc("num_requests")
         span = self.adapter.payload_tick_difference
-        recs = self.buffer.extract_window(max(0, start_ts - span + 1), end_ts)
-        return recs["payload"]
+        win = self.buffer.extract_window(max(0, start_ts - span + 1), end_ts)
+        return win if self.ring else win["payload"]
 
     def request_fragment(self, start_ts: int, end_ts: int, *,
                          run_number: int = 0, trigger_number: int = 0,

@@ -276,6 +276,59 @@ def bench_wib_tp_handler(trials: int, rng, n_batches: int = 128,
             "headroom_vs_256k": round(rate / REQ_TPS_PER_S, 1)}
 
 
+def bench_apa_host_loop(trials: int, rng, n_batches: int = 12,
+                        links: int = APA_LINKS, frames: int = 16,
+                        hits_per_batch: int = 134) -> dict:
+    """Stage 5: the FULL per-APA host loop (apps/apa_readout
+    .process_batch) with the device pass stubbed out — sequence/timestamp
+    checks, raw readout-buffer inserts + cleanup, batched TP assembly,
+    handler drain/windowing/cleanup.  The one number deployment sizing
+    needs: host core share per APA at production cadence.
+
+    hits_per_batch defaults to the 256k TPs/s requirement at the batch
+    cadence (frames*64 ticks = frames*32.768 us of detector time)."""
+    from fdreadoutlibs_tpu.apps.apa_readout import APAReadoutApp
+
+    data_seconds = frames * 64 * 32 / 62.5e6
+    app = APAReadoutApp(n_links=links, algorithm="AbsRS", threshold=120)
+    batches = []
+    ts = 0x10000
+    for b in range(n_batches):
+        fr = np.zeros((links, frames, wibeth.FRAME_SIZE), np.uint8)
+        for l in range(links):
+            wibeth.fake_timestamps(fr[l], ts)
+            wibeth.fake_seq_ids(fr[l], b * frames)
+            wibeth.fake_geoid(fr[l], 1, l // 8, l % 8)
+        batches.append(fr)
+        ts += frames * 2048
+    hit_batches = [make_hits(hits_per_batch, rng,
+                             ticks=frames * 64, channels=links * 64)
+                   for _ in range(n_batches)]
+    # stub the device pass: this stage isolates the HOST loop (the device
+    # side has its own benches); hits arrive in canonical kernel order
+    it = {"i": 0}
+
+    def fake_device_pass(frames_links):
+        h = hit_batches[it["i"] % n_batches]
+        it["i"] += 1
+        return h, 0
+
+    app._device_pass = fake_device_pass
+
+    def run():
+        for fr in batches:
+            app.process_batch(fr)
+
+    rate = _median_rate(run, n_batches, trials)   # batches/s
+    sec_per_batch = 1.0 / rate
+    return {"batches_per_s": round(rate, 1),
+            "ms_per_batch": round(1e3 * sec_per_batch, 3),
+            "data_ms_per_batch": round(1e3 * data_seconds, 3),
+            "pct_core_per_apa": round(100 * sec_per_batch / data_seconds, 1),
+            "hits_per_batch": hits_per_batch,
+            "links": links, "frames_per_batch": frames}
+
+
 def main() -> int:
     # the axon sitecustomize points the default backend at the TPU tunnel
     # at interpreter start; a standalone run must never touch it.  (Done
@@ -301,6 +354,8 @@ def main() -> int:
                                                      batch=64),
             "wib_tp_handler": bench_wib_tp_handler(1, rng, n_batches=8,
                                                    batch=64),
+            "apa_host_loop": bench_apa_host_loop(1, rng, n_batches=3,
+                                                 links=4, frames=2),
         }
     else:
         res = {
@@ -308,6 +363,7 @@ def main() -> int:
             "latency_buffer": bench_latency_buffer(trials, rng),
             "request_handler": bench_request_handler(trials, rng),
             "wib_tp_handler": bench_wib_tp_handler(trials, rng),
+            "apa_host_loop": bench_apa_host_loop(trials, rng),
         }
     res["assumptions"] = {
         "req_tps_per_s_per_apa": REQ_TPS_PER_S,

@@ -134,3 +134,47 @@ def test_batched_assembly_matches_per_link(interpret_ingest):
     np.testing.assert_array_equal(tps_b[order], tps_p[order_p])
     assert info_b["total_tps_sent"] == info_p["total_tps_sent"]
     assert "apa_top_channels" in info_b
+
+
+def test_batched_preprocess_error_parity(interpret_ingest):
+    """The all-links vectorized header validation falls back to the exact
+    per-link checks for anomalous links: error metrics and carried
+    prev-seq/ts match the pure per-link path."""
+    from fdreadoutlibs_tpu.apps.apa_readout import APAReadoutApp
+
+    def run(batched):
+        app = APAReadoutApp(n_links=3, threshold=499,
+                            batched_assembly=batched)
+        ts = 100_000
+        for b in range(3):
+            frames = np.zeros((3, 2, wibeth.FRAME_SIZE), np.uint8)
+            for l in range(3):
+                wibeth.fake_timestamps(frames[l], ts)
+                wibeth.fake_seq_ids(frames[l], b * 2)
+                wibeth.fake_geoid(frames[l], 1, l // 8, l % 8)
+            if b == 1:   # link 1: sequence jump + timestamp gap
+                wibeth.set_header_field(frames[1], "seq_id",
+                                        np.array([7, 8]))
+                wibeth.set_timestamp(frames[1][1:], ts + 5 * 2048)
+            if batched:
+                app.process_batch(frames)
+            else:
+                # pure per-link path for comparison
+                L, N, _ = frames.shape
+                for l in range(L):
+                    app.procs[l].sequence_check(frames[l])
+                    app.procs[l].timestamp_check(frames[l])
+            ts += 2 * 2048
+        return app
+
+    a = run(True)
+    b = run(False)
+    for l in range(3):
+        for counter in ("num_seq_id_errors", "num_ts_errors"):
+            assert a.procs[l].metrics.count(counter) == \
+                b.procs[l].metrics.count(counter), (l, counter)
+        assert a.procs[l].previous_seq_id == b.procs[l].previous_seq_id
+        assert a.procs[l].previous_ts == b.procs[l].previous_ts
+    assert a.procs[1].metrics.count("num_seq_id_errors") > 0
+    assert a.procs[1].metrics.count("num_ts_errors") > 0
+    assert a.procs[0].metrics.count("num_seq_id_errors") == 0

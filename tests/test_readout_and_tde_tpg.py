@@ -11,13 +11,15 @@ from fdreadoutlibs_tpu.tp.readout_buffer import ReadoutRequestHandler
 
 
 class TestReadoutRequestHandler:
-    def make(self, prefer_native):
+    def make(self, impl="ring", capacity=None):
         return ReadoutRequestHandler(get_adapter("wibeth"),
-                                     prefer_native=prefer_native)
+                                     capacity=capacity,
+                                     prefer_native=(impl == "native"),
+                                     ring=(impl == "ring"))
 
-    @pytest.mark.parametrize("native", [False, True])
-    def test_window_request(self, native):
-        h = self.make(native)
+    @pytest.mark.parametrize("impl", ["ring", "python", "native"])
+    def test_window_request(self, impl):
+        h = self.make(impl)
         frames = wibeth.empty_frames(8)
         wibeth.fake_timestamps(frames, 10_000)       # +2048 each
         h.insert_payloads(frames)
@@ -28,8 +30,9 @@ class TestReadoutRequestHandler:
         ts = wibeth.get_timestamp(got)
         np.testing.assert_array_equal(ts, [12_048, 14_096, 16_144])
 
-    def test_covering_payload_included(self):
-        h = self.make(False)
+    @pytest.mark.parametrize("impl", ["ring", "python"])
+    def test_covering_payload_included(self, impl):
+        h = self.make(impl)
         frames = wibeth.empty_frames(2)
         wibeth.fake_timestamps(frames, 10_000)
         h.insert_payloads(frames)
@@ -37,8 +40,9 @@ class TestReadoutRequestHandler:
         assert len(got) == 1
         assert wibeth.get_timestamp(got)[0] == 10_000
 
-    def test_cleanup(self):
-        h = self.make(False)
+    @pytest.mark.parametrize("impl", ["ring", "python"])
+    def test_cleanup(self, impl):
+        h = self.make(impl)
         frames = wibeth.empty_frames(10)
         wibeth.fake_timestamps(frames, 0)
         h.insert_payloads(frames)
@@ -46,6 +50,72 @@ class TestReadoutRequestHandler:
         assert h.occupancy() == 4
         h.cleanup(max_ts_diff=2048)
         assert h.occupancy() == 2
+
+    def test_capacity_drops_new(self):
+        h = self.make("ring", capacity=3)
+        frames = wibeth.empty_frames(5)
+        wibeth.fake_timestamps(frames, 0)
+        assert h.insert_payloads(frames) == 3
+        assert h.occupancy() == 3
+        assert h.metrics.count("num_payloads_dropped") == 2
+
+
+class TestPayloadRingBuffer:
+    def _mk(self, n, t0=0, step=10, size=16):
+        keys = np.arange(t0, t0 + n * step, step, dtype=np.uint64)
+        data = np.tile(np.arange(n, dtype=np.uint8)[:, None] + (t0 % 251),
+                       (1, size))
+        return keys, data
+
+    def test_wrap_compaction_preserves_contents(self):
+        """Sustained insert/pop cycles past the array end (the memmove
+        compaction path) keep keys+payloads consistent."""
+        from fdreadoutlibs_tpu.tp.readout_buffer import PayloadRingBuffer
+        buf = PayloadRingBuffer(16, capacity=32)
+        t = 0
+        for cycle in range(40):                  # >> 2x capacity appends
+            keys, data = self._mk(8, t0=t, size=16)
+            assert buf.insert(keys, data) == 8
+            t += 80
+            buf.pop_n(8 if cycle else 0)
+        assert buf.occupancy() == 8              # steady state: +8 then -8
+        assert buf.oldest_ts() is not None
+        win = buf.extract_window(buf.oldest_ts(), t)
+        assert len(win) == buf.occupancy()
+        # newest batch's payload rows survived all compactions intact
+        keys, data = self._mk(8, t0=t - 80, size=16)
+        np.testing.assert_array_equal(win[-8:], data)
+
+    def test_growth_unbounded(self):
+        from fdreadoutlibs_tpu.tp.readout_buffer import PayloadRingBuffer
+        buf = PayloadRingBuffer(8)               # grows geometrically
+        for i in range(40):
+            keys, data = self._mk(100, t0=i * 1000, size=8)
+            assert buf.insert(keys, data) == 100
+        assert buf.occupancy() == 4000
+        assert buf.key_at(0) == 0 and buf.newest_ts() == 39 * 1000 + 990
+
+    def test_backward_jump_clamped(self):
+        """A timestamp that jumps backward (upstream flags it as a frame
+        error) is clamped to keep the order invariant, not stored raw."""
+        from fdreadoutlibs_tpu.tp.readout_buffer import PayloadRingBuffer
+        buf = PayloadRingBuffer(4, capacity=16)
+        buf.insert(np.array([100, 200], np.uint64), np.zeros((2, 4), np.uint8))
+        buf.insert(np.array([50, 300], np.uint64), np.ones((2, 4), np.uint8))
+        assert buf.newest_ts() == 300
+        assert buf.key_at(2) == 200              # 50 clamped to 200
+        assert len(buf.extract_window(0, 1 << 62)) == 4
+
+    def test_pop_until_and_snapshot(self):
+        from fdreadoutlibs_tpu.tp.readout_buffer import PayloadRingBuffer
+        buf = PayloadRingBuffer(4, capacity=16)
+        keys, data = self._mk(10, size=4)
+        buf.insert(keys, data)
+        assert buf.pop_until(35) == 4
+        assert buf.oldest_ts() == 40
+        np.testing.assert_array_equal(buf.snapshot(), data[4:])
+        assert buf.cleanup_max_ts_diff(20) == 3   # cutoff 90-20=70
+        assert buf.occupancy() == 3
 
 
 class TestTDETPG:
