@@ -58,7 +58,8 @@ class APAReadoutApp:
                  words14_feed: bool = False,
                  time2_feed: bool = False,
                  codec_threads: int = 1,
-                 batched_assembly: bool = True):
+                 batched_assembly: bool = True,
+                 raw_capacity_frames: int = 4096):
         if words14_feed and time2_feed:
             raise ValueError("words14_feed and time2_feed are exclusive")
         if fused_unpack and time2_feed:
@@ -104,8 +105,15 @@ class APAReadoutApp:
         # raw-payload buffers for trigger data requests (one per link)
         from ..formats.adapters import get_adapter
         from ..tp.readout_buffer import ReadoutRequestHandler
+        # raw retention per link: capacity frames (2x arena, pretouched);
+        # cleanup trims to half so inserts never hit the hard cap.  At
+        # 32.768 us/frame the default 4096 retains ~67 ms of raw data per
+        # link after trim — size to the trigger data-request latency
+        # budget (raw stream is 8.8 GB/s/APA: ~4.4 GB of RAM per APA
+        # per retained second).
+        self.raw_capacity_frames = int(raw_capacity_frames)
         self.readout = [ReadoutRequestHandler(get_adapter("wibeth"),
-                                              capacity=4096)
+                                              capacity=raw_capacity_frames)
                         for _ in range(n_links)]
 
         # fused_unpack runs the in-KERNEL 14-bit unpack (words14 layout;
@@ -273,7 +281,8 @@ class APAReadoutApp:
             # raw payloads stay available for trigger data requests
             # (keys precomputed: one header decode already ran above)
             self.readout[l].insert_payloads(frames, keys=ts_mat[l])
-            self.readout[l].cleanup(max_occupancy=2048)
+            self.readout[l].cleanup(
+                max_occupancy=self.raw_capacity_frames // 2)
 
         hits, dropped = self._device_pass(frames_links)
         self._dropped_total += dropped
@@ -411,6 +420,9 @@ def main(argv=None) -> int:
                          "(native.relayout_time2): the device runs the "
                          "plain kernel datapath at half the ADC HBM "
                          "traffic")
+    ap.add_argument("--raw-capacity", type=int, default=4096,
+                    help="raw frames retained per link for data requests "
+                         "(32.768 us each; RAM = 2x this x 7200 B/link)")
     ap.add_argument("--per-link-assembly", action="store_true",
                     help="40 per-link TP assembly calls per batch instead "
                          "of the batched whole-APA assembly (A/B + "
@@ -425,7 +437,8 @@ def main(argv=None) -> int:
                         words14_feed=args.words14_feed,
                         time2_feed=args.time2_feed,
                         codec_threads=args.codec_threads,
-                        batched_assembly=not args.per_link_assembly)
+                        batched_assembly=not args.per_link_assembly,
+                        raw_capacity_frames=args.raw_capacity)
     rng = np.random.default_rng(0)
     ts = 0x1000000
     t_wall = time.perf_counter()
