@@ -10,6 +10,7 @@ machinery, keyed by the adapter's first timestamp, and served as fragments.
 
 from __future__ import annotations
 
+import threading
 from typing import Optional
 
 import numpy as np
@@ -47,6 +48,8 @@ class PayloadRingBuffer:
     whose header timestamp jumps BACKWARD was already flagged by the
     upstream timestamp check; clamping keeps window queries well-defined
     instead of silently corrupting the order invariant.
+    Thread-safe like the other buffers (one lock; the data-request
+    service may read while the batch loop inserts).
     """
 
     def __init__(self, payload_size: int, capacity: int | None = None,
@@ -66,6 +69,7 @@ class PayloadRingBuffer:
             self._data[:, -1] = 0
         self._start = 0
         self._end = 0
+        self._lock = threading.RLock()
         self.total_inserted = 0
 
     def _live(self) -> int:
@@ -96,36 +100,41 @@ class PayloadRingBuffer:
         n = len(keys)
         if n == 0:
             return 0
-        if self.capacity is not None:
-            room = self.capacity - self._live()
-            if room <= 0:
-                return 0
-            if n > room:
-                keys, payloads, n = keys[:room], payloads[:room], room
-        self._make_room(n)
-        keys = np.maximum.accumulate(np.asarray(keys, dtype=np.uint64))
-        if self._live() and keys[0] < self._keys[self._end - 1]:
-            keys = np.maximum(keys, self._keys[self._end - 1])
-        self._keys[self._end:self._end + n] = keys
-        self._data[self._end:self._end + n] = payloads
-        self._end += n
-        self.total_inserted += n
-        return n
+        with self._lock:
+            if self.capacity is not None:
+                room = self.capacity - self._live()
+                if room <= 0:
+                    return 0
+                if n > room:
+                    keys, payloads, n = keys[:room], payloads[:room], room
+            self._make_room(n)
+            keys = np.maximum.accumulate(np.asarray(keys, dtype=np.uint64))
+            if self._live() and keys[0] < self._keys[self._end - 1]:
+                keys = np.maximum(keys, self._keys[self._end - 1])
+            self._keys[self._end:self._end + n] = keys
+            self._data[self._end:self._end + n] = payloads
+            self._end += n
+            self.total_inserted += n
+            return n
 
     # -- queries ----------------------------------------------------------
     def occupancy(self) -> int:
-        return self._live()
+        with self._lock:
+            return self._live()
 
     def oldest_ts(self):
-        return int(self._keys[self._start]) if self._live() else None
+        with self._lock:
+            return int(self._keys[self._start]) if self._live() else None
 
     def newest_ts(self):
-        return int(self._keys[self._end - 1]) if self._live() else None
+        with self._lock:
+            return int(self._keys[self._end - 1]) if self._live() else None
 
     def key_at(self, idx: int):
-        if idx >= self._live():
-            return None
-        return int(self._keys[self._start + idx])
+        with self._lock:
+            if idx >= self._live():
+                return None
+            return int(self._keys[self._start + idx])
 
     def _window_bounds(self, start_ts: int, end_ts: int) -> tuple[int, int]:
         k = self._keys[self._start:self._end]
@@ -135,33 +144,39 @@ class PayloadRingBuffer:
 
     def extract_window(self, start_ts: int, end_ts: int) -> np.ndarray:
         """Payload rows with start_ts <= key < end_ts (non-consuming)."""
-        lo, hi = self._window_bounds(start_ts, end_ts)
-        return self._data[lo:hi].copy()
+        with self._lock:
+            lo, hi = self._window_bounds(start_ts, end_ts)
+            return self._data[lo:hi].copy()
 
     def extract_window_keys(self, start_ts: int, end_ts: int) -> np.ndarray:
-        lo, hi = self._window_bounds(start_ts, end_ts)
-        return self._keys[lo:hi].copy()
+        with self._lock:
+            lo, hi = self._window_bounds(start_ts, end_ts)
+            return self._keys[lo:hi].copy()
 
     # -- cleanup ------------------------------------------------------------
     def pop_until(self, ts: int) -> int:
-        lo, _ = self._window_bounds(ts, ts)
-        dropped = lo - self._start
-        self._start = lo
-        return dropped
+        with self._lock:
+            lo, _ = self._window_bounds(ts, ts)
+            dropped = lo - self._start
+            self._start = lo
+            return dropped
 
     def pop_n(self, n: int) -> int:
-        n = min(int(n), self._live())
-        self._start += n
-        return n
+        with self._lock:
+            n = min(int(n), self._live())
+            self._start += n
+            return n
 
     def cleanup_max_ts_diff(self, max_ts_diff: int) -> int:
-        if not self._live():
-            return 0
-        return self.pop_until(int(self._keys[self._end - 1])
-                              - int(max_ts_diff))
+        with self._lock:
+            if not self._live():
+                return 0
+            return self.pop_until(int(self._keys[self._end - 1])
+                                  - int(max_ts_diff))
 
     def snapshot(self) -> np.ndarray:
-        return self._data[self._start:self._end].copy()
+        with self._lock:
+            return self._data[self._start:self._end].copy()
 
 
 class ReadoutRequestHandler:

@@ -200,3 +200,50 @@ class TestFragmentRecorder:
         # a new recorder instance resumes the index
         rec2 = FragmentRecorder(tmp_path / "run", run_number=12)
         assert len(rec2) == 2
+
+
+def test_payload_ring_concurrent_insert_and_request():
+    """Data requests read while the batch loop inserts (production shape);
+    the ring's lock keeps windows consistent — every extracted window is
+    fully-formed rows from inserted batches."""
+    import threading
+    from fdreadoutlibs_tpu.tp.readout_buffer import PayloadRingBuffer
+    buf = PayloadRingBuffer(64, capacity=256)
+    stop = threading.Event()
+    errs = []
+
+    def inserter():
+        t = 0
+        pay = np.zeros((8, 64), np.uint8)
+        while not stop.is_set():
+            pay[:] = (t // 8) % 251          # whole batch one marker value
+            keys = np.arange(t, t + 8, dtype=np.uint64)
+            buf.insert(keys, pay)
+            t += 8
+            if buf.occupancy() > 128:
+                buf.pop_n(buf.occupancy() - 128)
+
+    def requester():
+        while not stop.is_set():
+            hi = buf.newest_ts()
+            if hi is None:
+                continue
+            win = buf.extract_window(max(0, hi - 64), hi + 1)
+            if len(win):
+                # each row uniform (no torn rows across batches)
+                mins = win.min(axis=1)
+                maxs = win.max(axis=1)
+                if not np.array_equal(mins, maxs):
+                    errs.append("torn row")
+                    stop.set()
+
+    ths = [threading.Thread(target=inserter),
+           threading.Thread(target=requester)]
+    for th in ths:
+        th.start()
+    import time
+    time.sleep(1.0)
+    stop.set()
+    for th in ths:
+        th.join(timeout=5)
+    assert not errs
