@@ -146,6 +146,13 @@ class APAReadoutApp:
         self._offline_table = None
         self._det_table = None
         self._mask_sorted = None
+        # per-link counters accumulate in vectors and flush to the
+        # per-proc MetricsCollectors at get_info (two 40-iteration python
+        # inc loops per batch were measurable; observability reads go
+        # through get_info, which flushes first)
+        self._hits_link = np.zeros(n_links, dtype=np.int64)
+        self._sent_link = np.zeros(n_links, dtype=np.int64)
+        self._sendfail_link = np.zeros(n_links, dtype=np.int64)
         # shipped-TP retention bound for the data-request path: trimmed
         # oldest-first each batch (the per-link loop never cleaned the
         # handler buffer — unbounded growth over a long run, and python-
@@ -270,6 +277,12 @@ class APAReadoutApp:
     def process_batch(self, frames_links: np.ndarray):
         """frames_links: (L, N, 7200) one batch of N frames per link."""
         L, N, _ = frames_links.shape
+        if 2 * N > self.raw_capacity_frames:
+            # cleanup trims to capacity/2 AFTER insert, so a batch must fit
+            # in the remaining half or its newest frames silently drop
+            raise ValueError(
+                f"raw_capacity_frames={self.raw_capacity_frames} must be "
+                f">= 2x frames per batch ({N}) — raise --raw-capacity")
         ts_mat, _ = self._batched_preprocess(frames_links)
         ts0 = ts_mat[:, 0].astype(np.int64)
         for l in range(L):
@@ -287,9 +300,7 @@ class APAReadoutApp:
         hits, dropped = self._device_pass(frames_links)
         self._dropped_total += dropped
         link = hits["channel"] >> 6                 # 64 channels per link
-        n_hits_link = np.bincount(link, minlength=L)
-        for l in range(L):
-            self.procs[l].metrics.inc("num_hits", int(n_hits_link[l]))
+        self._hits_link[:L] += np.bincount(link, minlength=L)
         if self.batched_assembly:
             self._assemble_batch(hits, link, ts0, L)
         else:
@@ -314,7 +325,8 @@ class APAReadoutApp:
         """One vectorized TP assembly over the whole APA batch (replaces
         40 per-link process_swtpg_hits calls; stream/wibeth.assemble_tps
         carries the reference semantics).  Bit-equivalent TP multiset to
-        the per-link path (tests/test_apa_readout.py pins it)."""
+        the per-link path
+        (tests/test_apps.py::test_batched_assembly_matches_per_link)."""
         from ..stream.wibeth import assemble_tps
         if self._offline_table is None:
             # per-link register->offline tables concatenated onto the
@@ -324,16 +336,22 @@ class APAReadoutApp:
                 [p.register_channels for p in self.procs])
             self._det_table = np.array([p.det_id for p in self.procs],
                                        dtype=np.int64)
-            mask = set().union(*[p.channel_mask_set for p in self.procs])
-            self._mask_sorted = (np.fromiter(sorted(mask), np.int64)
-                                 if mask else None)
+            # masks are PER LINK (offline numbers can repeat across links
+            # under non-injective maps), so match on (link, channel) keys
+            masked = [(l, c) for l, p in enumerate(self.procs)
+                      for c in p.channel_mask_set]
+            self._mask_sorted = (np.sort(np.array(
+                [(l << 32) | (c & 0xFFFFFFFF) for l, c in masked],
+                dtype=np.int64)) if masked else None)
         tps, kept = assemble_tps(hits, ts0[link], self._offline_table,
                                  self._det_table[link],
                                  self.procs[0].tp_algo)
         kept_link = link[kept]
         # policy layer (mirrors WIBEthFrameProcessor._filter_and_send)
         if self._mask_sorted is not None and len(tps):
-            keep = ~np.isin(tps["channel"], self._mask_sorted)
+            keys = (kept_link.astype(np.int64) << 32) \
+                | (tps["channel"].astype(np.int64) & 0xFFFFFFFF)
+            keep = ~np.isin(keys, self._mask_sorted)
             tps, kept_link = tps[keep], kept_link[keep]
         too_long = tps["time_over_threshold"] > \
             np.uint64(self.procs[0].tp_max_width)
@@ -345,12 +363,10 @@ class APAReadoutApp:
         if len(tps) == 0:
             return
         sent = self.tp_q.try_send(tps)
-        counter = "num_tps_sent" if sent else "num_tps_send_failed"
         if not sent:
             self.metrics.inc("num_tps_send_failed", len(tps))
-        n_sent_link = np.bincount(kept_link, minlength=L)
-        for l in range(L):
-            self.procs[l].metrics.inc(counter, int(n_sent_link[l]))
+        vec = self._sent_link if sent else self._sendfail_link
+        vec[:L] += np.bincount(kept_link, minlength=L)
 
     def request_raw(self, link: int, start_ts: int, end_ts: int):
         """Serve a trigger data request for raw frames on one link."""
@@ -368,7 +384,16 @@ class APAReadoutApp:
         recorder.write(frag)
         return frag
 
+    def _flush_link_counters(self) -> None:
+        for vec, name in ((self._hits_link, "num_hits"),
+                          (self._sent_link, "num_tps_sent"),
+                          (self._sendfail_link, "num_tps_send_failed")):
+            for l in np.flatnonzero(vec):
+                self.procs[l].metrics.inc(name, int(vec[l]))
+            vec[:] = 0
+
     def get_info(self) -> dict:
+        self._flush_link_counters()
         info = {"handler": self.handler.get_info(),
                 "tpsets_queued": len(self.tpset_q),
                 "raw_buffered": sum(r.occupancy() for r in self.readout)}

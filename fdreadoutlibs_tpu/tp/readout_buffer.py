@@ -164,6 +164,8 @@ class PayloadRingBuffer:
     def pop_n(self, n: int) -> int:
         with self._lock:
             n = min(int(n), self._live())
+            if n <= 0:          # a negative n must not resurrect popped rows
+                return 0
             self._start += n
             return n
 

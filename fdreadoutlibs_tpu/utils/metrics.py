@@ -19,6 +19,7 @@ class MetricsCollector:
         self._counters: dict[str, int] = defaultdict(int)
         self._gauges: dict[str, float] = {}
         self.channel_tp_counts: dict[int, int] = defaultdict(int)
+        self._channel_pending: list[np.ndarray] = []
         self._t0 = time.monotonic()
 
     # counters -----------------------------------------------------------
@@ -38,14 +39,28 @@ class MetricsCollector:
         return self._gauges.get(name)
 
     def add_channel_tps(self, channels) -> None:
-        """Accumulate per-channel TP counts.  Vectorized: at APA TP rates
-        (~100 kHz) a per-TP python loop is measurable host hot-path cost."""
-        chans, counts = np.unique(np.asarray(channels), return_counts=True)
+        """Accumulate per-channel TP counts.  O(1) append on the hot
+        path: the per-batch np.unique + dict merge was the largest cost
+        of the batched APA TP assembly (bench_tp_path); consolidation is
+        deferred to the (rare) top_channels/get_info queries."""
+        arr = np.asarray(channels)
+        if len(arr):
+            self._channel_pending.append(arr.copy())
+
+    def _consolidate_channels(self) -> None:
+        if not self._channel_pending:
+            return
+        allc = (np.concatenate(self._channel_pending)
+                if len(self._channel_pending) > 1
+                else self._channel_pending[0])
+        self._channel_pending = []
+        chans, counts = np.unique(allc, return_counts=True)
         for c, n in zip(chans.tolist(), counts.tolist()):
             self.channel_tp_counts[c] += n
 
     def top_channels(self, n: int = 10) -> list[tuple[int, int]]:
         """Top-n (channel, tp_count) — WIBEthFrameProcessor.cpp:264-287."""
+        self._consolidate_channels()
         return sorted(self.channel_tp_counts.items(), key=lambda kv: -kv[1])[:n]
 
     # snapshot (get_info equivalent) -------------------------------------
@@ -64,5 +79,6 @@ class MetricsCollector:
         info = self.get_info()
         self._counters.clear()
         self.channel_tp_counts.clear()
+        self._channel_pending = []
         self._t0 = time.monotonic()
         return info

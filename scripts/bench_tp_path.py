@@ -137,14 +137,31 @@ def bench_tp_assembly(trials: int, rng) -> dict:
                 for _ in range(reps)]
     ts0 = np.arange(APA_LINKS, dtype=np.int64) * 3    # distinct per link
 
+    # apples-to-apples with the per-link arm: same mask channels (as
+    # (link, channel) keys), too-long filter, APA channel histogram, and
+    # per-link sent counters — everything apa_readout._assemble_batch does
+    from fdreadoutlibs_tpu.utils.metrics import MetricsCollector
+    mask_keys = np.sort(np.array(
+        [(l << 32) | c for l in range(APA_LINKS) for c in (7, 19)],
+        dtype=np.int64))
+    apa_metrics = MetricsCollector()
+    sent_link = np.zeros(APA_LINKS, dtype=np.int64)   # deferred counters
+
     def run_batched():
         for h in apa_hits:
             link = h["channel"] >> 6
             tps, kept = assemble_tps(h, ts0[link], offline_table,
                                      det_table[link], 1)
+            kept_link = link[kept]
+            keys = (kept_link.astype(np.int64) << 32) \
+                | (tps["channel"].astype(np.int64) & 0xFFFFFFFF)
+            keep = ~np.isin(keys, mask_keys)
+            tps, kept_link = tps[keep], kept_link[keep]
             too_long = tps["time_over_threshold"] > np.uint64(100_000)
             if too_long.any():
-                tps = tps[~too_long]
+                tps, kept_link = tps[~too_long], kept_link[~too_long]
+            apa_metrics.add_channel_tps(tps["channel"])
+            sent_link[:] += np.bincount(kept_link, minlength=APA_LINKS)
 
         # one equivalent APA batch = 40 small per-link calls above
     rate = _median_rate(run_batched, reps * 8 * APA_LINKS, trials)

@@ -100,8 +100,14 @@ def test_batched_assembly_matches_per_link(interpret_ingest):
     from fdreadoutlibs_tpu.apps.apa_readout import APAReadoutApp
 
     def run(batched):
+        from fdreadoutlibs_tpu.utils.channel_map import make_map
         app = APAReadoutApp(n_links=3, threshold=200, algorithm="AbsRS",
                             batched_assembly=batched)
+        # a mask on ONE link only: the batched path must match masks on
+        # (link, channel) keys, not offline channel alone (link 1 =
+        # crate 1, slot 0, stream 1 in the app's geometry)
+        off1 = make_map("HDAPAChannelMap").offline_channels(1, 0, 1, 64)
+        app.procs[1].channel_mask_set = {int(off1[17]), int(off1[33])}
         rng = np.random.default_rng(5)
         ts = 100_000
         for b in range(3):
@@ -120,9 +126,10 @@ def test_batched_assembly_matches_per_link(interpret_ingest):
             app.process_batch(frames)
             ts += 2 * 2048
         tps = app.handler.buffer.snapshot()
+        info = app.get_info()      # flushes the deferred per-link counters
         per_link_sent = [p.metrics.count("num_tps_sent") for p in app.procs]
         per_link_hits = [p.metrics.count("num_hits") for p in app.procs]
-        return tps, per_link_sent, per_link_hits, app.get_info()
+        return tps, per_link_sent, per_link_hits, info
 
     tps_b, sent_b, hits_b, info_b = run(True)
     tps_p, sent_p, hits_p, info_p = run(False)
@@ -178,3 +185,17 @@ def test_batched_preprocess_error_parity(interpret_ingest):
     assert a.procs[1].metrics.count("num_seq_id_errors") > 0
     assert a.procs[1].metrics.count("num_ts_errors") > 0
     assert a.procs[0].metrics.count("num_seq_id_errors") == 0
+
+
+def test_raw_capacity_must_fit_batches(interpret_ingest):
+    """An undersized --raw-capacity would silently drop the newest raw
+    frames of every batch (cleanup trims to capacity/2 after insert);
+    process_batch rejects it instead."""
+    import pytest
+    from fdreadoutlibs_tpu.apps.apa_readout import APAReadoutApp
+    app = APAReadoutApp(n_links=1, threshold=499, raw_capacity_frames=8)
+    frames = np.zeros((1, 8, wibeth.FRAME_SIZE), np.uint8)
+    wibeth.fake_timestamps(frames[0], 100_000)
+    wibeth.fake_geoid(frames[0], 1, 0, 0)
+    with pytest.raises(ValueError, match="raw_capacity"):
+        app.process_batch(frames)

@@ -116,6 +116,8 @@ class TestPayloadRingBuffer:
         np.testing.assert_array_equal(buf.snapshot(), data[4:])
         assert buf.cleanup_max_ts_diff(20) == 3   # cutoff 90-20=70
         assert buf.occupancy() == 3
+        assert buf.pop_n(-2) == 0                 # never resurrects rows
+        assert buf.occupancy() == 3
 
 
 class TestTDETPG:

@@ -273,13 +273,20 @@ class TestTPRequestHandler:
         assert buf.snapshot().dtype == tps_at([1]).dtype
 
     def test_metrics_channel_tps_vectorized(self):
+        """add_channel_tps is an O(1) append (hot path); counts
+        consolidate lazily on the top_channels/get_info query."""
         from fdreadoutlibs_tpu.utils.metrics import MetricsCollector
         m = MetricsCollector()
         m.add_channel_tps(np.array([3, 3, 7, 3, 9]))
         m.add_channel_tps(np.array([7]))
+        assert m.top_channels(2) == [(3, 3), (7, 2)]
+        # consolidated view matches after the query
         assert m.channel_tp_counts[3] == 3
         assert m.channel_tp_counts[7] == 2
-        assert m.top_channels(2) == [(3, 3), (7, 2)]
+        # accumulation continues across consolidation points
+        m.add_channel_tps(np.array([9, 9]))
+        assert m.top_channels(1) == [(3, 3)]
+        assert m.channel_tp_counts[9] == 3
 
     def test_host_tp_assembly_cost_at_apa_scale(self):
         """Host-side per-batch work (K-slot decode + per-channel TP-rate
