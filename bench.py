@@ -375,10 +375,12 @@ def bench_host_tp_path(trials: int = 3):
     asm = tp.bench_tp_assembly(trials, rng)
     rh = tp.bench_request_handler(trials, rng)
     wh = tp.bench_wib_tp_handler(trials, rng)
+    loop = tp.bench_apa_host_loop(trials, rng)
     prod = rh.get("native") or rh["python"]
     return {
         "apa_assembly_pct_core": asm["apa_batched"][
             "apa_call_budget_used_pct"],
+        "apa_host_loop_pct_core": loop["pct_core_per_apa"],
         "request_handler_tps_per_s": prod["insert_window_tps_per_s"],
         "request_handler_headroom_vs_256k": prod["headroom_vs_256k"],
         "request_handler_buffer": "native" if "native" in rh else "python",

@@ -10,7 +10,8 @@ from fdreadoutlibs_tpu.formats import wibeth
 @pytest.fixture
 def interpret_ingest(monkeypatch):
     for name in ("process_packed_frames", "process_packed_frames_fused",
-                 "process_words14_feed", "process_time2_feed"):
+                 "process_words14_feed", "process_time2_feed",
+                 "process_packed_daphne"):
         orig = getattr(ingest_mod, name)
 
         def patched(words, stack, cfg, C, _orig=orig, **kw):
@@ -199,3 +200,42 @@ def test_raw_capacity_must_fit_batches(interpret_ingest):
     wibeth.fake_geoid(frames[0], 1, 0, 0)
     with pytest.raises(ValueError, match="raw_capacity"):
         app.process_batch(frames)
+
+
+def test_pds_readout_end_to_end(interpret_ingest):
+    """PDS (DAPHNE-stream) composition: fused multi-link ingest, PDS TP
+    assembly (1 clock/tick), TPSet windowing, raw data requests."""
+    from fdreadoutlibs_tpu.apps.pds_readout import PDSReadoutApp
+    from fdreadoutlibs_tpu.formats import daphne
+    app = PDSReadoutApp(n_links=2, threshold=400, raw_capacity_superchunks=16)
+    ts = 0x2000000
+    T = daphne.STREAM_FRAMES_PER_SUPERCHUNK * daphne.STREAM_N_SAMPLES
+    for b in range(3):
+        scs = np.stack([daphne.empty_superchunks(1, stream=True)
+                        for _ in range(2)])
+        frames = daphne.superchunk_frames(scs, stream=True)
+        adcs = np.full((2, T, 4), 700, np.uint16)
+        if b == 1:
+            adcs[1, 100:110, 2] += 900          # link 1, channel 2
+        for l in range(2):
+            daphne.stream_set_adcs(
+                frames[l].reshape(-1, daphne.STREAM_FRAME_SIZE),
+                adcs[l].reshape(-1, daphne.STREAM_N_SAMPLES, 4))
+            daphne.fake_timestamps(scs[l], ts, offset=64, stream=True)
+        app.process_batch(scs)
+        ts += T
+    info = app.get_info()
+    assert info["ts_errors"] == 0
+    assert info["total_hits"] == 1
+    assert info["raw_buffered"] == 6
+    tps = app.handler.buffer.snapshot()
+    assert len(tps) == 1
+    tp = tps[0]
+    assert tp["channel"] == 1 * 4 + 2           # global link*4 + c
+    # batch 1 started at 0x2000000 + T; pulse at tick 100, 10 over
+    assert tp["time_start"] == 0x2000000 + T + 100
+    assert tp["time_over_threshold"] == 10
+    assert tp["adc_integral"] == 10 * 900
+    # windowed raw request on the hit link returns covering superchunks
+    raw = app.request_raw(1, int(tp["time_start"]), int(tp["time_start"]) + 1)
+    assert len(raw) >= 1
