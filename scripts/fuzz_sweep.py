@@ -54,6 +54,11 @@ def main() -> int:
     failures = 0
     pallas_runs = 0
     for i in range(args.n):
+        if i and i % 20 == 0:
+            # every case traces fresh shapes (random batch splits); the
+            # accumulated XLA-CPU executables killed a 400-case run with
+            # LLVM "Cannot allocate memory" — drop the caches periodically
+            jax.clear_caches()
         seed = args.start + i
         cfg, rmf, adcs, bounds = _case(seed)
         try:
