@@ -146,6 +146,7 @@ class APAReadoutApp:
         self._offline_table = None
         self._det_table = None
         self._mask_sorted = None
+        self._assembly_conf_key = None
         # per-link counters accumulate in vectors and flush to the
         # per-proc MetricsCollectors at get_info (two 40-iteration python
         # inc loops per batch were measurable; observability reads go
@@ -328,7 +329,24 @@ class APAReadoutApp:
         the per-link path
         (tests/test_apps.py::test_batched_assembly_matches_per_link)."""
         from ..stream.wibeth import assemble_tps
+        # TP-policy conf can change between batches (channel_mask_set,
+        # tp_algo, tp_max_width are live per-processor state in per-link
+        # mode); fingerprint it so the batched cache never serves stale
+        # conf.  O(L + mask sizes) per batch — negligible vs assembly.
+        conf_key = tuple((p.tp_algo, p.tp_max_width,
+                          frozenset(p.channel_mask_set))
+                         for p in self.procs)
+        if conf_key != self._assembly_conf_key:
+            self._offline_table = None
+            self._assembly_conf_key = conf_key
         if self._offline_table is None:
+            algos = {p.tp_algo for p in self.procs}
+            widths = {p.tp_max_width for p in self.procs}
+            if len(algos) > 1 or len(widths) > 1:
+                raise ValueError(
+                    "batched assembly requires uniform tp_algo/tp_max_width "
+                    f"across links (got algos={algos}, widths={widths}); "
+                    "use batched_assembly=False for heterogeneous links")
             # per-link register->offline tables concatenated onto the
             # global channel axis; built after first_frame_setup seeded
             # every processor

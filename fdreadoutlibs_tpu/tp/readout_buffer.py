@@ -71,6 +71,11 @@ class PayloadRingBuffer:
         self._end = 0
         self._lock = threading.RLock()
         self.total_inserted = 0
+        # Backward-jumping keys are clamped on insert (class docstring);
+        # the substitution is silent to fragment consumers, so count it —
+        # operators correlate data-request anomalies with upstream
+        # timestamp errors via this counter (surfaced in handler metrics).
+        self.num_keys_clamped = 0
 
     def _live(self) -> int:
         return self._end - self._start
@@ -108,9 +113,11 @@ class PayloadRingBuffer:
                 if n > room:
                     keys, payloads, n = keys[:room], payloads[:room], room
             self._make_room(n)
-            keys = np.maximum.accumulate(np.asarray(keys, dtype=np.uint64))
+            raw = np.asarray(keys, dtype=np.uint64)
+            keys = np.maximum.accumulate(raw)
             if self._live() and keys[0] < self._keys[self._end - 1]:
                 keys = np.maximum(keys, self._keys[self._end - 1])
+            self.num_keys_clamped += int(np.count_nonzero(keys != raw))
             self._keys[self._end:self._end + n] = keys
             self._data[self._end:self._end + n] = payloads
             self._end += n
@@ -223,6 +230,9 @@ class ReadoutRequestHandler:
         self.metrics.inc("num_payloads_buffered", accepted)
         if accepted < n:
             self.metrics.inc("num_payloads_dropped", n - accepted)
+        if self.ring:
+            self.metrics.set_max("num_keys_clamped",
+                                 self.buffer.num_keys_clamped)
         return accepted
 
     def request(self, start_ts: int, end_ts: int) -> np.ndarray:

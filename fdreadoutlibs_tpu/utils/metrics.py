@@ -50,10 +50,11 @@ class MetricsCollector:
     def _consolidate_channels(self) -> None:
         if not self._channel_pending:
             return
-        allc = (np.concatenate(self._channel_pending)
-                if len(self._channel_pending) > 1
-                else self._channel_pending[0])
-        self._channel_pending = []
+        # Capture-then-swap: a concurrent add_channel_tps from the batch
+        # thread lands in exactly one of the two lists (MetricsCollector
+        # has no lock; read-then-reset would drop appends in the gap).
+        pending, self._channel_pending = self._channel_pending, []
+        allc = pending[0] if len(pending) == 1 else np.concatenate(pending)
         chans, counts = np.unique(allc, return_counts=True)
         for c, n in zip(chans.tolist(), counts.tolist()):
             self.channel_tp_counts[c] += n

@@ -144,6 +144,65 @@ def test_batched_assembly_matches_per_link(interpret_ingest):
     assert "apa_top_channels" in info_b
 
 
+def test_batched_assembly_conf_change_applies(interpret_ingest):
+    """A channel_mask_set change AFTER the first batch must take effect in
+    batched mode (the lazily-built assembly tables are fingerprinted and
+    invalidated on conf change — advisor r3), matching per-link mode."""
+    from fdreadoutlibs_tpu.apps.apa_readout import APAReadoutApp
+    from fdreadoutlibs_tpu.utils.channel_map import make_map
+
+    def run(batched):
+        app = APAReadoutApp(n_links=2, threshold=200, algorithm="AbsRS",
+                            batched_assembly=batched)
+        rng = np.random.default_rng(9)
+        ts = 100_000
+        for b in range(3):
+            frames = np.zeros((2, 2, wibeth.FRAME_SIZE), np.uint8)
+            adcs = (800 + rng.normal(0, 10, (2, 2, 64, 64))).astype(np.uint16)
+            # deterministic pulses on channel 17 of both links every batch
+            for l in range(2):
+                adcs[l, 0, 20:30, 17] += 900
+                wibeth.set_adcs(frames[l], adcs[l])
+                wibeth.fake_timestamps(frames[l], ts)
+                wibeth.fake_seq_ids(frames[l], b * 2)
+                wibeth.fake_geoid(frames[l], 1, l // 8, l % 8)
+            app.process_batch(frames)
+            if b == 0:
+                # conf change between batches: mask link 0's channel 17
+                off0 = make_map("HDAPAChannelMap").offline_channels(
+                    1, 0, 0, 64)
+                app.procs[0].channel_mask_set = {int(off0[17])}
+            ts += 2 * 2048
+        app.get_info()
+        return app.handler.buffer.snapshot()
+
+    tps_b, tps_p = run(True), run(False)
+    assert len(tps_b) > 0
+    order_b = np.argsort(tps_b, order=("time_start", "channel", "time_peak"))
+    order_p = np.argsort(tps_p, order=("time_start", "channel", "time_peak"))
+    np.testing.assert_array_equal(tps_b[order_b], tps_p[order_p])
+
+
+def test_batched_assembly_rejects_heterogeneous_conf(interpret_ingest):
+    """Batched assembly applies ONE tp_max_width/tp_algo to all links; a
+    heterogeneous conf must fail loudly, not silently use procs[0]'s."""
+    import pytest
+    from fdreadoutlibs_tpu.apps.apa_readout import APAReadoutApp
+    app = APAReadoutApp(n_links=2, threshold=200, algorithm="AbsRS",
+                        batched_assembly=True)
+    app.procs[1].tp_max_width = app.procs[0].tp_max_width + 1
+    frames = np.zeros((2, 2, wibeth.FRAME_SIZE), np.uint8)
+    adcs = np.full((2, 2, 64, 64), 800, np.uint16)
+    adcs[:, 0, 20:30, 17] += 900
+    for l in range(2):
+        wibeth.set_adcs(frames[l], adcs[l])
+        wibeth.fake_timestamps(frames[l], 100_000)
+        wibeth.fake_seq_ids(frames[l], 0)
+        wibeth.fake_geoid(frames[l], 1, l // 8, l % 8)
+    with pytest.raises(ValueError, match="uniform"):
+        app.process_batch(frames)
+
+
 def test_batched_preprocess_error_parity(interpret_ingest):
     """The all-links vectorized header validation falls back to the exact
     per-link checks for anomalous links: error metrics and carried

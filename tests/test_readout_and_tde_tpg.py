@@ -105,6 +105,12 @@ class TestPayloadRingBuffer:
         assert buf.newest_ts() == 300
         assert buf.key_at(2) == 200              # 50 clamped to 200
         assert len(buf.extract_window(0, 1 << 62)) == 4
+        # the silent substitution is counted for operator correlation
+        # (advisor r3): one key (the 50) was clamped
+        assert buf.num_keys_clamped == 1
+        # intra-batch backward jump also counts
+        buf.insert(np.array([400, 350], np.uint64), np.zeros((2, 4), np.uint8))
+        assert buf.num_keys_clamped == 2
 
     def test_pop_until_and_snapshot(self):
         from fdreadoutlibs_tpu.tp.readout_buffer import PayloadRingBuffer

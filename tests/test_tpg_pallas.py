@@ -220,6 +220,7 @@ def test_slot_word_carry_layout_bitexact():
     A/B)."""
     from fdreadoutlibs_tpu.ops import pallas_tpg as P
     adcs = random_stream(128, 48, seed=31)
+    orig = P.SLOT_WORD_CARRY   # restore the shipped default, whatever it is
     for cfg in CONFIGS + [TPGConfig(algorithm=Algorithm.FIR, threshold=5,
                                     track_peaks=False)]:
         res = {}
@@ -232,7 +233,7 @@ def test_slot_word_carry_layout_bitexact():
                 res[mode] = run_pallas(adcs, cfg, tc=32, k_slots=2,
                                        vmem_limit_mb=63 if mode else None)
             finally:
-                P.SLOT_WORD_CARRY = False
+                P.SLOT_WORD_CARRY = orig
         h0, st0, d0 = res[False]
         h1, st1, d1 = res[True]
         np.testing.assert_array_equal(h0, h1, err_msg=str(cfg.algorithm))
