@@ -26,7 +26,8 @@ import numpy as np
 
 
 def bench_algorithm(cfg, tc, k_slots, unroll, on_tpu, adcs, rmf,
-                    n_windows, trials=5, fir_twopass=False):
+                    n_windows, trials=5, fir_twopass=False,
+                    return_trials=False):
     import jax
     import jax.numpy as jnp
     from fdreadoutlibs_tpu.ops.chanstate import init_chanstate, seed_chanstate
@@ -79,12 +80,19 @@ def bench_algorithm(cfg, tc, k_slots, unroll, on_tpu, adcs, rmf,
         # occasionally invert a single (short, long) pair
         def sync(s):
             _ = float(jnp.sum(s[:, 0]))
-        dt = _slope_dt(multi_window, state0, n_windows, trials, sync)
+        dt, per_call = _slope_dt(multi_window, state0, n_windows, trials,
+                                 sync, return_trials=True)
     else:
         # interpret mode is not a performance path; time one call
         dt, _ = chain(1, state0)
         dt /= n_windows
-    return (T / WIBETH_SAMPLE_HZ) / dt
+        per_call = [dt]
+    span = T / WIBETH_SAMPLE_HZ
+    if return_trials:
+        # per-trial RTFs, most conservative first — lets the JSON carry
+        # the tunnel-phase spread alongside the median (VERDICT r3 #7)
+        return span / dt, sorted(span / s for s in per_call)
+    return span / dt
 
 
 # 62.5 MHz clock / 32 clocks per WIBEth sample = 1.953125 MHz per channel.
@@ -94,7 +102,8 @@ def bench_algorithm(cfg, tc, k_slots, unroll, on_tpu, adcs, rmf,
 WIBETH_SAMPLE_HZ = 62.5e6 / 32
 
 
-def _slope_dt(multi_window, state0, n_windows, trials, sync):
+def _slope_dt(multi_window, state0, n_windows, trials, sync,
+              return_trials=False):
     import time as _t
     per_call = []
     for _ in range(2 * trials):
@@ -114,7 +123,8 @@ def _slope_dt(multi_window, state0, n_windows, trials, sync):
         if len(per_call) >= trials:
             break
     assert per_call, "all timing trials inverted; tunnel too unstable"
-    return float(np.median(per_call))           # seconds per window
+    med = float(np.median(per_call))            # seconds per window
+    return (med, per_call) if return_trials else med
 
 
 def bench_fresh_and_ingest(cfg, tc, k_slots, unroll, adcs, rmf,
@@ -469,15 +479,19 @@ def main():
                 for k, (cfg, _, _, _, tp, rmf) in runs.items()}
 
     results = {}
+    headline_trials = []
     for name, (cfg, tc, k, unroll, twopass, rmf) in runs.items():
         if rmf is None:
             rmf = cfg.rs_memory_factor_x10
         # the headline (production) number gets extra trials: the tunnel's
         # phase noise dominates single readings (BENCH_NOTES)
         trials = 7 if name == "AbsRS_production" else 5
-        results[name] = round(bench_algorithm(
+        rtf, per_trial = bench_algorithm(
             cfg, tc, k, unroll, on_tpu, adcs, rmf, N_WINDOWS,
-            trials=trials, fir_twopass=twopass), 2)
+            trials=trials, fir_twopass=twopass, return_trials=True)
+        results[name] = round(rtf, 2)
+        if name == "AbsRS_production":
+            headline_trials = [round(v, 2) for v in per_trial]
 
     # production config again, but paying what the headline never pays:
     # distinct data per window, and the fused byte-ingest path (on-device
@@ -497,6 +511,11 @@ def main():
         "value": rtf,
         "unit": "x_realtime_2560ch_APA",
         "vs_baseline": rtf,
+        # tunnel-phase spread of the headline: min = most conservative
+        # trial, value = median; rounds are comparable via value_min even
+        # when the driver catches a bad phase (VERDICT r3 #7)
+        "value_min": headline_trials[0] if headline_trials else rtf,
+        "value_trials": headline_trials,
         "algorithms": results,
     }
     if on_tpu:
