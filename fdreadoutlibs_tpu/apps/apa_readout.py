@@ -59,7 +59,8 @@ class APAReadoutApp:
                  time2_feed: bool = False,
                  codec_threads: int = 1,
                  batched_assembly: bool = True,
-                 raw_capacity_frames: int = 4096):
+                 raw_capacity_frames: int = 4096,
+                 raw_retention: str = "zerocopy"):
         if words14_feed and time2_feed:
             raise ValueError("words14_feed and time2_feed are exclusive")
         if fused_unpack and time2_feed:
@@ -105,15 +106,19 @@ class APAReadoutApp:
         # raw-payload buffers for trigger data requests (one per link)
         from ..formats.adapters import get_adapter
         from ..tp.readout_buffer import ReadoutRequestHandler
-        # raw retention per link: capacity frames (2x arena, pretouched);
-        # cleanup trims to half so inserts never hit the hard cap.  At
-        # 32.768 us/frame the default 4096 retains ~67 ms of raw data per
-        # link after trim — size to the trigger data-request latency
-        # budget (raw stream is 8.8 GB/s/APA: ~4.4 GB of RAM per APA
-        # per retained second).
+        # raw retention per link: capacity frames; cleanup trims to half
+        # so inserts never hit the hard cap.  At 32.768 us/frame the
+        # default 4096 retains ~67 ms of raw data per link after trim —
+        # size to the trigger data-request latency budget (raw stream is
+        # 8.8 GB/s/APA: ~4.4 GB of RAM per APA per retained second).
+        # Default retention is ZERO-COPY (segment references into the
+        # batch slabs process_batch receives — safe because this app
+        # never mutates a batch after submission); raw_retention="ring"
+        # restores the copying arena for producers that recycle buffers.
         self.raw_capacity_frames = int(raw_capacity_frames)
         self.readout = [ReadoutRequestHandler(get_adapter("wibeth"),
-                                              capacity=raw_capacity_frames)
+                                              capacity=raw_capacity_frames,
+                                              retention=raw_retention)
                         for _ in range(n_links)]
 
         # fused_unpack runs the in-KERNEL 14-bit unpack (words14 layout;
@@ -466,6 +471,11 @@ def main(argv=None) -> int:
     ap.add_argument("--raw-capacity", type=int, default=4096,
                     help="raw frames retained per link for data requests "
                          "(32.768 us each; RAM = 2x this x 7200 B/link)")
+    ap.add_argument("--raw-retention", default="zerocopy",
+                    choices=["zerocopy", "ring"],
+                    help="raw retention: zerocopy segment references "
+                         "(default; insert is O(1), no memcpy) or the "
+                         "copying ring arena")
     ap.add_argument("--per-link-assembly", action="store_true",
                     help="40 per-link TP assembly calls per batch instead "
                          "of the batched whole-APA assembly (A/B + "
@@ -481,7 +491,8 @@ def main(argv=None) -> int:
                         time2_feed=args.time2_feed,
                         codec_threads=args.codec_threads,
                         batched_assembly=not args.per_link_assembly,
-                        raw_capacity_frames=args.raw_capacity)
+                        raw_capacity_frames=args.raw_capacity,
+                        raw_retention=args.raw_retention)
     rng = np.random.default_rng(0)
     ts = 0x1000000
     t_wall = time.perf_counter()

@@ -188,22 +188,221 @@ class PayloadRingBuffer:
             return self._data[self._start:self._end].copy()
 
 
+class SegmentedPayloadBuffer:
+    """ZERO-COPY ordered retention for fixed-size, time-ordered payload
+    streams: insert stores a *reference* to the caller's payload rows
+    instead of copying them into an arena.
+
+    Raw retention was the largest residual host cost per APA after the
+    PayloadRingBuffer work — ~1.3 cores of pure memcpy against the
+    8.8 GB/s/APA raw stream at this box's 6.7 GB/s copy speed
+    (scripts/bench_tp_path.py apa_host_loop; VERDICT r3 #4).  The
+    reference avoids that cost structurally: readoutlibs'
+    IterableQueueModel pre-allocates the latency buffer and the NIC/
+    emulator writes payloads *in place*, so retention is free.  The
+    TPU-native equivalent is segment leasing: the producer hands each
+    batch slab to the buffer (insert = append a (keys, rows-view)
+    segment, O(1) plus a small key clamp), and the buffer drops the
+    reference on eviction.
+
+    OWNERSHIP CONTRACT: the caller must not mutate payload rows after
+    insert (the emulator/app allocate a fresh slab per batch; a NIC
+    driver hands off filled ring slots the same way).  Callers that
+    recycle and overwrite their buffers need the copying
+    :class:`PayloadRingBuffer` instead.
+
+    Queries behave exactly like PayloadRingBuffer (same key clamping,
+    same window semantics — extract copies only the requested rows) and
+    the shared conformance tests pin that
+    (tests/test_readout_and_tde_tpg.py).  Pops are row-exact: a segment
+    consumed from the front advances a start offset; fully-consumed
+    segments release their slab reference.
+    """
+
+    def __init__(self, payload_size: int, capacity: int | None = None):
+        self.payload_size = int(payload_size)
+        self.capacity = capacity
+        self._segs: list[tuple[np.ndarray, np.ndarray]] = []  # (keys, rows)
+        self._first_live = 0          # live start offset in _segs[0]
+        self._nlive = 0
+        self._lock = threading.RLock()
+        self.total_inserted = 0
+        self.num_keys_clamped = 0
+
+    def _newest_key(self):
+        return self._segs[-1][0][-1] if self._segs else None
+
+    def insert(self, keys: np.ndarray, payloads: np.ndarray) -> int:
+        n = len(keys)
+        if n == 0:
+            return 0
+        with self._lock:
+            if self.capacity is not None:
+                room = self.capacity - self._nlive
+                if room <= 0:
+                    return 0
+                if n > room:
+                    keys, payloads, n = keys[:room], payloads[:room], room
+            raw = np.asarray(keys, dtype=np.uint64)
+            clamped = np.maximum.accumulate(raw)
+            newest = self._newest_key()
+            if newest is not None and clamped[0] < newest:
+                clamped = np.maximum(clamped, newest)
+            self.num_keys_clamped += int(np.count_nonzero(clamped != raw))
+            rows = payloads if payloads.ndim == 2 else \
+                payloads.reshape(n, self.payload_size)
+            self._segs.append((clamped, rows))
+            self._nlive += n
+            self.total_inserted += n
+            return n
+
+    # -- queries ----------------------------------------------------------
+    def occupancy(self) -> int:
+        with self._lock:
+            return self._nlive
+
+    def oldest_ts(self):
+        with self._lock:
+            if not self._nlive:
+                return None
+            return int(self._segs[0][0][self._first_live])
+
+    def newest_ts(self):
+        with self._lock:
+            return int(self._newest_key()) if self._nlive else None
+
+    def key_at(self, idx: int):
+        with self._lock:
+            if idx >= self._nlive:
+                return None
+            idx += self._first_live
+            for seg_keys, _ in self._segs:
+                if idx < len(seg_keys):
+                    return int(seg_keys[idx])
+                idx -= len(seg_keys)
+            return None
+
+    def _window_pieces(self, start_ts: int, end_ts: int):
+        """(segment index, lo, hi) row ranges with start <= key < end,
+        clipped to the live region."""
+        pieces = []
+        for i, (seg_keys, _) in enumerate(self._segs):
+            lo = int(np.searchsorted(seg_keys, start_ts, side="left"))
+            hi = int(np.searchsorted(seg_keys, end_ts, side="left"))
+            if i == 0:
+                lo, hi = max(lo, self._first_live), max(hi, self._first_live)
+            if hi > lo:
+                pieces.append((i, lo, hi))
+            # segments are globally ordered: once a segment starts at or
+            # past end_ts, later ones do too
+            if len(seg_keys) and seg_keys[0] >= end_ts:
+                break
+        return pieces
+
+    def extract_window(self, start_ts: int, end_ts: int) -> np.ndarray:
+        """Payload rows with start_ts <= key < end_ts (copied — the only
+        copy this buffer ever makes, and only of requested rows)."""
+        with self._lock:
+            pieces = self._window_pieces(start_ts, end_ts)
+            if not pieces:
+                return np.zeros((0, self.payload_size), np.uint8)
+            return np.concatenate([self._segs[i][1][lo:hi]
+                                   for i, lo, hi in pieces])
+
+    def extract_window_keys(self, start_ts: int, end_ts: int) -> np.ndarray:
+        with self._lock:
+            pieces = self._window_pieces(start_ts, end_ts)
+            if not pieces:
+                return np.zeros(0, np.uint64)
+            return np.concatenate([self._segs[i][0][lo:hi]
+                                   for i, lo, hi in pieces])
+
+    # -- cleanup ----------------------------------------------------------
+    def _drop_front(self, n: int) -> int:
+        """Advance the live start by n rows, releasing slab references."""
+        dropped = 0
+        while n > 0 and self._segs:
+            seg_keys, _ = self._segs[0]
+            avail = len(seg_keys) - self._first_live
+            take = min(n, avail)
+            self._first_live += take
+            dropped += take
+            n -= take
+            if self._first_live == len(seg_keys):
+                self._segs.pop(0)
+                self._first_live = 0
+        self._nlive -= dropped
+        return dropped
+
+    def pop_until(self, ts: int) -> int:
+        with self._lock:
+            total = 0
+            for seg_keys, _ in list(self._segs):
+                lo = int(np.searchsorted(seg_keys, ts, side="left"))
+                live_lo = lo - self._first_live
+                if live_lo <= 0:
+                    break
+                total += self._drop_front(live_lo)
+                if lo < len(seg_keys):
+                    break
+            return total
+
+    def pop_n(self, n: int) -> int:
+        with self._lock:
+            n = min(int(n), self._nlive)
+            if n <= 0:
+                return 0
+            return self._drop_front(n)
+
+    def cleanup_max_ts_diff(self, max_ts_diff: int) -> int:
+        with self._lock:
+            if not self._nlive:
+                return 0
+            return self.pop_until(int(self._newest_key())
+                                  - int(max_ts_diff))
+
+    def snapshot(self) -> np.ndarray:
+        with self._lock:
+            if not self._nlive:
+                return np.zeros((0, self.payload_size), np.uint8)
+            parts = [rows[self._first_live if i == 0 else 0:]
+                     for i, (_, rows) in enumerate(self._segs)]
+            return np.concatenate(parts)
+
+
 class ReadoutRequestHandler:
     """Per-link raw-data buffering and request service
     (≈ DefaultRequestHandlerModel over a SkipListLatencyBuffer).
 
-    Storage is the :class:`PayloadRingBuffer` by default — the general
-    record buffers made raw retention the dominant per-APA host cost
-    (class docstring above).  ``ring=False`` keeps the ordered record
-    buffer (python or native per ``prefer_native``) for streams that are
-    not time-ordered at arrival."""
+    Storage (``retention``):
+
+    * ``"zerocopy"`` (default) — :class:`SegmentedPayloadBuffer`: insert
+      keeps a reference to the caller's batch slab, no memcpy.  Requires
+      the producer not to mutate inserted rows (the apps/emulator
+      allocate fresh slabs per batch; a NIC driver hands off filled ring
+      slots the same way).
+    * ``"ring"`` — :class:`PayloadRingBuffer`: one-memcpy insert into an
+      owned arena; for producers that recycle their buffers.
+    * ``"record"`` — the general ordered record buffer (python or native
+      per ``prefer_native``) for streams NOT time-ordered at arrival.
+
+    The legacy ``ring=False`` kwarg maps to ``"record"``."""
 
     def __init__(self, adapter: TypeAdapter, capacity: int | None = None,
-                 prefer_native: bool = True, ring: bool = True):
+                 prefer_native: bool = True, ring: bool = True,
+                 retention: str | None = None):
         self.adapter = adapter
-        self.ring = ring
+        if retention is None:
+            retention = "zerocopy" if ring else "record"
+        if retention not in ("zerocopy", "ring", "record"):
+            raise ValueError(f"unknown retention mode {retention!r}")
+        self.retention = retention
+        self.ring = retention != "record"   # row-array (not record) storage
         self.record_dtype = payload_record_dtype(adapter.fixed_payload_size)
-        if ring:
+        if retention == "zerocopy":
+            self.buffer = SegmentedPayloadBuffer(adapter.fixed_payload_size,
+                                                 capacity)
+        elif retention == "ring":
             self.buffer = PayloadRingBuffer(adapter.fixed_payload_size,
                                             capacity)
         else:

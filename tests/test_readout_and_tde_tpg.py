@@ -12,12 +12,15 @@ from fdreadoutlibs_tpu.tp.readout_buffer import ReadoutRequestHandler
 
 class TestReadoutRequestHandler:
     def make(self, impl="ring", capacity=None):
+        if impl in ("ring", "zerocopy"):
+            return ReadoutRequestHandler(get_adapter("wibeth"),
+                                         capacity=capacity, retention=impl)
         return ReadoutRequestHandler(get_adapter("wibeth"),
                                      capacity=capacity,
                                      prefer_native=(impl == "native"),
-                                     ring=(impl == "ring"))
+                                     ring=False)
 
-    @pytest.mark.parametrize("impl", ["ring", "python", "native"])
+    @pytest.mark.parametrize("impl", ["ring", "zerocopy", "python", "native"])
     def test_window_request(self, impl):
         h = self.make(impl)
         frames = wibeth.empty_frames(8)
@@ -30,7 +33,7 @@ class TestReadoutRequestHandler:
         ts = wibeth.get_timestamp(got)
         np.testing.assert_array_equal(ts, [12_048, 14_096, 16_144])
 
-    @pytest.mark.parametrize("impl", ["ring", "python"])
+    @pytest.mark.parametrize("impl", ["ring", "zerocopy", "python"])
     def test_covering_payload_included(self, impl):
         h = self.make(impl)
         frames = wibeth.empty_frames(2)
@@ -40,7 +43,7 @@ class TestReadoutRequestHandler:
         assert len(got) == 1
         assert wibeth.get_timestamp(got)[0] == 10_000
 
-    @pytest.mark.parametrize("impl", ["ring", "python"])
+    @pytest.mark.parametrize("impl", ["ring", "zerocopy", "python"])
     def test_cleanup(self, impl):
         h = self.make(impl)
         frames = wibeth.empty_frames(10)
@@ -51,8 +54,9 @@ class TestReadoutRequestHandler:
         h.cleanup(max_ts_diff=2048)
         assert h.occupancy() == 2
 
-    def test_capacity_drops_new(self):
-        h = self.make("ring", capacity=3)
+    @pytest.mark.parametrize("impl", ["ring", "zerocopy"])
+    def test_capacity_drops_new(self, impl):
+        h = self.make(impl, capacity=3)
         frames = wibeth.empty_frames(5)
         wibeth.fake_timestamps(frames, 0)
         assert h.insert_payloads(frames) == 3
@@ -60,6 +64,17 @@ class TestReadoutRequestHandler:
         assert h.metrics.count("num_payloads_dropped") == 2
 
 
+def _payload_buffer(impl, size, capacity=None):
+    """Both ordered payload buffers share one contract; the conformance
+    tests below run against each (ring = copying arena, zerocopy =
+    segment-reference retention)."""
+    from fdreadoutlibs_tpu.tp.readout_buffer import (PayloadRingBuffer,
+                                                     SegmentedPayloadBuffer)
+    cls = PayloadRingBuffer if impl == "ring" else SegmentedPayloadBuffer
+    return cls(size, capacity=capacity)
+
+
+@pytest.mark.parametrize("impl", ["ring", "zerocopy"])
 class TestPayloadRingBuffer:
     def _mk(self, n, t0=0, step=10, size=16):
         keys = np.arange(t0, t0 + n * step, step, dtype=np.uint64)
@@ -67,11 +82,10 @@ class TestPayloadRingBuffer:
                        (1, size))
         return keys, data
 
-    def test_wrap_compaction_preserves_contents(self):
+    def test_wrap_compaction_preserves_contents(self, impl):
         """Sustained insert/pop cycles past the array end (the memmove
         compaction path) keep keys+payloads consistent."""
-        from fdreadoutlibs_tpu.tp.readout_buffer import PayloadRingBuffer
-        buf = PayloadRingBuffer(16, capacity=32)
+        buf = _payload_buffer(impl, 16, capacity=32)
         t = 0
         for cycle in range(40):                  # >> 2x capacity appends
             keys, data = self._mk(8, t0=t, size=16)
@@ -86,20 +100,18 @@ class TestPayloadRingBuffer:
         keys, data = self._mk(8, t0=t - 80, size=16)
         np.testing.assert_array_equal(win[-8:], data)
 
-    def test_growth_unbounded(self):
-        from fdreadoutlibs_tpu.tp.readout_buffer import PayloadRingBuffer
-        buf = PayloadRingBuffer(8)               # grows geometrically
+    def test_growth_unbounded(self, impl):
+        buf = _payload_buffer(impl, 8)           # unbounded
         for i in range(40):
             keys, data = self._mk(100, t0=i * 1000, size=8)
             assert buf.insert(keys, data) == 100
         assert buf.occupancy() == 4000
         assert buf.key_at(0) == 0 and buf.newest_ts() == 39 * 1000 + 990
 
-    def test_backward_jump_clamped(self):
+    def test_backward_jump_clamped(self, impl):
         """A timestamp that jumps backward (upstream flags it as a frame
         error) is clamped to keep the order invariant, not stored raw."""
-        from fdreadoutlibs_tpu.tp.readout_buffer import PayloadRingBuffer
-        buf = PayloadRingBuffer(4, capacity=16)
+        buf = _payload_buffer(impl, 4, capacity=16)
         buf.insert(np.array([100, 200], np.uint64), np.zeros((2, 4), np.uint8))
         buf.insert(np.array([50, 300], np.uint64), np.ones((2, 4), np.uint8))
         assert buf.newest_ts() == 300
@@ -112,9 +124,23 @@ class TestPayloadRingBuffer:
         buf.insert(np.array([400, 350], np.uint64), np.zeros((2, 4), np.uint8))
         assert buf.num_keys_clamped == 2
 
-    def test_pop_until_and_snapshot(self):
-        from fdreadoutlibs_tpu.tp.readout_buffer import PayloadRingBuffer
-        buf = PayloadRingBuffer(4, capacity=16)
+    def test_zerocopy_retention_shares_memory(self, impl):
+        """The zerocopy buffer must hold REFERENCES to the caller's rows
+        (insert is O(keys), not O(bytes)); the ring must own a copy."""
+        buf = _payload_buffer(impl, 16, capacity=64)
+        keys, data = self._mk(8, size=16)
+        buf.insert(keys, data)
+        shared = any(np.shares_memory(seg, data) for seg in
+                     (s[1] for s in getattr(buf, "_segs", []))) \
+            if impl == "zerocopy" else np.shares_memory(buf._data, data)
+        assert shared == (impl == "zerocopy")
+        # eviction releases the slab reference
+        if impl == "zerocopy":
+            buf.pop_n(8)
+            assert not buf._segs
+
+    def test_pop_until_and_snapshot(self, impl):
+        buf = _payload_buffer(impl, 4, capacity=16)
         keys, data = self._mk(10, size=4)
         buf.insert(keys, data)
         assert buf.pop_until(35) == 4
@@ -210,13 +236,13 @@ class TestFragmentRecorder:
         assert len(rec2) == 2
 
 
-def test_payload_ring_concurrent_insert_and_request():
+@pytest.mark.parametrize("impl", ["ring", "zerocopy"])
+def test_payload_ring_concurrent_insert_and_request(impl):
     """Data requests read while the batch loop inserts (production shape);
-    the ring's lock keeps windows consistent — every extracted window is
+    the buffer's lock keeps windows consistent — every extracted window is
     fully-formed rows from inserted batches."""
     import threading
-    from fdreadoutlibs_tpu.tp.readout_buffer import PayloadRingBuffer
-    buf = PayloadRingBuffer(64, capacity=256)
+    buf = _payload_buffer(impl, 64, capacity=256)
     stop = threading.Event()
     errs = []
 
@@ -224,6 +250,10 @@ def test_payload_ring_concurrent_insert_and_request():
         t = 0
         pay = np.zeros((8, 64), np.uint8)
         while not stop.is_set():
+            if impl == "zerocopy":
+                # ownership contract: a fresh slab per batch (the apps'
+                # calling convention), never mutated after insert
+                pay = np.empty((8, 64), np.uint8)
             pay[:] = (t // 8) % 251          # whole batch one marker value
             keys = np.arange(t, t + 8, dtype=np.uint64)
             buf.insert(keys, pay)
