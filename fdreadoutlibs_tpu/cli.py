@@ -339,6 +339,15 @@ def cmd_channel_map(args) -> int:
     else:
         kw = {"frontend": args.frontend} if args.frontend else {}
         m = make_map(args.name, **kw)
+    if getattr(args, "write_dump", None):
+        from .utils.channel_map import write_detchannelmaps_dump
+        n = write_detchannelmaps_dump(
+            m, args.write_dump, crate=args.crate,
+            frontend=args.frontend or "wibeth",
+            header=f"dump of {args.name or args.file} crate={args.crate} "
+                   f"(fdreadoutlibs_tpu channel-map --write-dump)")
+        print(json.dumps({"written": args.write_dump, "rows": n}))
+        return 0
     offl = m.offline_channels(args.crate, args.slot, args.stream,
                               args.channels)
     planes = m.planes(offl)
@@ -493,6 +502,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="electronics framing for geometry-derived maps "
                          "(wib2 = 2 links x 256 ch per WIB)")
     cm.add_argument("--json", action="store_true")
+    cm.add_argument("--write-dump", metavar="PATH",
+                    help="write the full crate as a detchannelmaps-format "
+                         "dump (the generator for the packaged default "
+                         "data/PD2HD_APA_wibeth.txt)")
     cm.set_defaults(fn=cmd_channel_map)
 
     vm = sub.add_parser("validate-map",

