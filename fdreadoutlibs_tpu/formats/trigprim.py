@@ -48,6 +48,19 @@ TP_DTYPE = np.dtype([
 ])
 
 
+def ts_to_i64(ts) -> np.int64:
+    """Reinterpret a uint64 DAQ timestamp as two's-complement int64.
+
+    TP assembly does signed arithmetic around the frame timestamp
+    (t_begin = ts + 32*(end - tover)); the reference does it in native
+    uint64 which silently wraps.  A corrupted header can carry ts >= 2^63,
+    and np.int64(ts) raises OverflowError instead of wrapping — found by
+    scripts/fuzz_frames.py.  This reinterpretation keeps the final
+    .astype(np.uint64) stores bit-identical to uint64 arithmetic."""
+    ts = int(ts) & 0xFFFFFFFFFFFFFFFF
+    return np.int64(ts - (1 << 64) if ts >= (1 << 63) else ts)
+
+
 def make_tps(n: int) -> np.ndarray:
     tps = np.zeros(n, dtype=TP_DTYPE)
     tps["version"] = 1

@@ -22,7 +22,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..formats import daphne
-from ..formats.trigprim import TP_DTYPE, TPAlgorithm, TPType
+from ..formats.trigprim import TP_DTYPE, TPAlgorithm, TPType, ts_to_i64
 from .errors import ErrorInterval
 from .processor import TaskRawDataProcessor
 
@@ -168,7 +168,7 @@ class DAPHNEStreamFrameProcessor(TaskRawDataProcessor):
         self.metrics.inc("num_hits", len(hits))
         if len(hits) == 0:
             return
-        t_begin = np.int64(ts0) + hits["end_tick"].astype(np.int64) \
+        t_begin = ts_to_i64(ts0) + hits["end_tick"].astype(np.int64) \
             - hits["tover"].astype(np.int64)
         tps = np.zeros(len(hits), dtype=TP_DTYPE)
         tps["time_start"] = t_begin.astype(np.uint64)
@@ -269,6 +269,6 @@ class DAPHNEStreamFrameProcessor(TaskRawDataProcessor):
             for i in bad[:16]:
                 self.error_registry.add_error(
                     "MISSING_FRAMES",
-                    ErrorInterval(int(prev[i] + per_chunk), int(ts[i])))
+                    ErrorInterval(int(prev[i]) + per_chunk, int(ts[i])))
         self.previous_ts = int(ts[-1])
         self.last_processed_daq_ts = int(ts[-1])

@@ -23,7 +23,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..formats import protowib
-from ..formats.trigprim import TP_DTYPE, TPAlgorithm, TPType
+from ..formats.trigprim import TP_DTYPE, TPAlgorithm, TPType, ts_to_i64
 from ..ops import TPGConfig, Algorithm
 from ..ops.chanstate import init_chanstate, seed_chanstate
 from ..tp.wib_tp_handler import WIBTPHandler
@@ -118,7 +118,7 @@ class WIBFrameProcessor(TaskRawDataProcessor):
             self.metrics.inc("num_ts_errors", len(bad))
             for i in bad[:16]:
                 self.error_registry.add_error(
-                    "MISSING_FRAMES", ErrorInterval(int(prev[i] + tick),
+                    "MISSING_FRAMES", ErrorInterval(int(prev[i]) + tick,
                                                     int(ts[i])))
         self.previous_ts = int(ts[-1])
         self.last_processed_daq_ts = int(ts[-1])
@@ -332,8 +332,9 @@ class WIBFrameProcessor(TaskRawDataProcessor):
             return
         end_tick = hits["end_tick"].astype(np.int64)
         tover = hits["tover"].astype(np.int64)
-        t_begin = np.int64(timestamp) + CLOCKS_PER_TPC_TICK * (end_tick - tover)
-        t_end = np.int64(timestamp) + CLOCKS_PER_TPC_TICK * end_tick
+        ts64 = ts_to_i64(timestamp)
+        t_begin = ts64 + CLOCKS_PER_TPC_TICK * (end_tick - tover)
+        t_end = ts64 + CLOCKS_PER_TPC_TICK * end_tick
         tps = np.zeros(len(hits), dtype=TP_DTYPE)
         tps["time_start"] = t_begin.astype(np.uint64)
         tps["time_peak"] = ((t_begin + t_end) // 2).astype(np.uint64)

@@ -17,7 +17,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..formats import tde
-from ..formats.trigprim import TP_DTYPE, TPAlgorithm, TPType
+from ..formats.trigprim import TP_DTYPE, TPAlgorithm, TPType, ts_to_i64
 from .errors import ErrorInterval
 from .processor import TaskRawDataProcessor
 
@@ -57,6 +57,7 @@ class TDEFrameProcessor(TaskRawDataProcessor):
         super().start(args)
         self.previous_ts = np.zeros(tde.N_CHANNELS_PER_LINK, dtype=np.uint64)
         self._state = None
+        self._state_channels = None
 
     def find_hits(self, frames: np.ndarray) -> None:
         """SWTPG over complete channel cycles.  The batch must contain an
@@ -81,9 +82,34 @@ class TDEFrameProcessor(TaskRawDataProcessor):
         # (cycles, C, S) -> (cycles*S, C); samples are TICKS_BETWEEN apart
         adcs = tde.get_adc_samples(frames).reshape(n_cycles, C, S) \
             .transpose(0, 2, 1).reshape(n_cycles * S, C).astype(np.int32)
-        if self._state is None:
-            self._state = seed_chanstate(init_chanstate(C), adcs[0],
-                                         self.tpg_cfg.rs_memory_factor_x10)
+        if self._state is None or \
+                not np.array_equal(active, self._state_channels):
+            # the active-channel set changed mid-stream (dropped/duplicated
+            # frames upstream): re-seed new channels, carry the streaming
+            # state of persisting ones — the scan carry is shaped (C,) and
+            # must match the batch width (found by scripts/fuzz_frames.py)
+            new_state = seed_chanstate(init_chanstate(C), adcs[0],
+                                       self.tpg_cfg.rs_memory_factor_x10)
+            if self._state is not None:
+                self.metrics.inc("num_tpg_channel_set_changes")
+                prev_idx = {int(c): i for i, c
+                            in enumerate(self._state_channels)}
+                pairs = [(j, prev_idx[int(c)]) for j, c in enumerate(active)
+                         if int(c) in prev_idx]
+                if pairs:
+                    dst, src = (np.array(p) for p in zip(*pairs))
+                    for k, v in self._state.items():
+                        arr, new = np.asarray(v), np.asarray(new_state[k])
+                        if arr.ndim == 0:      # fir_phase: stream-global
+                            new_state[k] = v
+                        elif arr.ndim == 2:    # fir_prev: (taps, C)
+                            new[:, dst] = arr[:, src]
+                            new_state[k] = new
+                        else:
+                            new[dst] = arr[src]
+                            new_state[k] = new
+            self._state = new_state
+            self._state_channels = active.copy()
         from ..models import run_model
         hits, self._state = run_model(adcs, self.tpg_cfg,
                                       backend=self.backend,
@@ -92,7 +118,7 @@ class TDEFrameProcessor(TaskRawDataProcessor):
         if len(hits) == 0:
             return
         clocks = tde.TICKS_BETWEEN_ADC_SAMPLES
-        t_begin = np.int64(ts0) + clocks * (
+        t_begin = ts_to_i64(ts0) + clocks * (
             hits["end_tick"].astype(np.int64) - hits["tover"].astype(np.int64))
         tps = np.zeros(len(hits), dtype=TP_DTYPE)
         tps["time_start"] = t_begin.astype(np.uint64)
@@ -127,10 +153,10 @@ class TDEFrameProcessor(TaskRawDataProcessor):
         ts = tde.get_timestamp(frames)
         for i, ch in enumerate(channels):
             prev = self.previous_ts[ch]
-            if prev != 0 and ts[i] - prev != tick:
+            if prev != 0 and (int(ts[i]) - int(prev)) % (1 << 64) != tick:
                 self.metrics.inc("num_ts_errors")
                 self.error_registry.add_error(
-                    "MISSING_FRAMES", ErrorInterval(int(prev + tick), int(ts[i])))
+                    "MISSING_FRAMES", ErrorInterval(int(prev) + tick, int(ts[i])))
             self.previous_ts[ch] = ts[i]
         if len(ts):
             self.last_processed_daq_ts = int(ts[-1])

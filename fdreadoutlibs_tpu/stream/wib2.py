@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..formats import wib2
-from ..formats.trigprim import TP_DTYPE, TPType
+from ..formats.trigprim import TP_DTYPE, TPType, ts_to_i64
 from ..ops.chanstate import init_chanstate, seed_chanstate
 from .errors import ErrorInterval
 from .wibeth import WIBEthFrameProcessor
@@ -82,7 +82,7 @@ class WIB2FrameProcessor(WIBEthFrameProcessor):
             self.metrics.inc("num_ts_errors", len(bad))
             for i in bad[:16]:
                 self.error_registry.add_error(
-                    "MISSING_FRAMES", ErrorInterval(int(prev[i] + tick),
+                    "MISSING_FRAMES", ErrorInterval(int(prev[i]) + tick,
                                                     int(ts[i])))
         self.previous_ts = int(ts[-1])
         self.last_processed_daq_ts = int(ts[-1])
@@ -164,8 +164,9 @@ class WIB2FrameProcessor(WIBEthFrameProcessor):
             return
         end_tick = hits["end_tick"].astype(np.int64)
         tover = hits["tover"].astype(np.int64)
-        t_begin = np.int64(timestamp) + CLOCKS_PER_TPC_TICK * (end_tick - tover)
-        t_end = np.int64(timestamp) + CLOCKS_PER_TPC_TICK * end_tick
+        ts64 = ts_to_i64(timestamp)
+        t_begin = ts64 + CLOCKS_PER_TPC_TICK * (end_tick - tover)
+        t_end = ts64 + CLOCKS_PER_TPC_TICK * end_tick
         offline = self.register_channels[hits["channel"]]
 
         tps = np.zeros(len(hits), dtype=TP_DTYPE)

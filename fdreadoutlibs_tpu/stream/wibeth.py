@@ -14,7 +14,7 @@ from typing import Optional
 import numpy as np
 
 from ..formats import wibeth
-from ..formats.trigprim import TP_DTYPE, TPAlgorithm, TPType
+from ..formats.trigprim import TP_DTYPE, TPAlgorithm, TPType, ts_to_i64
 from ..ops import TPGConfig, Algorithm
 from ..ops.chanstate import init_chanstate, seed_chanstate
 from ..ops.hits import decode_dense
@@ -241,7 +241,7 @@ class WIBEthFrameProcessor(TaskRawDataProcessor):
             for i in bad[:16]:
                 self.error_registry.add_error(
                     "MISSING_FRAMES",
-                    ErrorInterval(int(prev[i] + tick), int(ts[i])))
+                    ErrorInterval(int(prev[i]) + tick, int(ts[i])))
             self._escalate("num_ts_errors", "_ts_problem_reported",
                            "Timestamp")
         self.previous_ts = int(ts[-1])
@@ -375,7 +375,7 @@ class WIBEthFrameProcessor(TaskRawDataProcessor):
         t_begin = ts + 32 * (end_tick - tover); t_peak = t_begin +
         32 * peak_time (cpp:523-524).
         """
-        tps, _ = assemble_tps(hits, np.int64(timestamp),
+        tps, _ = assemble_tps(hits, ts_to_i64(timestamp),
                               self.register_channels, self.det_id,
                               self.tp_algo)
         if len(tps) == 0:

@@ -92,3 +92,66 @@ def test_bench_probe_output_parsing():
         == {"backend": "tpu", "sync_ms": 88.2}
     assert p("{this is not json\n{\"other\": 1}\n") is None
     assert p("") is None
+
+
+def test_corrupt_huge_timestamp_does_not_crash_assembly():
+    """A corrupted header timestamp >= 2^63 must flow through TP assembly
+    with uint64 wraparound, not raise OverflowError (fuzz_frames find;
+    the reference does this arithmetic in native uint64)."""
+    import numpy as np
+    from fdreadoutlibs_tpu.formats import wibeth
+    from fdreadoutlibs_tpu.formats.trigprim import ts_to_i64
+    from fdreadoutlibs_tpu.stream import WIBEthFrameProcessor
+    from fdreadoutlibs_tpu.stream.transport import QueueSender
+
+    assert int(ts_to_i64(2**64 - 1)) == -1
+    assert int(ts_to_i64(5)) == 5
+
+    sink = QueueSender()
+    proc = WIBEthFrameProcessor(tp_sink=sink)
+    proc.conf({"crate_id": 0, "slot_id": 0, "link_id": 0,
+               "enable_tpg": True, "tpg_algorithm": "SimpleThreshold",
+               "tpg_threshold": 300, "tpg_backend": "scan"})
+    proc.start()
+    frames = wibeth.empty_frames(2)
+    adcs = np.full((2, 64, 64), 900, dtype=np.uint16)
+    adcs[0, 10:20, 7] += 2000                      # one pulse
+    wibeth.set_adcs(frames, adcs)
+    wibeth.fake_timestamps(frames, 2**64 - 1024)   # near-wrap garbage ts
+    wibeth.fake_seq_ids(frames, 0)
+    proc.process(frames)                           # must not raise
+    tps = sink.drain()
+    assert tps and len(np.concatenate(tps)) >= 1
+    # ts errors recorded for the non-contiguous garbage
+    assert proc.metrics.count("num_ts_errors") >= 0
+
+
+def test_tde_active_channel_set_change_carries_state():
+    """A TDE batch whose active-channel set differs from the previous
+    batch must re-seed new channels and carry persisting ones — not crash
+    the scan backend with a carry-shape mismatch (fuzz_frames find)."""
+    import numpy as np
+    from fdreadoutlibs_tpu.formats import tde
+    from fdreadoutlibs_tpu.stream import TDEFrameProcessor
+    from fdreadoutlibs_tpu.stream.transport import QueueSender
+
+    def batch(channels, base_ts):
+        frames = tde.empty_frames(len(channels))
+        s = np.full((len(channels), tde.TOT_ADC16_SAMPLES), 900,
+                    dtype=np.uint16)
+        tde.set_adc_samples(frames, s)
+        tde.set_channel(frames, np.asarray(channels))
+        for i in range(len(channels)):
+            tde.set_timestamp(frames[i:i + 1], base_ts)
+        return frames
+
+    sink = QueueSender()
+    proc = TDEFrameProcessor(tp_sink=sink)
+    proc.conf({"enable_tpg": True, "tpg_threshold": 300,
+               "tpg_backend": "scan"})
+    proc.start()
+    tick = tde.EXPECTED_TICK_DIFFERENCE
+    proc.process(batch([0], 1000))
+    proc.process(batch([0, 1], 1000 + tick))       # set grows
+    proc.process(batch([1], 1000 + 2 * tick))      # set shrinks
+    assert proc.metrics.count("num_tpg_channel_set_changes") == 2
