@@ -60,7 +60,8 @@ class APAReadoutApp:
                  codec_threads: int = 1,
                  batched_assembly: bool = True,
                  raw_capacity_frames: int = 4096,
-                 raw_retention: str = "zerocopy"):
+                 raw_retention: str = "zerocopy",
+                 pallas_interpret: bool = False):
         if words14_feed and time2_feed:
             raise ValueError("words14_feed and time2_feed are exclusive")
         if fused_unpack and time2_feed:
@@ -85,7 +86,7 @@ class APAReadoutApp:
                     "link_id": link % 8, "enable_tpg": True,
                     "tpg_algorithm": algorithm, "tpg_threshold": threshold,
                     "tp_timeout": 100_000, "tpg_backend": backend,
-                    "tpg_pallas_interpret": False,
+                    "tpg_pallas_interpret": pallas_interpret,
                     "channel_map_name": channel_map_name,
                     "enable_simple_threshold_on_collection":
                         threshold_on_collection})
@@ -93,6 +94,9 @@ class APAReadoutApp:
             self.procs.append(p)
         self.cfg = self.procs[0].tpg_cfg
         self.backend = backend
+        # interpret mode: off-TPU smoke runs (CPU demo / dryrun); the
+        # compiled Pallas kernels are TPU-only
+        self.pallas_interpret = bool(pallas_interpret)
 
         self.tpset_q = QueueSender(capacity=1 << 16)
         self.handler = TPRequestHandler(
@@ -202,7 +206,8 @@ class APAReadoutApp:
         # unrolling only pays on the real chip; off-TPU (CPU tests,
         # interpret mode) the unrolled compiles are minutes-slow
         import jax
-        u = knobs["unroll"] if jax.default_backend() == "tpu" else 1
+        u = knobs["unroll"] if jax.default_backend() == "tpu" \
+            and not self.pallas_interpret else 1
         ur = u if tc % u == 0 else (8 if tc % 8 == 0 else 1)
         if self.words14_feed:
             # host/NIC-side relayout: the device consumes kernel-ordered
@@ -231,7 +236,8 @@ class APAReadoutApp:
                 else process_packed_frames
         slots, nclose, self._stack = fn(
             dev_in, self._stack, self.cfg, C, tc=tc, k_slots=4, unroll=ur,
-            fir_twopass=knobs["fir_twopass"])
+            fir_twopass=knobs["fir_twopass"],
+            interpret=self.pallas_interpret)
         # device-side compaction: only the hit list crosses to the host
         # (~40x less transfer than the raw slot buffers; BENCH_NOTES);
         # overflow beyond the auto max_hits is counted in `dropped`

@@ -47,8 +47,11 @@ class PDSReadoutApp:
     def __init__(self, n_links: int = 10,
                  algorithm: str = "SimpleThreshold", threshold: int = 60,
                  run_number: int = 1, det_id: int = 2,
-                 raw_capacity_superchunks: int = 1024):
+                 raw_capacity_superchunks: int = 1024,
+                 pallas_interpret: bool = False):
         self.n_links = n_links
+        # interpret mode: off-TPU smoke runs (CPU demo / dryrun)
+        self.pallas_interpret = bool(pallas_interpret)
         self.run_number = run_number
         self.det_id = det_id
         from ..ops import TPGConfig
@@ -112,11 +115,13 @@ class PDSReadoutApp:
         # off-TPU (CPU smoke / interpret tests) must keep unroll=1: an
         # unrolled body makes the XLA-CPU compile minutes-slow (CLAUDE.md)
         import jax
-        u = knobs["unroll"] if jax.default_backend() == "tpu" else 1
+        u = knobs["unroll"] if jax.default_backend() == "tpu" \
+            and not self.pallas_interpret else 1
         slots, nclose, self._stack = process_packed_daphne(
             jnp.asarray(words), self._stack, self.cfg, C, tc=tc,
             k_slots=4, unroll=u if tc % u == 0 else 1,
-            fir_twopass=knobs["fir_twopass"])
+            fir_twopass=knobs["fir_twopass"],
+            interpret=self.pallas_interpret)
         hits, dropped = collect_hits(slots, nclose, C)
         return hits, int(dropped)
 

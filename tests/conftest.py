@@ -20,3 +20,25 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def interpret_ingest(monkeypatch):
+    """Route every fused-ingest entry point through Pallas interpret mode
+    (tests run on the virtual CPU mesh; the compiled kernels are
+    TPU-only)."""
+    import fdreadoutlibs_tpu.ops.ingest as ingest_mod
+
+    for name in ("process_packed_frames", "process_packed_frames_fused",
+                 "process_words14_feed", "process_time2_feed",
+                 "process_packed_daphne"):
+        orig = getattr(ingest_mod, name)
+
+        def patched(words, stack, cfg, C, _orig=orig, **kw):
+            kw["interpret"] = True
+            return _orig(words, stack, cfg, C, **kw)
+
+        monkeypatch.setattr(ingest_mod, name, patched)

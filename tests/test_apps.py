@@ -3,22 +3,9 @@
 import numpy as np
 import pytest
 
-import fdreadoutlibs_tpu.ops.ingest as ingest_mod
 from fdreadoutlibs_tpu.formats import wibeth
 
-
-@pytest.fixture
-def interpret_ingest(monkeypatch):
-    for name in ("process_packed_frames", "process_packed_frames_fused",
-                 "process_words14_feed", "process_time2_feed",
-                 "process_packed_daphne"):
-        orig = getattr(ingest_mod, name)
-
-        def patched(words, stack, cfg, C, _orig=orig, **kw):
-            kw["interpret"] = True
-            return _orig(words, stack, cfg, C, **kw)
-
-        monkeypatch.setattr(ingest_mod, name, patched)
+# interpret_ingest fixture: tests/conftest.py
 
 
 @pytest.mark.parametrize("mode", ["plain", "fused", "words14", "time2"])
