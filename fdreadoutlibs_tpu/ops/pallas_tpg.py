@@ -124,13 +124,17 @@ def _granule(dtype) -> int:
 # split (+11%/+60% for whole-256 vs +9% for blocked-512 with rotated
 # order), and bench.py recorded 9.9x for whole-256 vs 15.8x for
 # blocked-512 — the blocked config ships because its bench floor never
-# fell below the 10x north star.  Re-examine per libtpu release
+# fell below the 10x north star.  Round 4: (8-row blocks, tc=256)
+# displaced blocked-512 on FOUR independent confirmations in one
+# session (autotune --confirm rotated passes +15%/+2.5%, plus two
+# interleaved bench_ab runs at +11% and +100%) — the blocked-vs-whole
+# split stands; only FIR's tc moved.  Re-examine per libtpu release
 # (scripts/autotune.py).
 SHIPPED_KNOBS = {
     Algorithm.SIMPLE_THRESHOLD: {"sub": 0, "tc": 512, "unroll": 32, "k": 1},
     Algorithm.ABS_RS: {"sub": 0, "tc": 256, "unroll": 32, "k": 1},
     Algorithm.STANDARD_RS: {"sub": 0, "tc": 512, "unroll": 32, "k": 1},
-    Algorithm.FIR: {"sub": 8, "tc": 512, "unroll": 32, "k": 1,
+    Algorithm.FIR: {"sub": 8, "tc": 256, "unroll": 32, "k": 1,
                     "twopass": 0},
 }
 
