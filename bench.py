@@ -223,6 +223,13 @@ def bench_fresh_and_ingest(cfg, tc, k_slots, unroll, adcs, rmf,
         lambda w, s: process_words14_feed(
             w, s, cfg, C, tc=tc, k_slots=k_slots, unroll=unroll,
             vmem_limit_mb=64))
+    # two-stage slab schedule of the same feed: whole-chunk unpack into a
+    # time2-packed VMEM scratch, plain time2 tick loop (VERDICT r3 #3)
+    u_even = unroll if unroll % 2 == 0 else 2
+    slab_multi = rotate_multi(
+        lambda w, s: process_words14_feed(
+            w, s, cfg, C, tc=tc, k_slots=k_slots, unroll=u_even,
+            vmem_limit_mb=64, slab=True))
     # time-paired host feed (StreamingIngest.submit_time2): the host
     # unpacks AND pairs two ticks per int32 word (native.relayout_time2),
     # so the device runs the plain kernel datapath at ~half the ADC HBM
@@ -245,6 +252,7 @@ def bench_fresh_and_ingest(cfg, tc, k_slots, unroll, adcs, rmf,
             ("ingest_inclusive", ingest_multi, words, state0),
             ("ingest_fused", fused_multi, words, state0_fused),
             ("ingest_words14_feed", feed_multi, feeds, state0_fused),
+            ("ingest_words14_slab", slab_multi, feeds, state0_fused),
             ("ingest_time2_feed", time2_multi, t2feeds, state0)]:
         def bound(s, _fn=fn, _d=data):
             return _fn(s, *_d)
@@ -538,6 +546,27 @@ def main():
         out["host_tp_path"] = bench_host_tp_path()
     except Exception as e:  # noqa: BLE001 — never cost the headline
         out["host_tp_path_error"] = str(e)[-200:]
+    if on_tpu:
+        # end-to-end TP-emission latency (data-arrival -> TP-available)
+        # on the production app config — VERDICT r3 #2.  Compact arm:
+        # the time2 feed at an 8-frame batch; the full per-arm/per-size
+        # study is scripts/bench_latency.py.  Rig numbers include the
+        # tunnel; the *_corrected fields subtract one null-sync RTT per
+        # batch and remain an upper bound on production latency.
+        try:
+            sys.path.insert(0, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "scripts"))
+            import bench_latency as bl
+            lat = bl.run_arm("time2", 40, 8, 10, 2, "AbsRS", 120,
+                             True, 2, 0.02)
+            out["latency"] = {k: lat[k] for k in (
+                "proc_ms_p50", "proc_ms_p95", "rtt_null_ms_p50",
+                "proc_ms_p50_corrected", "proc_ms_p95_corrected",
+                "batch_span_ms", "latency_ms_p95",
+                "latency_ms_p95_corrected", "min_latency_ticks",
+                "min_latency_ticks_corrected") if k in lat}
+        except Exception as e:  # noqa: BLE001 — never cost the headline
+            out["latency_error"] = str(e)[-200:]
     if extra:
         out["production_variants"] = extra
         # overhead of paying ingest at all, against the best shipped

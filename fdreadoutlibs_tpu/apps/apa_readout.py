@@ -169,6 +169,17 @@ class APAReadoutApp:
         # buffer consolidation cost grows with occupancy)
         self.handler_max_occupancy = 1 << 20
 
+        # per-batch stage latencies (ms), bounded history: the DAQ-side
+        # observability the reference gets from its spin-wait handshake
+        # accounting (WIBFrameProcessor.hpp:516-518 budgets 6 us per
+        # superchunk; here the unit of latency is the batch).  A batch's
+        # data-arrival -> TP-available latency = batch span + total_ms;
+        # scripts/bench_latency.py turns these into the recommended
+        # tpset_min_latency_ticks.  perf_counter pairs cost ~0.1 us/stage.
+        from collections import deque
+        self.batch_timings = deque(maxlen=4096)
+        self._codec_ms = 0.0
+
     # ---- the fused hot path over all links ------------------------------
     def _device_pass(self, frames_links: np.ndarray):
         """frames_links: (L, N, 7200) -> (global hit array over all L*64
@@ -215,22 +226,29 @@ class APAReadoutApp:
             # a fresh ~59 MB allocation per batch costs ~3x, BENCH_NOTES)
             from .. import native
             from ..ops.ingest import process_words14_feed
-            dev_in = jnp.asarray(native.relayout_words14(
+            t_codec = time.perf_counter()
+            fed = native.relayout_words14(
                 words, out=self._feed_buf.get(
                     native.words14_feed_shape(L, T)),
-                nthreads=self.codec_threads))
+                nthreads=self.codec_threads)
+            self._codec_ms = (time.perf_counter() - t_codec) * 1e3
+            dev_in = jnp.asarray(fed)
             fn = process_words14_feed
         elif self.time2_feed:
             # host-side unpack + time-pairing (two ticks per int32 word)
             from .. import native
             from ..ops.ingest import process_time2_feed
-            dev_in = jnp.asarray(native.relayout_time2(
+            t_codec = time.perf_counter()
+            fed = native.relayout_time2(
                 words, out=self._feed_buf.get(
                     native.time2_feed_shape(L, T)),
-                nthreads=self.codec_threads))
+                nthreads=self.codec_threads)
+            self._codec_ms = (time.perf_counter() - t_codec) * 1e3
+            dev_in = jnp.asarray(fed)
             fn = process_time2_feed
             ur = ur if ur % 2 == 0 else 2       # two ticks per word
         else:
+            self._codec_ms = 0.0
             dev_in = jnp.asarray(words)
             fn = process_packed_frames_fused if self.fused_unpack \
                 else process_packed_frames
@@ -295,8 +313,10 @@ class APAReadoutApp:
             raise ValueError(
                 f"raw_capacity_frames={self.raw_capacity_frames} must be "
                 f">= 2x frames per batch ({N}) — raise --raw-capacity")
+        t0 = time.perf_counter()
         ts_mat, _ = self._batched_preprocess(frames_links)
         ts0 = ts_mat[:, 0].astype(np.int64)
+        t1 = time.perf_counter()
         for l in range(L):
             p = self.procs[l]
             frames = frames_links[l]
@@ -308,8 +328,12 @@ class APAReadoutApp:
             self.readout[l].insert_payloads(frames, keys=ts_mat[l])
             self.readout[l].cleanup(
                 max_occupancy=self.raw_capacity_frames // 2)
+        t2 = time.perf_counter()
 
+        # device stage syncs on the compacted hit list (collect_hits pulls
+        # it to numpy), so t3-t2 covers host codec + H2D + kernel + D2H
         hits, dropped = self._device_pass(frames_links)
+        t3 = time.perf_counter()
         self._dropped_total += dropped
         link = hits["channel"] >> 6                 # 64 channels per link
         self._hits_link[:L] += np.bincount(link, minlength=L)
@@ -321,6 +345,7 @@ class APAReadoutApp:
                 h = hits[in_link].copy()
                 h["channel"] -= l * 64
                 self.procs[l].process_swtpg_hits(h, int(ts0[l]))
+        t4 = time.perf_counter()
         # drain TPs into the latency buffer, emit TPSets; the newest frame
         # timestamp anchors the heartbeat clock so zero-TP batches still
         # advance downstream trigger aggregation
@@ -330,6 +355,16 @@ class APAReadoutApp:
             int(ts0.max()) + (N - 1) * wibeth.EXPECTED_TICK_DIFFERENCE)
         self.handler.send_tp_sets_once()
         self.handler.cleanup(max_occupancy=self.handler_max_occupancy)
+        t5 = time.perf_counter()
+        self.batch_timings.append({
+            "preprocess_ms": (t1 - t0) * 1e3,
+            "retention_ms": (t2 - t1) * 1e3,
+            "codec_ms": self._codec_ms,
+            "device_ms": (t3 - t2) * 1e3 - self._codec_ms,
+            "assembly_ms": (t4 - t3) * 1e3,
+            "handler_ms": (t5 - t4) * 1e3,
+            "total_ms": (t5 - t0) * 1e3,
+        })
         return dropped
 
     def _assemble_batch(self, hits: np.ndarray, link: np.ndarray,
@@ -396,6 +431,38 @@ class APAReadoutApp:
             self.metrics.inc("num_tps_send_failed", len(tps))
         vec = self._sent_link if sent else self._sendfail_link
         vec[:L] += np.bincount(kept_link, minlength=L)
+
+    def latency_info(self, frames_per_batch: int | None = None) -> dict:
+        """Data-arrival -> TP-available latency summary over the recorded
+        batch history (batch_timings).  A hit's TP becomes window-eligible
+        at batch end + processing; the oldest sample of a batch therefore
+        waits batch_span + total_ms.  With frames_per_batch the summary
+        adds the span and the implied minimum safe tpset_min_latency_ticks
+        (62.5 MHz DTS ticks, 2x engineering margin on p95) — the floor
+        below which a multi-producer handler would tardy-drop in-flight
+        TPs (tp/request_handler.insert_tps; the reference budget analogue
+        is the 6 us/superchunk spin-wait, WIBFrameProcessor.hpp:516-518)."""
+        if not self.batch_timings:
+            return {}
+        rows = list(self.batch_timings)
+        tot = np.array([r["total_ms"] for r in rows])
+        out = {"batches": len(rows),
+               "proc_ms_p50": round(float(np.percentile(tot, 50)), 3),
+               "proc_ms_p95": round(float(np.percentile(tot, 95)), 3),
+               "proc_ms_max": round(float(tot.max()), 3),
+               "stages_ms_p50": {
+                   k: round(float(np.percentile(
+                       [r[k] for r in rows], 50)), 3)
+                   for k in rows[0] if k != "total_ms"}}
+        if frames_per_batch:
+            span_ms = frames_per_batch * wibeth.EXPECTED_TICK_DIFFERENCE \
+                * 16e-6                      # 16 ns / DTS tick
+            lat_p95_ms = span_ms + out["proc_ms_p95"]
+            out["batch_span_ms"] = round(span_ms, 3)
+            out["latency_ms_p95"] = round(lat_p95_ms, 3)
+            out["min_latency_ticks"] = int(np.ceil(
+                2.0 * lat_p95_ms * 62_500))  # 2x margin, ticks/ms
+        return out
 
     def request_raw(self, link: int, start_ts: int, end_ts: int):
         """Serve a trigger data request for raw frames on one link."""

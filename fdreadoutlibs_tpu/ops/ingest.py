@@ -107,13 +107,14 @@ def process_packed_frames_fused(words, state_stack, cfg: TPGConfig,
 @functools.partial(jax.jit, static_argnames=("cfg", "tc", "k_slots",
                                              "unroll", "n_channels",
                                              "interpret", "vmem_limit_mb",
-                                             "fir_twopass"))
+                                             "fir_twopass", "slab"))
 def process_words14_feed(W, state_stack, cfg: TPGConfig,
                          n_channels: int, tc: int = 512,
                          k_slots: int = 2, unroll: int = 16,
                          interpret: bool = False,
                          vmem_limit_mb: int | None = None,
-                         fir_twopass: bool = False):
+                         fir_twopass: bool = False,
+                         slab: bool = False):
     """Direct words14 feed: the input is ALREADY in the words14 row order
     — (T, WR, 7, 128) int32, as produced by native.relayout_words14 on
     the host (or by a words14-ordered NIC/DMA source) — so the device
@@ -122,13 +123,21 @@ def process_words14_feed(W, state_stack, cfg: TPGConfig,
     EVERY XLA formulation (BENCH_NOTES r3); a words14-ordered feed runs
     at the kernel's pre-transposed figure (~6.5x vs 4.1-4.9x ingest RTF).
     State/decoding contract is identical to process_packed_frames_fused.
+
+    slab=True selects the two-stage in-kernel schedule: the whole tc
+    chunk is slab-unpacked into a time2-packed VMEM scratch with
+    full-height ops, and the serial tick loop runs the plain time2
+    datapath (pallas_tpg words14_slab; needs even unroll).
     """
     from .pallas_tpg import process_window_pallas
+    if slab and unroll % 2:
+        unroll = 2 if tc % 2 == 0 else 1
     return process_window_pallas(W, state_stack, cfg, tc=tc,
                                  k_slots=k_slots, unroll=unroll,
                                  interpret=interpret,
                                  vmem_limit_mb=vmem_limit_mb,
-                                 words14=True, fir_twopass=fir_twopass)
+                                 words14=True, words14_slab=slab,
+                                 fir_twopass=fir_twopass)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tc", "k_slots",
@@ -258,10 +267,30 @@ def process_packed_protowib(words, coll_stack, ind_stack,
 @functools.partial(jax.jit, static_argnames=("n_channels", "max_hits"))
 def compact_on_device(slots, nclose, tick_offset, n_channels: int,
                       max_hits: int, positions=None):
+    """-> ONE (max_hits + 1, 6) int32 array: the compact hit rows plus a
+    trailer row [n_valid, dropped, 0...].  Packing the scalars into the
+    row buffer makes the host decode a SINGLE device->host fetch — three
+    separate fetches cost three dispatch round trips per batch, which
+    dominates TP-emission latency on remote/tunnel-attached devices
+    (scripts/bench_latency.py)."""
+    import jax.numpy as jnp
     from .hits import compact_pallas_slots
-    return compact_pallas_slots(slots, nclose, n_channels, max_hits,
-                                tick_offset=tick_offset,
-                                positions=positions)
+    out, n, dropped = compact_pallas_slots(slots, nclose, n_channels,
+                                           max_hits, tick_offset=tick_offset,
+                                           positions=positions)
+    trailer = jnp.zeros((1, 6), jnp.int32)
+    trailer = trailer.at[0, 0].set(n.astype(jnp.int32))
+    trailer = trailer.at[0, 1].set(dropped.astype(jnp.int32))
+    return jnp.concatenate([out, trailer], axis=0)
+
+
+def unpack_compact(packed: np.ndarray):
+    """compact_on_device output -> (canonical hit array, dropped count);
+    the one host-side fetch + decode."""
+    from .hits import hits_from_compact
+    packed = np.asarray(packed)
+    n, dropped = int(packed[-1, 0]), int(packed[-1, 1])
+    return hits_from_compact(packed[:-1], n), dropped
 
 
 def collect_hits(slots, nclose, n_channels: int, max_hits: int | None = None,
@@ -282,11 +311,9 @@ def collect_hits(slots, nclose, n_channels: int, max_hits: int | None = None,
     if max_hits is None:
         max_hits = max(2048, 2 * n_channels)
     if device:
-        from .hits import hits_from_compact
-        rows, n, dropped = compact_on_device(slots, nclose, tick_offset,
-                                             n_channels, max_hits,
-                                             positions=positions)
-        return hits_from_compact(np.asarray(rows), int(n)), int(dropped)
+        return unpack_compact(compact_on_device(slots, nclose, tick_offset,
+                                                n_channels, max_hits,
+                                                positions=positions))
     from .pallas_tpg import decode_pallas_hits
     return decode_pallas_hits(slots, nclose, n_channels,
                               tick_offset=tick_offset, positions=positions)
@@ -558,10 +585,8 @@ class StreamingIngest:
 
     def _collect(self):
         if self.device_compact:
-            from .hits import hits_from_compact
-            rows, n, dropped = self._pending
-            self._pending = None
-            return hits_from_compact(np.asarray(rows), int(n)), int(dropped)
+            packed, self._pending = self._pending, None
+            return unpack_compact(packed)
         from .pallas_tpg import decode_pallas_hits
         slots, nclose, tick_offset = self._pending
         hits, dropped = decode_pallas_hits(slots, nclose, self.n_channels,

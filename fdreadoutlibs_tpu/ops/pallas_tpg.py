@@ -305,6 +305,30 @@ def _unpack14_rows_gather(w):
     return jax.lax.bitcast_convert_type(v, jnp.int32).reshape(-1, LANES)
 
 
+def _unpack14_slab(w):
+    """Slab (multi-tick) form of _unpack14_rows: ``w`` is (GT, WRb, 7, 128)
+    int32 word rows for GT consecutive ticks; returns (GT, 16*WRb, 128)
+    unpacked ADCs in the same words14 row order.
+
+    Same extract arithmetic, but each op runs on (GT*WRb, 128)-height
+    values instead of the per-tick (WRb, 128) quarter-height — on an
+    issue-bound VPU the per-op register height is the whole game
+    (BENCH_NOTES round-3: the in-kernel unpack costs ~2x kernel time and
+    the cost is layout churn + small-op issue, not extract arithmetic)."""
+    vs = []
+    for r in range(16):
+        bit = 14 * r
+        j, sh = bit // 32, bit % 32
+        lo = w[:, :, j]
+        if sh:
+            lo = (lo >> sh) & ((1 << (32 - sh)) - 1)
+        v = lo
+        if sh + 14 > 32:
+            v = v | (w[:, :, j + 1] << (32 - sh))
+        vs.append(v & 0x3FFF)                       # (GT, WRb, 128)
+    return jnp.stack(vs, axis=2).reshape(w.shape[0], -1, LANES)
+
+
 def words14_positions(n_channels: int) -> np.ndarray:
     """Per-channel flat position in the words14 fused-unpack layout.
 
@@ -413,11 +437,30 @@ def _emit_records(rec: dict, closed, tick, cfg: TPGConfig, slot_words: list,
 
 
 def _tpg_kernel(adc_ref, state_ref, state_out_ref, slots_ref, nclose_ref,
-                *, cfg: TPGConfig, tc: int, k_slots: int, sub: int,
+                *scratch, cfg: TPGConfig, tc: int, k_slots: int, sub: int,
                 unroll: int = 1, time2: bool = False,
                 fir_packed: bool = False, words14: bool = False,
-                words14_gather: bool = False):
+                words14_gather: bool = False, words14_slab: bool = False):
     t_chunk = pl.program_id(1)
+    if words14_slab:
+        # two-stage schedule: slab-unpack the chunk's words14 rows into a
+        # time2-packed VMEM scratch with full-height ops (amortized over
+        # tc), then run the serial tick loop on the PLAIN time2 datapath
+        # — the per-tick quarter-height unpack churn leaves the
+        # recurrence entirely (VERDICT r3 #3; _unpack14_slab docs)
+        slab_ref = scratch[0]
+        GT = 16
+
+        def slab_body(g, _):
+            w = adc_ref[pl.ds(g * GT, GT)]          # (GT, WRb, 7, 128)
+            v = _unpack14_slab(w)                   # (GT, sub, 128)
+            vp = v.reshape(GT // 2, 2, sub, LANES)
+            slab_ref[pl.ds(g * (GT // 2), GT // 2)] = \
+                (vp[:, 0] & 0xFFFF) | (vp[:, 1] << 16)
+            return 0
+
+        jax.lax.fori_loop(0, tc // GT, slab_body, 0)
+        adc_ref, time2, words14 = slab_ref, True, False
     is_fir = cfg.algorithm == Algorithm.FIR
     keys = live_fields(cfg)
     if fir_packed:
@@ -746,7 +789,8 @@ def effective_vmem_limit_mb(vmem_limit_mb: int | None,
                    static_argnames=("cfg", "tc", "k_slots", "interpret",
                                     "unroll", "vmem_limit_mb", "time_packed",
                                     "fir_packed", "words14",
-                                    "words14_gather", "fir_twopass"))
+                                    "words14_gather", "words14_slab",
+                                    "fir_twopass"))
 def process_window_pallas(adcs, state_stack, cfg: TPGConfig, tc: int = 256,
                           k_slots: int = 4, interpret: bool = False,
                           unroll: int = 1, vmem_limit_mb: int | None = None,
@@ -754,6 +798,7 @@ def process_window_pallas(adcs, state_stack, cfg: TPGConfig, tc: int = 256,
                           fir_packed: bool | None = None,
                           words14: bool = False,
                           words14_gather: bool = False,
+                          words14_slab: bool = False,
                           fir_twopass: bool | int = False):
     """Run the fused kernel over a (T, S, 128) int32 window.
 
@@ -787,7 +832,12 @@ def process_window_pallas(adcs, state_stack, cfg: TPGConfig, tc: int = 256,
         assert seven == 7 and adcs.dtype == jnp.int32
         S = 16 * WR
         assert sub % 16 == 0, "words14 blocks must be 16-row multiples"
+        if words14_slab:
+            assert tc % 16 == 0 and unroll % 2 == 0, \
+                "words14_slab needs tc % 16 == 0 and even unroll " \
+                "(the tick loop runs the time2 datapath)"
     else:
+        assert not words14_slab, "words14_slab requires words14 input"
         rows, S, _ = adcs.shape
         T = rows * 2 if time_packed else rows
     n_chunks = T // tc
@@ -821,6 +871,9 @@ def process_window_pallas(adcs, state_stack, cfg: TPGConfig, tc: int = 256,
         if fir_packed:
             raise ValueError("fir_twopass and fir_packed are exclusive "
                              "(the packed SWAR carry is fused-tick-only)")
+        if words14_slab:
+            raise ValueError("fir_twopass and words14_slab are exclusive "
+                             "(the slab unpack is fused-tick-only)")
         from jax.experimental.pallas import tpu as pltpu
         lift = int(fir_twopass) >= 2
         # pass A -> B -> C hand-off slabs: contiguous samples (with the
@@ -843,12 +896,22 @@ def process_window_pallas(adcs, state_stack, cfg: TPGConfig, tc: int = 256,
                                    words14_gather=words14_gather,
                                    lift=lift)
     else:
+        if words14_slab:
+            from jax.experimental.pallas import tpu as pltpu
+            # time2-packed unpacked-ADC slab for one chunk (2 B/sample
+            # equivalent: tc/2 rows of (sub, 128) int32)
+            scratch_shapes = [pltpu.VMEM((tc // 2, sub, LANES), jnp.int32)]
         kernel = functools.partial(_tpg_kernel, cfg=cfg, tc=tc,
                                    k_slots=k_slots, sub=sub, unroll=unroll,
                                    time2=time_packed, fir_packed=fir_packed,
                                    words14=words14,
-                                   words14_gather=words14_gather)
-    vmem_limit_mb = effective_vmem_limit_mb(vmem_limit_mb, fir_twopass)
+                                   words14_gather=words14_gather,
+                                   words14_slab=words14_slab)
+    # slab schedules (twopass FIR, words14_slab) add multi-MB VMEM scratch
+    # on top of the double-buffered blocks — raise the Mosaic budget here
+    # at the single kernel entry so they deploy from any call site
+    vmem_limit_mb = effective_vmem_limit_mb(
+        vmem_limit_mb, fir_twopass or words14_slab)
     compiler_params = None
     if vmem_limit_mb is not None and not interpret:
         from jax.experimental.pallas import tpu as pltpu

@@ -439,6 +439,51 @@ class TestFusedWords14:
         for a_, b_ in zip(outs[False], outs[True]):
             np.testing.assert_array_equal(a_, b_)
 
+    def test_words14_slab_schedule_parity(self):
+        """The two-stage slab schedule (words14_slab=True: whole-chunk
+        unpack into a time2-packed VMEM scratch, plain time2 tick loop) is
+        bit-identical to the per-tick in-kernel unpack — hits, counts and
+        carried state across chunk boundaries — for every algorithm
+        family, whole-block and 16-row-blocked."""
+        import jax.numpy as jnp
+        from fdreadoutlibs_tpu.ops.chanstate import (init_chanstate,
+                                                     seed_chanstate)
+        from fdreadoutlibs_tpu.ops.ingest import (pack_words14_jnp,
+                                                  process_words14_feed)
+        from fdreadoutlibs_tpu.ops.pallas_tpg import (pack_state,
+                                                      words14_positions)
+        C, T = 192, 128
+        L, nf = C // 64, T // 64
+        rng = np.random.default_rng(11)
+        adcs = (900 + rng.normal(0, 30, size=(T, C))).astype(np.int32)
+        adcs[40:50, 70] += 2000
+        adcs[90:118, 130] += 1200
+        frames = wibeth.empty_frames(L * nf)
+        a = adcs.reshape(nf, 64, L, 64).transpose(2, 0, 1, 3)
+        wibeth.set_adcs(frames,
+                        a.reshape(L * nf, 64, 64).astype(np.uint16))
+        W = pack_words14_jnp(jnp.asarray(
+            wibeth.frames_bytes_to_u32(frames).reshape(L, T, 28)))
+        pos = words14_positions(C)
+        for alg in ("SimpleThreshold", "AbsRS", "StandardRS", "FIR"):
+            cfg = TPGConfig.from_raw(alg, threshold=150)
+            st = seed_chanstate(init_chanstate(C), adcs[0],
+                                cfg.rs_memory_factor_x10)
+            for sub in (None, 16):      # whole-block and blocked
+                outs = {}
+                for slab in (False, True):
+                    s0 = pack_state(st, C, positions=pos,
+                                    block_sublanes=sub)
+                    # tc=64 < T: state carries across chunk boundaries
+                    slots, nclose, stack = process_words14_feed(
+                        W, s0, cfg, C, tc=64, k_slots=8, unroll=2,
+                        interpret=True, slab=slab)
+                    outs[slab] = (np.asarray(slots), np.asarray(nclose),
+                                  np.asarray(stack))
+                for a_, b_ in zip(outs[False], outs[True]):
+                    np.testing.assert_array_equal(
+                        a_, b_, err_msg=f"{alg} sub={sub}")
+
     def test_fused_blocked_and_simple_threshold(self):
         """words14 with 16-row channel blocks and the SimpleThreshold
         family (exercises the block-split of the word-group axis)."""
