@@ -61,6 +61,7 @@ class APAReadoutApp:
                  batched_assembly: bool = True,
                  raw_capacity_frames: int = 4096,
                  raw_retention: str = "zerocopy",
+                 pipelined: bool = False,
                  pallas_interpret: bool = False):
         if words14_feed and time2_feed:
             raise ValueError("words14_feed and time2_feed are exclusive")
@@ -180,11 +181,44 @@ class APAReadoutApp:
         self.batch_timings = deque(maxlen=4096)
         self._codec_ms = 0.0
 
+        # pipelined (depth-2, double-buffered) batching: process_batch
+        # SUBMITS this batch's device work (async XLA dispatch — no sync)
+        # and then finishes the PREVIOUS batch (fetch + TP assembly +
+        # handler), so host stages, the feed codec, and upstream source
+        # work all overlap the in-flight device batch.  Throughput gains
+        # max(host, device) per batch instead of host + device; the cost
+        # is ~one batch period of extra TP-emission latency (batch N's
+        # TPs emit during batch N+1) — batch_timings.total_ms measures
+        # the real arrival->TP span either way.  The reference gets the
+        # same overlap from its free-running processor threads
+        # (wib/WIBFrameProcessor.hpp spin-wait pipeline); here one
+        # in-flight batch is the whole story because the device is a
+        # single fused stream.  FeedBuffer is double-buffered for exactly
+        # this: the previous submit's host feed page is never overwritten
+        # while its H2D may still be in flight.
+        self.pipelined = bool(pipelined)
+        self._pending = None
+
     # ---- the fused hot path over all links ------------------------------
     def _device_pass(self, frames_links: np.ndarray):
         """frames_links: (L, N, 7200) -> (global hit array over all L*64
         channels, dropped count) (fused device ingest: packed bytes ->
         on-device unpack -> Pallas TPG)."""
+        return self._fetch_hits(self._device_submit(frames_links))
+
+    def _fetch_hits(self, packed):
+        """The one device->host sync: packed compact-hit array ->
+        (canonical hit array, dropped).  Separate seam so host-loop
+        benches can stub the device side (scripts/bench_tp_path.py)."""
+        from ..ops.ingest import unpack_compact
+        return unpack_compact(packed)
+
+    def _device_submit(self, frames_links: np.ndarray):
+        """Enqueue one batch's device work and return the (not yet
+        fetched) packed compact-hit device array — XLA dispatch is async,
+        so this returns immediately while the chip works; the carried
+        ChanState chains on device between submits.  unpack_compact
+        (ONE device->host fetch) turns the result into (hits, dropped)."""
         import jax.numpy as jnp
         from ..ops.ingest import (host_words, process_packed_frames,
                                   process_packed_frames_fused)
@@ -258,11 +292,11 @@ class APAReadoutApp:
             interpret=self.pallas_interpret)
         # device-side compaction: only the hit list crosses to the host
         # (~40x less transfer than the raw slot buffers; BENCH_NOTES);
-        # overflow beyond the auto max_hits is counted in `dropped`
-        from ..ops.ingest import collect_hits
-        hits, dropped = collect_hits(slots, nclose, C,
-                                     positions=self._positions)
-        return hits, int(dropped)
+        # overflow beyond the auto max_hits is counted in the trailer's
+        # dropped field
+        from ..ops.ingest import compact_on_device
+        return compact_on_device(slots, nclose, 0, C, max(2048, 2 * C),
+                                 positions=self._positions)
 
     def _batched_preprocess(self, frames_links: np.ndarray):
         """All-links sequence/timestamp validation in one vectorized pass
@@ -330,9 +364,27 @@ class APAReadoutApp:
                 max_occupancy=self.raw_capacity_frames // 2)
         t2 = time.perf_counter()
 
-        # device stage syncs on the compacted hit list (collect_hits pulls
-        # it to numpy), so t3-t2 covers host codec + H2D + kernel + D2H
-        hits, dropped = self._device_pass(frames_links)
+        # submit this batch's device work (async dispatch — the sync
+        # point is the compact-hit fetch in _finish_batch)
+        packed = self._device_submit(frames_links)
+        entry = {"packed": packed, "ts0": ts0, "L": L, "N": N,
+                 "t0": t0, "t1": t1, "t2": t2,
+                 "codec_ms": self._codec_ms}
+        if self.pipelined:
+            prev, self._pending = self._pending, entry
+            return self._finish_batch(prev) if prev is not None else 0
+        return self._finish_batch(entry)
+
+    def _finish_batch(self, e: dict) -> int:
+        """Fetch a submitted batch's compact hits (the one device->host
+        sync) and run the host TP tail: assembly, handler insert /
+        heartbeat / TPSet windowing / cleanup.  Returns the batch's
+        dropped count; appends its batch_timings row — in pipelined mode
+        total_ms spans submit -> finish across the following batch's host
+        stages, i.e. the true data-arrival -> TP-available latency."""
+        L, N, ts0 = e["L"], e["N"], e["ts0"]
+        t_fetch = time.perf_counter()
+        hits, dropped = self._fetch_hits(e["packed"])
         t3 = time.perf_counter()
         self._dropped_total += dropped
         link = hits["channel"] >> 6                 # 64 channels per link
@@ -356,16 +408,31 @@ class APAReadoutApp:
         self.handler.send_tp_sets_once()
         self.handler.cleanup(max_occupancy=self.handler_max_occupancy)
         t5 = time.perf_counter()
+        # device_ms: unpipelined = submit+fetch wall (host codec excluded:
+        # H2D + kernel + D2H); pipelined = only the observed fetch wait —
+        # the overlapped remainder is hidden, which is the mode's point
+        dev_ms = (t3 - (t_fetch if self.pipelined else e["t2"])) * 1e3
+        if not self.pipelined:
+            dev_ms -= e["codec_ms"]
         self.batch_timings.append({
-            "preprocess_ms": (t1 - t0) * 1e3,
-            "retention_ms": (t2 - t1) * 1e3,
-            "codec_ms": self._codec_ms,
-            "device_ms": (t3 - t2) * 1e3 - self._codec_ms,
+            "preprocess_ms": (e["t1"] - e["t0"]) * 1e3,
+            "retention_ms": (e["t2"] - e["t1"]) * 1e3,
+            "codec_ms": e["codec_ms"],
+            "device_ms": dev_ms,
             "assembly_ms": (t4 - t3) * 1e3,
             "handler_ms": (t5 - t4) * 1e3,
-            "total_ms": (t5 - t0) * 1e3,
+            "total_ms": (t5 - e["t0"]) * 1e3,
         })
         return dropped
+
+    def flush(self) -> int:
+        """Finish the in-flight batch (pipelined mode); no-op otherwise.
+        Call before reading final counters / TP streams — get_info does
+        NOT flush so periodic monitoring never stalls the pipeline."""
+        if self._pending is None:
+            return 0
+        prev, self._pending = self._pending, None
+        return self._finish_batch(prev)
 
     def _assemble_batch(self, hits: np.ndarray, link: np.ndarray,
                         ts0: np.ndarray, L: int) -> None:
@@ -549,6 +616,12 @@ def main(argv=None) -> int:
                     help="raw retention: zerocopy segment references "
                          "(default; insert is O(1), no memcpy) or the "
                          "copying ring arena")
+    ap.add_argument("--pipelined", action="store_true",
+                    help="depth-2 batch pipelining: submit batch N+1's "
+                         "device work before finishing batch N — host "
+                         "stages and source generation overlap the "
+                         "in-flight device batch (throughput up, ~one "
+                         "batch period of extra TP latency)")
     ap.add_argument("--per-link-assembly", action="store_true",
                     help="40 per-link TP assembly calls per batch instead "
                          "of the batched whole-APA assembly (A/B + "
@@ -565,7 +638,8 @@ def main(argv=None) -> int:
                         codec_threads=args.codec_threads,
                         batched_assembly=not args.per_link_assembly,
                         raw_capacity_frames=args.raw_capacity,
-                        raw_retention=args.raw_retention)
+                        raw_retention=args.raw_retention,
+                        pipelined=args.pipelined)
     rng = np.random.default_rng(0)
     ts = 0x1000000
     t_wall = time.perf_counter()
@@ -588,6 +662,7 @@ def main(argv=None) -> int:
         app.process_batch(frames)
         ts += N * 2048
         data_seconds += T * 32 / 62.5e6
+    app.flush()                        # drain the in-flight batch, if any
     wall = time.perf_counter() - t_wall
     info = app.get_info()
     info["wall_seconds"] = round(wall, 3)

@@ -321,16 +321,19 @@ def bench_apa_host_loop(trials: int, rng, n_batches: int = 12,
     hit_batches = [make_hits(hits_per_batch, rng,
                              ticks=frames * 64, channels=links * 64)
                    for _ in range(n_batches)]
-    # stub the device pass: this stage isolates the HOST loop (the device
-    # side has its own benches); hits arrive in canonical kernel order
+    # stub the device side: this stage isolates the HOST loop (the device
+    # side has its own benches); hits arrive in canonical kernel order.
+    # process_batch's seams: _device_submit enqueues and returns a packed
+    # handle, _fetch_hits syncs it into (hits, dropped).
     it = {"i": 0}
 
-    def fake_device_pass(frames_links):
+    def fake_device_submit(frames_links):
         h = hit_batches[it["i"] % n_batches]
         it["i"] += 1
         return h, 0
 
-    app._device_pass = fake_device_pass
+    app._device_submit = fake_device_submit
+    app._fetch_hits = lambda packed: packed
 
     def run():
         for fr in batches:

@@ -131,6 +131,49 @@ def test_batched_assembly_matches_per_link(interpret_ingest):
     assert "apa_top_channels" in info_b
 
 
+def test_pipelined_matches_unpipelined(interpret_ingest):
+    """Depth-2 pipelined batching (submit batch N+1 before finishing
+    batch N) produces the identical TP stream, hit counters, and raw
+    retention as the synchronous path once flushed — overlap must change
+    WHEN work happens, never WHAT comes out."""
+    from fdreadoutlibs_tpu.apps.apa_readout import APAReadoutApp
+
+    def run(pipelined):
+        app = APAReadoutApp(n_links=2, threshold=200, algorithm="AbsRS",
+                            pipelined=pipelined)
+        rng = np.random.default_rng(9)
+        ts = 50_000
+        for b in range(4):
+            frames = np.zeros((2, 2, wibeth.FRAME_SIZE), np.uint8)
+            adcs = (800 + rng.normal(0, 10, (2, 2, 64, 64))) \
+                .astype(np.uint16)
+            for _ in range(8):
+                l, c = rng.integers(0, 2), rng.integers(0, 64)
+                f, t = rng.integers(0, 2), rng.integers(0, 50)
+                adcs[l, f, t:t + 6, c] += np.uint16(rng.integers(300, 900))
+            for l in range(2):
+                wibeth.set_adcs(frames[l], adcs[l])
+                wibeth.fake_timestamps(frames[l], ts)
+                wibeth.fake_seq_ids(frames[l], b * 2)
+                wibeth.fake_geoid(frames[l], 1, l // 8, l % 8)
+            app.process_batch(frames)
+            ts += 2 * 2048
+        app.flush()
+        tps = app.handler.buffer.snapshot()
+        info = app.get_info()
+        return tps, info
+
+    tps_s, info_s = run(False)
+    tps_p, info_p = run(True)
+    assert info_s["total_hits"] > 0
+    for k in ("total_hits", "total_tps_sent", "ts_errors",
+              "hits_dropped", "raw_buffered"):
+        assert info_s[k] == info_p[k], k
+    order_s = np.argsort(tps_s, order=("time_start", "channel", "time_peak"))
+    order_p = np.argsort(tps_p, order=("time_start", "channel", "time_peak"))
+    np.testing.assert_array_equal(tps_s[order_s], tps_p[order_p])
+
+
 def test_batched_assembly_conf_change_applies(interpret_ingest):
     """A channel_mask_set change AFTER the first batch must take effect in
     batched mode (the lazily-built assembly tables are fingerprinted and
