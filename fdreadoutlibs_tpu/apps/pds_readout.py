@@ -48,6 +48,7 @@ class PDSReadoutApp:
                  algorithm: str = "SimpleThreshold", threshold: int = 60,
                  run_number: int = 1, det_id: int = 2,
                  raw_capacity_superchunks: int = 1024,
+                 pipelined: bool = False,
                  pallas_interpret: bool = False):
         self.n_links = n_links
         # interpret mode: off-TPU smoke runs (CPU demo / dryrun)
@@ -86,15 +87,32 @@ class PDSReadoutApp:
         self._stack = None
         self._dropped_total = 0
         self.handler_max_occupancy = 1 << 20
+        # depth-2 pipelined batching, same contract as apa_readout:
+        # process_batch submits this batch's device work (async) and
+        # finishes the previous one; flush() drains the tail
+        self.pipelined = bool(pipelined)
+        self._pending = None
 
     # ---- fused hot path over all links ----------------------------------
     def _device_pass(self, words: np.ndarray):
         """words: (L, N, 112) packed ADC rows -> (hits over L*4 global
         channels, dropped)."""
+        return self._fetch_hits(self._device_submit(words))
+
+    def _fetch_hits(self, packed):
+        """The one device->host sync: packed compact-hit array ->
+        (canonical hit array, dropped)."""
+        from ..ops.ingest import unpack_compact
+        return unpack_compact(packed)
+
+    def _device_submit(self, words: np.ndarray):
+        """Enqueue one batch's device work; returns the un-fetched packed
+        compact-hit device array (async XLA dispatch — the carried
+        ChanState chains on device between submits)."""
         import jax.numpy as jnp
 
         from ..ops.chanstate import init_chanstate, seed_chanstate
-        from ..ops.ingest import collect_hits, process_packed_daphne
+        from ..ops.ingest import compact_on_device, process_packed_daphne
         from ..ops.pallas_tpg import auto_tc, pack_state
         from ..utils.tuning import kernel_knobs
         L, N, _ = words.shape
@@ -122,8 +140,7 @@ class PDSReadoutApp:
             k_slots=4, unroll=u if tc % u == 0 else 1,
             fir_twopass=knobs["fir_twopass"],
             interpret=self.pallas_interpret)
-        hits, dropped = collect_hits(slots, nclose, C)
-        return hits, int(dropped)
+        return compact_on_device(slots, nclose, 0, C, max(2048, 2 * C))
 
     def process_batch(self, superchunks: np.ndarray):
         """superchunks: (L, M, 5664) one batch of M superchunks per link."""
@@ -144,7 +161,14 @@ class PDSReadoutApp:
         frames = daphne.superchunk_frames(superchunks, stream=True) \
             .reshape(L, -1, daphne.STREAM_FRAME_SIZE)
         words = daphne.stream_frames_bytes_to_u32(frames)
-        hits, dropped = self._device_pass(words)
+        packed = self._device_submit(words)
+        if self.pipelined:
+            prev, self._pending = self._pending, (packed, ts0, M)
+            return self._finish_batch(*prev) if prev is not None else 0
+        return self._finish_batch(packed, ts0, M)
+
+    def _finish_batch(self, packed, ts0: np.ndarray, M: int) -> int:
+        hits, dropped = self._fetch_hits(packed)
         self._dropped_total += dropped
         self.metrics.inc("num_hits", len(hits))
         self._assemble_batch(hits, ts0)
@@ -153,6 +177,13 @@ class PDSReadoutApp:
         self.handler.send_tp_sets_once()
         self.handler.cleanup(max_occupancy=self.handler_max_occupancy)
         return dropped
+
+    def flush(self) -> int:
+        """Finish the in-flight batch (pipelined mode); no-op otherwise."""
+        if self._pending is None:
+            return 0
+        prev, self._pending = self._pending, None
+        return self._finish_batch(*prev)
 
     def _assemble_batch(self, hits: np.ndarray, ts0: np.ndarray) -> None:
         """Vectorized PDS hit->TP assembly for the whole batch: one clock
@@ -201,9 +232,12 @@ def main(argv=None) -> int:
     ap.add_argument("--threshold", type=int, default=60)
     ap.add_argument("--signal-rate", type=float, default=0.3,
                     help="LED-pulse probability per channel per batch")
+    ap.add_argument("--pipelined", action="store_true",
+                    help="depth-2 batch pipelining (see apa_readout)")
     args = ap.parse_args(argv)
 
-    app = PDSReadoutApp(n_links=args.links, threshold=args.threshold)
+    app = PDSReadoutApp(n_links=args.links, threshold=args.threshold,
+                        pipelined=args.pipelined)
     rng = np.random.default_rng(3)
     ts = 0x2000000
     t_wall = time.perf_counter()
@@ -231,6 +265,7 @@ def main(argv=None) -> int:
         app.process_batch(scs)
         ts += T
         data_seconds += T / 62.5e6
+    app.flush()                        # drain the in-flight batch, if any
     wall = time.perf_counter() - t_wall
     info = app.get_info()
     info["wall_seconds"] = round(wall, 3)

@@ -291,6 +291,49 @@ def test_raw_capacity_must_fit_batches(interpret_ingest):
         app.process_batch(frames)
 
 
+def test_pds_pipelined_matches_unpipelined(interpret_ingest):
+    """PDS depth-2 pipelining: identical TP stream and counters as the
+    synchronous path once flushed (same contract as the APA app)."""
+    from fdreadoutlibs_tpu.apps.pds_readout import PDSReadoutApp
+    from fdreadoutlibs_tpu.formats import daphne
+
+    def run(pipelined):
+        app = PDSReadoutApp(n_links=2, threshold=150,
+                            raw_capacity_superchunks=16,
+                            pipelined=pipelined)
+        rng = np.random.default_rng(4)
+        ts = 0x2000000
+        T = daphne.STREAM_FRAMES_PER_SUPERCHUNK * daphne.STREAM_N_SAMPLES
+        for b in range(3):
+            scs = np.stack([daphne.empty_superchunks(1, stream=True)
+                            for _ in range(2)])
+            frames = daphne.superchunk_frames(scs, stream=True)
+            adcs = (700 + rng.normal(0, 6, (2, T, 4))).astype(np.uint16)
+            for _ in range(4):
+                l, c = rng.integers(0, 2), rng.integers(0, 4)
+                t0 = rng.integers(0, T - 30)
+                adcs[l, t0:t0 + 12, c] += np.uint16(rng.integers(200, 900))
+            for l in range(2):
+                daphne.stream_set_adcs(
+                    frames[l].reshape(-1, daphne.STREAM_FRAME_SIZE),
+                    adcs[l].reshape(-1, daphne.STREAM_N_SAMPLES, 4))
+                daphne.fake_timestamps(scs[l], ts, offset=64, stream=True)
+            app.process_batch(scs)
+            ts += T
+        app.flush()
+        return app.handler.buffer.snapshot(), app.get_info()
+
+    tps_s, info_s = run(False)
+    tps_p, info_p = run(True)
+    assert info_s["total_hits"] > 0
+    for k in ("total_hits", "total_tps_sent", "ts_errors",
+              "hits_dropped", "raw_buffered"):
+        assert info_s[k] == info_p[k], k
+    order_s = np.argsort(tps_s, order=("time_start", "channel", "time_peak"))
+    order_p = np.argsort(tps_p, order=("time_start", "channel", "time_peak"))
+    np.testing.assert_array_equal(tps_s[order_s], tps_p[order_p])
+
+
 def test_pds_readout_end_to_end(interpret_ingest):
     """PDS (DAPHNE-stream) composition: fused multi-link ingest, PDS TP
     assembly (1 clock/tick), TPSet windowing, raw data requests."""
