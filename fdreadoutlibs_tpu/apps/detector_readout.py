@@ -134,14 +134,21 @@ class DetectorReadoutApp:
                  tde_links: int = 1, run_number: int = 1,
                  tpc_threshold: int = 150, pds_threshold: int = 60,
                  tde_threshold: int = 500, tde_backend: str = "scan",
+                 pipelined: bool = False,
                  pallas_interpret: bool = False, **apa_kwargs):
         self.run_number = run_number
+        # pipelined threads into BOTH device arms: with depth-2 batching
+        # the TPC and PDS device batches are in flight simultaneously and
+        # overlap each other's host stages plus the TDE (host-only) arm —
+        # cross-arm overlap a per-arm process gets only from extra threads
         self.tpc = APAReadoutApp(n_links=apa_links, run_number=run_number,
                                  threshold=tpc_threshold,
+                                 pipelined=pipelined,
                                  pallas_interpret=pallas_interpret,
                                  **apa_kwargs)
         self.pds = PDSReadoutApp(n_links=pds_links, run_number=run_number,
                                  threshold=pds_threshold,
+                                 pipelined=pipelined,
                                  pallas_interpret=pallas_interpret)
         self.tde = TDEReadoutArm(n_links=tde_links, run_number=run_number,
                                  threshold=tde_threshold,
@@ -194,6 +201,12 @@ class DetectorReadoutApp:
         recorder.write(frag)
         return frag
 
+    def flush(self) -> None:
+        """Finish the in-flight device batches (pipelined mode); no-op
+        otherwise.  Call before the final drain_tpsets/get_info."""
+        self.tpc.flush()
+        self.pds.flush()
+
     def drain_tpsets(self) -> list:
         """Merged, time-ordered TPSet stream across all arms — what the
         downstream trigger tier consumes from the whole detector."""
@@ -231,6 +244,9 @@ def main(argv=None) -> int:
     ap.add_argument("--frames-per-batch", type=int, default=8,
                     help="WIBEth frames per TPC link per batch")
     ap.add_argument("--tde-backend", default="scan")
+    ap.add_argument("--pipelined", action="store_true",
+                    help="depth-2 batch pipelining on the TPC and PDS "
+                         "device arms (see apa_readout)")
     ap.add_argument("--interpret", action="store_true",
                     help="Pallas interpret mode (off-TPU smoke runs)")
     ap.add_argument("--record", default=None,
@@ -241,6 +257,7 @@ def main(argv=None) -> int:
                              pds_links=args.pds_links,
                              tde_links=args.tde_links,
                              tde_backend=args.tde_backend,
+                             pipelined=args.pipelined,
                              pallas_interpret=args.interpret)
     rng = np.random.default_rng(7)
     ts_tpc, ts_pds, ts_tde = 0x1000000, 0x2000000, 0x3000000
@@ -289,6 +306,8 @@ def main(argv=None) -> int:
 
         n_tpsets += len(app.drain_tpsets())
 
+    app.flush()                        # drain in-flight batches, if any
+    n_tpsets += len(app.drain_tpsets())
     info = app.get_info()
     info["merged_tpsets"] = n_tpsets
     if args.record:

@@ -48,12 +48,13 @@ def _tde_batch(pulse=False, ts=0x300000):
     return frames
 
 
-@pytest.fixture
-def det_app(interpret_ingest):
+@pytest.fixture(params=[False, True], ids=["sync", "pipelined"])
+def det_app(request, interpret_ingest):
     from fdreadoutlibs_tpu.apps.detector_readout import DetectorReadoutApp
     return DetectorReadoutApp(apa_links=2, pds_links=1, tde_links=1,
                               tpc_threshold=499, pds_threshold=120,
-                              tde_threshold=600, tde_backend="reference")
+                              tde_threshold=600, tde_backend="reference",
+                              pipelined=request.param)
 
 
 def test_three_arms_end_to_end(det_app, tmp_path):
@@ -70,6 +71,7 @@ def test_three_arms_end_to_end(det_app, tmp_path):
         ts_pds += T
         ts_tde += tde.EXPECTED_TICK_DIFFERENCE
 
+    det_app.flush()          # drain in-flight device batches (pipelined)
     info = det_app.get_info()
     assert info["tpc"]["total_hits"] == 1
     assert info["pds"]["total_hits"] >= 1
