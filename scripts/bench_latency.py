@@ -93,14 +93,14 @@ def make_rtt_probe():
 
 def run_arm(arm, links, frames_n, batches, warmup, algorithm, threshold,
             threshold_on_collection, codec_threads, signal_rate,
-            backend="pallas", interpret=False):
+            backend="pallas", interpret=False, pipelined=False):
     from fdreadoutlibs_tpu.apps.apa_readout import APAReadoutApp
     from fdreadoutlibs_tpu.formats import wibeth
     app = APAReadoutApp(
         n_links=links, algorithm=algorithm, threshold=threshold,
         threshold_on_collection=threshold_on_collection,
         codec_threads=codec_threads, backend=backend,
-        pallas_interpret=interpret,
+        pallas_interpret=interpret, pipelined=pipelined,
         raw_capacity_frames=max(4096, 4 * frames_n),
         **ARM_KWARGS[arm])
     probe = make_rtt_probe()
@@ -110,16 +110,26 @@ def run_arm(arm, links, frames_n, batches, warmup, algorithm, threshold,
     for b in range(warmup + batches):
         frames = gen_batch(rng, links, frames_n, b, ts, signal_rate)
         if b == warmup:
+            # pipelined: one warmup batch is still in flight; its timing
+            # row lands after this clear (one stale sample, negligible
+            # at the 20-batch default)
             app.batch_timings.clear()
         app.process_batch(frames)
         if b >= warmup:
             rtts.append(probe())
         ts += frames_n * wibeth.EXPECTED_TICK_DIFFERENCE
+    app.flush()
     info = app.latency_info(frames_per_batch=frames_n)
+    if pipelined:
+        info["pipelined"] = True
     # pairwise tunnel correction (module docstring): batch k minus the
-    # null RTT measured immediately after it
+    # null RTT measured immediately after it (pipelined rows land one
+    # call later; the pairing — and so the correction — stays approximate
+    # there, and row/probe counts can differ by one: align on the min)
     tot = np.array([r["total_ms"] for r in app.batch_timings])
-    corr = np.maximum(0.0, tot - np.array(rtts[:len(tot)]))
+    n = min(len(tot), len(rtts))
+    tot = tot[:n]
+    corr = np.maximum(0.0, tot - np.array(rtts[:n]))
     span = info["batch_span_ms"]
     p95c = float(np.percentile(corr, 95))
     info.update({
@@ -151,6 +161,10 @@ def main(argv=None):
                     help="pallas (production) | scan (XLA; CPU smoke runs)")
     ap.add_argument("--interpret", action="store_true",
                     help="pallas interpret mode (off-TPU smoke only)")
+    ap.add_argument("--pipelined", action="store_true",
+                    help="measure the depth-2 pipelined app: quantifies "
+                         "the ~one-batch-period latency the mode trades "
+                         "for throughput")
     ap.add_argument("--no-tunnel-gate", action="store_true")
     args = ap.parse_args(argv)
 
@@ -168,7 +182,8 @@ def main(argv=None):
                           args.warmup, args.algorithm, args.threshold,
                           not args.no_threshold_on_collection,
                           args.codec_threads, args.signal_rate,
-                          backend=args.backend, interpret=args.interpret)
+                          backend=args.backend, interpret=args.interpret,
+                          pipelined=args.pipelined)
             out["arms"][arm][f"N{frames_n}"] = res
             print(f"# {arm} N={frames_n}: proc p50 "
                   f"{res['proc_ms_p50']} ms (corrected "
