@@ -291,6 +291,41 @@ def test_raw_capacity_must_fit_batches(interpret_ingest):
         app.process_batch(frames)
 
 
+def test_batch_timings_and_latency_info(interpret_ingest):
+    """Every processed batch records a stage-decomposed timing row, and
+    latency_info derives the documented spec quantities: batch span from
+    the DTS tick pitch and min_latency_ticks = 2x margin on the p95
+    arrival->TP-available latency (README 'TP-emission latency')."""
+    from fdreadoutlibs_tpu.apps.apa_readout import APAReadoutApp
+    app = APAReadoutApp(n_links=1, threshold=499)
+    assert app.latency_info() == {}          # nothing recorded yet
+    ts = 100_000
+    for b in range(3):
+        frames = np.zeros((1, 2, wibeth.FRAME_SIZE), np.uint8)
+        wibeth.set_adcs(frames[0], np.full((2, 64, 64), 800, np.uint16))
+        wibeth.fake_timestamps(frames[0], ts)
+        wibeth.fake_seq_ids(frames[0], b * 2)
+        wibeth.fake_geoid(frames[0], 1, 0, 0)
+        app.process_batch(frames)
+        ts += 2 * 2048
+    assert len(app.batch_timings) == 3
+    stage_keys = {"preprocess_ms", "retention_ms", "codec_ms",
+                  "device_ms", "assembly_ms", "handler_ms", "total_ms"}
+    for row in app.batch_timings:
+        assert set(row) == stage_keys
+        assert row["total_ms"] > 0
+    info = app.latency_info(frames_per_batch=2)
+    assert info["batches"] == 3
+    assert info["proc_ms_p50"] <= info["proc_ms_p95"] <= info["proc_ms_max"]
+    # span: 2 frames x 2048 DTS ticks x 16 ns (fields round to 3 dp)
+    assert info["batch_span_ms"] == pytest.approx(2 * 2048 * 16e-6,
+                                                  abs=1e-3)
+    lat = info["batch_span_ms"] + info["proc_ms_p95"]
+    assert info["latency_ms_p95"] == pytest.approx(lat, abs=2e-3)
+    assert info["min_latency_ticks"] == pytest.approx(
+        2.0 * lat * 62_500, abs=2e-3 * 2 * 62_500 + 1)
+
+
 def test_pds_pipelined_matches_unpipelined(interpret_ingest):
     """PDS depth-2 pipelining: identical TP stream and counters as the
     synchronous path once flushed (same contract as the APA app)."""
