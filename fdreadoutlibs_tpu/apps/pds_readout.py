@@ -30,7 +30,7 @@ import time
 import numpy as np
 
 from ..formats import daphne
-from ..formats.trigprim import TP_DTYPE, TPAlgorithm, TPType
+from ..formats.trigprim import TP_DTYPE, TPAlgorithm, TPType, ts_to_i64
 from ..stream.daphne import DAPHNEStreamFrameProcessor
 from ..stream.transport import QueueSender
 from ..tp import TPRequestHandler
@@ -153,7 +153,7 @@ class PDSReadoutApp:
         for l in range(L):
             p = self.procs[l]
             p.timestamp_check(superchunks[l])
-            ts0[l] = int(daphne.get_first_timestamp(
+            ts0[l] = ts_to_i64(daphne.get_first_timestamp(
                 superchunks[l][:1], stream=True)[0])
             self.readout[l].insert_payloads(superchunks[l])
             self.readout[l].cleanup(max_occupancy=self.raw_capacity // 2)

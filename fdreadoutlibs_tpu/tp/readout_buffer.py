@@ -386,14 +386,20 @@ class ReadoutRequestHandler:
     * ``"record"`` — the general ordered record buffer (python or native
       per ``prefer_native``) for streams NOT time-ordered at arrival.
 
-    The legacy ``ring=False`` kwarg maps to ``"record"``."""
+    The legacy ``ring`` kwarg keeps its original ownership semantics:
+    an explicit ``ring=True`` selects the copying ``"ring"`` arena (the
+    pre-zerocopy behavior callers may depend on when they recycle their
+    frame buffers), ``ring=False`` maps to ``"record"``; only when
+    neither ``ring`` nor ``retention`` is given does the handler default
+    to ``"zerocopy"``."""
 
     def __init__(self, adapter: TypeAdapter, capacity: int | None = None,
-                 prefer_native: bool = True, ring: bool = True,
+                 prefer_native: bool = True, ring: bool | None = None,
                  retention: str | None = None):
         self.adapter = adapter
         if retention is None:
-            retention = "zerocopy" if ring else "record"
+            retention = ("zerocopy" if ring is None
+                         else "ring" if ring else "record")
         if retention not in ("zerocopy", "ring", "record"):
             raise ValueError(f"unknown retention mode {retention!r}")
         self.retention = retention

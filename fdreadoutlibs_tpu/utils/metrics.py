@@ -8,6 +8,7 @@ heartbeats, and the per-channel TP-rate map whose top-10 feeds monitoring.
 
 from __future__ import annotations
 
+import threading
 import time
 from collections import defaultdict
 
@@ -20,6 +21,10 @@ class MetricsCollector:
         self._gauges: dict[str, float] = {}
         self.channel_tp_counts: dict[int, int] = defaultdict(int)
         self._channel_pending: list[np.ndarray] = []
+        # Guards _channel_pending only: the batch thread appends while a
+        # monitoring thread consolidates; uncontended acquire is ~100 ns,
+        # negligible at per-batch cadence.
+        self._channel_lock = threading.Lock()
         self._t0 = time.monotonic()
 
     # counters -----------------------------------------------------------
@@ -45,15 +50,14 @@ class MetricsCollector:
         deferred to the (rare) top_channels/get_info queries."""
         arr = np.asarray(channels)
         if len(arr):
-            self._channel_pending.append(arr.copy())
+            with self._channel_lock:
+                self._channel_pending.append(arr.copy())
 
     def _consolidate_channels(self) -> None:
-        if not self._channel_pending:
-            return
-        # Capture-then-swap: a concurrent add_channel_tps from the batch
-        # thread lands in exactly one of the two lists (MetricsCollector
-        # has no lock; read-then-reset would drop appends in the gap).
-        pending, self._channel_pending = self._channel_pending, []
+        with self._channel_lock:
+            if not self._channel_pending:
+                return
+            pending, self._channel_pending = self._channel_pending, []
         allc = pending[0] if len(pending) == 1 else np.concatenate(pending)
         chans, counts = np.unique(allc, return_counts=True)
         for c, n in zip(chans.tolist(), counts.tolist()):
@@ -80,6 +84,7 @@ class MetricsCollector:
         info = self.get_info()
         self._counters.clear()
         self.channel_tp_counts.clear()
-        self._channel_pending = []
+        with self._channel_lock:
+            self._channel_pending = []
         self._t0 = time.monotonic()
         return info

@@ -42,6 +42,7 @@ import json
 import os
 import sys
 import time
+import zlib
 
 import numpy as np
 
@@ -104,7 +105,9 @@ def run_arm(arm, links, frames_n, batches, warmup, algorithm, threshold,
         raw_capacity_frames=max(4096, 4 * frames_n),
         **ARM_KWARGS[arm])
     probe = make_rtt_probe()
-    rng = np.random.default_rng(hash(arm) % 2 ** 31)
+    # crc32, not hash(): str hash is salted per interpreter (PEP 456),
+    # which would time different data every run.
+    rng = np.random.default_rng(zlib.crc32(arm.encode()) % 2 ** 31)
     ts = 0x1000000
     rtts = []
     for b in range(warmup + batches):

@@ -240,6 +240,53 @@ class DAPHNEStreamRig(Rig):
             frames.reshape(-1, self.f.STREAM_FRAME_SIZE), value)
 
 
+class DAPHNERig(Rig):
+    """Self-triggered PDS superchunks (12 x 1816 B) -> DAPHNEFrameProcessor
+    pulse analysis.  Single numpy TPG path (no scan/reference pair) and no
+    timestamp-continuity assertion (the check is informational for the
+    self-triggered stream, src/daphne/DAPHNEFrameProcessor.cpp:54-59)."""
+
+    name = "daphne"
+    dual_backend = False
+    checks_ts = False
+
+    def __init__(self):
+        from fdreadoutlibs_tpu.formats import daphne
+        self.f = daphne
+        self.frame_size = daphne.SUPERCHUNK_SIZE
+        self.header_bytes = 4 * daphne.HEADER_WORDS
+
+    def build(self, rng, n_payloads):
+        f = self.f
+        sc = f.empty_superchunks(n_payloads)
+        frames = f.superchunk_frames(sc).reshape(-1, f.FRAME_SIZE)
+        n_frames = frames.shape[0]
+        wfs = (900 + rng.normal(0, 30, size=(n_frames, f.N_SAMPLES))) \
+            .astype(np.uint16)
+        for _ in range(3):
+            fr = rng.integers(n_frames)
+            t = rng.integers(f.N_SAMPLES - 60)
+            wfs[fr, t:t + 30] += 1500
+        f.set_waveform(frames, wfs)
+        f.set_header_field(frames, "link_id",
+                           np.arange(n_frames, dtype=np.uint32) % 4)
+        f.fake_timestamps(sc, 40_000)
+        return sc
+
+    def make_proc(self, backend):
+        from fdreadoutlibs_tpu.stream.daphne import DAPHNEFrameProcessor
+        from fdreadoutlibs_tpu.stream.transport import QueueSender
+        sink = QueueSender()
+        proc = DAPHNEFrameProcessor(tp_sink=sink)
+        proc.conf({"enable_tpg": True, "tpg_threshold": 300})
+        proc.start()
+        return proc, sink.drain
+
+    def set_ts(self, payloads, idx, value):
+        frames = self.f.superchunk_frames(payloads[idx:idx + 1])
+        self.f.set_timestamp(frames.reshape(-1, self.f.FRAME_SIZE), value)
+
+
 class TDERig(Rig):
     name = "tde"
 
@@ -470,7 +517,7 @@ def main() -> int:
     jax.config.update("jax_platforms", "cpu")
 
     rigs = [WIBEthRig(), WIB2Rig(), ProtoWIBRig(), DAPHNEStreamRig(),
-            TDERig(), SSPRig()]
+            DAPHNERig(), TDERig(), SSPRig()]
     t0 = time.time()
     failures = 0
     by_rig: dict = {}

@@ -406,3 +406,19 @@ def test_pds_readout_end_to_end(interpret_ingest):
     # windowed raw request on the hit link returns covering superchunks
     raw = app.request_raw(1, int(tp["time_start"]), int(tp["time_start"]) + 1)
     assert len(raw) >= 1
+
+
+def test_pds_corrupt_header_ts_no_overflow(interpret_ingest):
+    """A DAPHNE-stream superchunk whose header timestamp has the top bit
+    set (the corruption scripts/fuzz_frames.py injects) must degrade, not
+    raise OverflowError — same uint64-ts class as the processors'
+    ts_to_i64 fix (commit b924655)."""
+    from fdreadoutlibs_tpu.apps.pds_readout import PDSReadoutApp
+    from fdreadoutlibs_tpu.formats import daphne
+    app = PDSReadoutApp(n_links=1, threshold=400, raw_capacity_superchunks=16)
+    scs = daphne.empty_superchunks(1, stream=True)[None]      # (1, 1, 5664)
+    frames = daphne.superchunk_frames(scs[0], stream=True)
+    daphne.stream_set_timestamp(
+        frames.reshape(-1, daphne.STREAM_FRAME_SIZE), (1 << 63) + 12345)
+    app.process_batch(scs)                                    # must not raise
+    assert app.get_info()["raw_buffered"] == 1

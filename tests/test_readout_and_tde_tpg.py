@@ -190,6 +190,24 @@ class TestTDETPG:
         assert len(sink) == 0
 
 
+class TestRetentionSelection:
+    def test_legacy_ring_kwarg_keeps_copying_semantics(self):
+        """Explicit ring=True predates zero-copy retention and meant 'the
+        copying PayloadRingBuffer'; it must still select it (a producer
+        that recycles its frame buffers depends on the copy).  Only the
+        no-kwargs default is zero-copy."""
+        from fdreadoutlibs_tpu.tp.readout_buffer import (
+            PayloadRingBuffer, SegmentedPayloadBuffer)
+        a = get_adapter("wibeth")
+        assert isinstance(ReadoutRequestHandler(a).buffer,
+                          SegmentedPayloadBuffer)
+        assert isinstance(ReadoutRequestHandler(a, ring=True).buffer,
+                          PayloadRingBuffer)
+        assert ReadoutRequestHandler(a, ring=False).retention == "record"
+        assert ReadoutRequestHandler(
+            a, ring=True, retention="zerocopy").retention == "zerocopy"
+
+
 class TestFragments:
     def test_request_fragment(self):
         from fdreadoutlibs_tpu.formats.fragment import Fragment
