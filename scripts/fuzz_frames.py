@@ -333,7 +333,7 @@ class TDERig(Rig):
         'first' — only assert in the clean single-ts_jump case past the
         first channel cycle (build() assigns channels = arange(n) % 4)."""
         fragile = {"zero_payload", "ones_payload", "bitflip_header",
-                   "dup_payload"}
+                   "dup_payload", "reorder"}
         if set(chosen) & fragile:
             return False
         return ts_jump_idx is None or ts_jump_idx >= 4
@@ -378,7 +378,7 @@ def corrupt(rig, payloads, rng):
     n = len(payloads)
     raw = payloads.reshape(n, -1).view(np.uint8)
     kinds = ["bitflip_header", "bitflip_adc", "zero_payload", "ones_payload",
-             "dup_payload", "ts_jump"]
+             "dup_payload", "ts_jump", "reorder"]
     if rig.has_seq:
         kinds.append("seq_jump")
     chosen = list(rng.choice(kinds, size=int(rng.integers(1, 4)),
@@ -406,6 +406,16 @@ def corrupt(rig, payloads, rng):
                 raw[j] = raw[j - 1]
                 if rig.checks_ts:
                     deterministic_ts = True   # duplicate ts breaks continuity
+        elif kind == "reorder":
+            # network reordering: swap two adjacent payloads past the
+            # first — a backward ts delta the continuity check must see
+            if n >= 3:
+                j = int(rng.integers(1, n - 1))
+                tmp = raw[j].copy()
+                raw[j] = raw[j + 1]
+                raw[j + 1] = tmp
+                if rig.checks_ts:
+                    deterministic_ts = True
         elif kind == "ts_jump":
             if idx == 0:
                 idx = min(1, n - 1)
