@@ -155,3 +155,28 @@ def test_tde_active_channel_set_change_carries_state():
     proc.process(batch([0, 1], 1000 + tick))       # set grows
     proc.process(batch([1], 1000 + 2 * tick))      # set shrinks
     assert proc.metrics.count("num_tpg_channel_set_changes") == 2
+
+
+@pytest.mark.parametrize("rig_name", ["wibeth", "wib2", "protowib",
+                                      "daphne_stream"])
+def test_reordered_payloads_observed(rig_name):
+    """An adjacent-payload swap (network reordering) produces a backward
+    timestamp delta every ts-checking processor must record — pins the
+    fuzz harness's `reorder` determinism claim (scripts/fuzz_frames.py)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts"))
+    import fuzz_frames as F
+    rig = {"wibeth": F.WIBEthRig, "wib2": F.WIB2Rig,
+           "protowib": F.ProtoWIBRig,
+           "daphne_stream": F.DAPHNEStreamRig}[rig_name]()
+    rng = np.random.default_rng(3)
+    payloads = rig.build(rng, 5)
+    raw = payloads.reshape(5, -1).view(np.uint8)
+    tmp = raw[2].copy()
+    raw[2] = raw[3]
+    raw[3] = tmp
+    proc, _ = F.drive(rig, payloads, [0, 2, 5], "reference")
+    assert (proc.metrics.count("num_ts_errors") > 0
+            or proc.error_registry.error_count() > 0)
