@@ -408,11 +408,11 @@ class StreamingIngest:
             rs_memory_factor = cfg.rs_memory_factor_x10
         else:
             rs_memory_factor = np.asarray(rs_memory_factor)
-            if rs_memory_factor.shape != (self.n_channels,):
+            if rs_memory_factor.shape not in ((), (self.n_channels,)):
                 raise ValueError(
                     f"rs_memory_factor must be scalar or "
                     f"({self.n_channels},), got {rs_memory_factor.shape}")
-            cfg.check_memory_factors(rs_memory_factor)
+            cfg.check_memory_factors(np.atleast_1d(rs_memory_factor))
         self.rs_memory_factor = rs_memory_factor
         self.stack = None
         self._pending = None          # (slots, nclose, tick_offset) or
@@ -538,7 +538,13 @@ class StreamingIngest:
         out = self._collect() if self._pending is not None else None
         from .pallas_tpg import auto_tc
         tc = auto_tc(T, cap=self.tc)
-        # time_packed needs an even unroll (two ticks per word)
+        # the time_packed datapath consumes two ticks per step: tc and
+        # unroll must be even.  auto_tc can return an odd divisor (e.g.
+        # T = 64*509 frames with cap 512 -> tc=509); fall back to the
+        # largest even divisor (T = 2*rows is always even).
+        if tc % 2:
+            tc = next((d for d in range(tc, 1, -1)
+                       if T % d == 0 and d % 2 == 0), T)
         unroll = 2 if self.interpret else \
             (self.unroll if tc % self.unroll == 0
              and self.unroll % 2 == 0 else 2)

@@ -128,7 +128,8 @@ class DAPHNEStreamFrameProcessor(TaskRawDataProcessor):
             self.det_id = config.get("det_id", 0)
             self.backend = config.get("tpg_backend", "reference")
             self._interpret = config.get("tpg_pallas_interpret", False)
-            self.k_slots = config.get("tpg_pallas_k_slots", 4)
+            self.k_slots = config.get(
+                "tpg_k_slots", config.get("tpg_pallas_k_slots", 4))
             self._device_compact = bool(
                 config.get("tpg_device_compact", True))
             self._max_hits = config.get("tpg_max_hits")

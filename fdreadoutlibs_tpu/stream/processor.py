@@ -43,6 +43,13 @@ class TaskRawDataProcessor:
 
     # -- lifecycle -------------------------------------------------------
     def conf(self, config: dict) -> None:
+        # Re-conf REPLACES the pipeline: every subclass calls super().conf
+        # first and then re-registers its tasks, so clearing here makes a
+        # second conf() idempotent (without it the task lists accumulate
+        # and each batch would run every check — and the state-advancing
+        # TPG postprocess — twice).
+        self._preprocess = []
+        self._postprocess = []
         self.emulator_mode = bool(config.get("emulator_mode", False))
 
     def start(self, args: Optional[dict] = None) -> None:

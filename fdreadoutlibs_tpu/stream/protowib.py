@@ -61,7 +61,8 @@ class WIBFrameProcessor(TaskRawDataProcessor):
         else:
             import jax
             self._interpret = jax.default_backend() != "tpu"
-        self.k_slots = config.get("tpg_pallas_k_slots", 4)
+        self.k_slots = config.get(
+            "tpg_k_slots", config.get("tpg_pallas_k_slots", 4))
         self._device_compact = bool(config.get("tpg_device_compact", True))
         self._max_hits = config.get("tpg_max_hits")
         # time2 feed: the HOST decodes the 12-bit nibble codec and pairs
