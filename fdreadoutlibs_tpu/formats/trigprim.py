@@ -56,7 +56,12 @@ def ts_to_i64(ts) -> np.int64:
     uint64 which silently wraps.  A corrupted header can carry ts >= 2^63,
     and np.int64(ts) raises OverflowError instead of wrapping — found by
     scripts/fuzz_frames.py.  This reinterpretation keeps the final
-    .astype(np.uint64) stores bit-identical to uint64 arithmetic."""
+    .astype(np.uint64) stores bit-identical to uint64 arithmetic.
+
+    Accepts scalars and ndarrays (arrays are reinterpreted via
+    uint64.view(int64) — same bits, vectorized)."""
+    if isinstance(ts, np.ndarray):
+        return ts.astype(np.uint64, copy=False).view(np.int64)
     ts = int(ts) & 0xFFFFFFFFFFFFFFFF
     return np.int64(ts - (1 << 64) if ts >= (1 << 63) else ts)
 

@@ -131,7 +131,10 @@ def process_words14_feed(W, state_stack, cfg: TPGConfig,
     """
     from .pallas_tpg import process_window_pallas
     if slab and unroll % 2:
-        unroll = 2 if tc % 2 == 0 else 1
+        # slab requires even unroll (two ticks per packed word); tc is
+        # already forced to a multiple of 16 downstream, so 2 always
+        # divides it — no odd fallback exists
+        unroll = 2
     return process_window_pallas(W, state_stack, cfg, tc=tc,
                                  k_slots=k_slots, unroll=unroll,
                                  interpret=interpret,

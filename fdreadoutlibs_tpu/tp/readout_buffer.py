@@ -460,7 +460,8 @@ class ReadoutRequestHandler:
             payloads, run_number=run_number, trigger_number=trigger_number,
             window_begin=start_ts, window_end=end_ts, source_id=source_id,
             fragment_type=self.adapter.fragment_type,
-            sequence_number=sequence_number)
+            sequence_number=sequence_number,
+            subsystem=self.adapter.subsystem)
 
     def cleanup(self, max_ts_diff: Optional[int] = None,
                 max_occupancy: Optional[int] = None) -> int:

@@ -3,8 +3,11 @@
 The DAQ's dataflow tier writes Fragments into run files (dfmodules/HDF5
 upstream of the reference).  This recorder closes the request->record loop
 inside the framework: fragments append to a simple self-describing
-directory store (one npz per fragment + a JSONL index), and can be read
-back as Fragment objects for offline checks.
+directory store (one ``.frag`` binary per fragment — the daqdataformats
+wire layout, 72-byte FragmentHeader POD + payload bytes (formats/wire.py),
+readable by any tool that knows the upstream POD — plus a JSONL index),
+and can be read back as Fragment objects for offline checks.  Stores
+written by earlier rounds (one npz per fragment) stay readable.
 """
 
 from __future__ import annotations
@@ -29,14 +32,14 @@ class FragmentRecorder:
             if self._index.exists() else 0
 
     def write(self, fragment: Fragment) -> Path:
-        name = f"run{self.run_number:06d}_frag{self._n:08d}.npz"
+        name = f"run{self.run_number:06d}_frag{self._n:08d}.frag"
         path = self.dir / name
-        np.savez_compressed(path, payloads=fragment.payloads)
+        path.write_bytes(fragment.to_bytes())
         meta = {k: getattr(fragment.header, k)
                 for k in ("run_number", "trigger_number", "trigger_timestamp",
                           "window_begin", "window_end", "source_id",
                           "fragment_type", "sequence_number", "detector_id",
-                          "error_bits", "version")}
+                          "error_bits", "version", "subsystem")}
         meta["file"] = name
         meta["n_payloads"] = len(fragment)
         meta["size_bytes"] = fragment.size_bytes
@@ -56,10 +59,18 @@ class FragmentRecorder:
                     break
             else:
                 raise IndexError(index)
-        payloads = np.load(self.dir / meta["file"])["payloads"]
-        hdr = FragmentHeader(**{k: v for k, v in meta.items()
-                                if k in FragmentHeader.__dataclass_fields__})
-        return Fragment(hdr, payloads)
+        path = self.dir / meta["file"]
+        if path.suffix == ".npz":           # pre-round-5 store compat
+            payloads = np.load(path)["payloads"]
+            hdr = FragmentHeader(
+                **{k: v for k, v in meta.items()
+                   if k in FragmentHeader.__dataclass_fields__})
+            return Fragment(hdr, payloads)
+        n = int(meta.get("n_payloads", 0))
+        stride = (meta["size_bytes"] // n
+                  if n and meta["fragment_type"] != "kTriggerPrimitive"
+                  else None)
+        return Fragment.from_bytes(path.read_bytes(), payload_stride=stride)
 
     def index(self) -> list[dict]:
         if not self._index.exists():

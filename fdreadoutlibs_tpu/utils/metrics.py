@@ -54,14 +54,19 @@ class MetricsCollector:
                 self._channel_pending.append(arr.copy())
 
     def _consolidate_channels(self) -> None:
+        # the channel_tp_counts read-modify-write stays under the lock:
+        # two concurrent consolidations (monitoring get_info racing a
+        # top_channels call) would otherwise lose counts.  add_channel_tps
+        # (the hot path) still only pays the pending-list append.
         with self._channel_lock:
             if not self._channel_pending:
                 return
             pending, self._channel_pending = self._channel_pending, []
-        allc = pending[0] if len(pending) == 1 else np.concatenate(pending)
-        chans, counts = np.unique(allc, return_counts=True)
-        for c, n in zip(chans.tolist(), counts.tolist()):
-            self.channel_tp_counts[c] += n
+            allc = pending[0] if len(pending) == 1 \
+                else np.concatenate(pending)
+            chans, counts = np.unique(allc, return_counts=True)
+            for c, n in zip(chans.tolist(), counts.tolist()):
+                self.channel_tp_counts[c] += n
 
     def top_channels(self, n: int = 10) -> list[tuple[int, int]]:
         """Top-n (channel, tp_count) — WIBEthFrameProcessor.cpp:264-287."""

@@ -51,7 +51,7 @@ class Rig:
     checks_ts = True          # processor runs a timestamp-continuity check
 
     def build(self, rng, n_payloads):
-        """-> (payloads uint8 (n, frame_size-multiple), meta dict)"""
+        """-> payloads uint8 (n, frame_size-multiple)"""
         raise NotImplementedError
 
     def ts_assertable(self, chosen, ts_jump_idx):
