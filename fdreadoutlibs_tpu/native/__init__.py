@@ -72,6 +72,9 @@ def load():
     lib.lb_extract_window.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
                                       ctypes.c_uint64, ctypes.c_char_p,
                                       ctypes.c_uint64]
+    lib.lb_extract_all.restype = ctypes.c_uint64
+    lib.lb_extract_all.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                   ctypes.c_uint64]
     lib.lb_pop_until.restype = ctypes.c_uint64
     lib.lb_pop_until.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
     lib.lb_pop_n.restype = ctypes.c_uint64
@@ -175,6 +178,18 @@ class NativeLatencyBuffer:
         if n:
             got = int(self._lib.lb_extract_window(self._h, start, end,
                                                   _ptr(out), n))
+            out = out[:got]
+        return out
+
+    def extract_all(self) -> np.ndarray:
+        """Every record in key order (non-consuming).  NOT a window query:
+        [start, end) cannot express 'include key UINT64_MAX', and a
+        snapshot built on a window dropped top-bit-set timestamps
+        (scripts/fuzz_tp_path.py)."""
+        n = int(self._lib.lb_occupancy(self._h))
+        out = np.zeros(n, dtype=self.dtype)
+        if n:
+            got = int(self._lib.lb_extract_all(self._h, _ptr(out), n))
             out = out[:got]
         return out
 

@@ -120,6 +120,23 @@ uint64_t lb_extract_window(void* h, uint64_t start, uint64_t end,
   return n;
 }
 
+// Copy ALL records in key order into out (up to max_n, non-consuming).
+// Distinct from lb_extract_window because the window's half-open
+// [start, end) bound cannot express "everything including key
+// UINT64_MAX" — a snapshot built on a window silently dropped
+// top-bit-set timestamps (found by scripts/fuzz_tp_path.py).
+uint64_t lb_extract_all(void* h, uint8_t* out, uint64_t max_n) {
+  Buffer* b = static_cast<Buffer*>(h);
+  std::lock_guard<std::mutex> lock(b->mu);
+  uint64_t n = 0;
+  for (auto it = b->index.begin(); it != b->index.end() && n < max_n;
+       ++it, ++n) {
+    std::memcpy(out + n * b->record_size, b->arena.data() + it->second,
+                b->record_size);
+  }
+  return n;
+}
+
 // Drop records with key < ts; returns the number dropped.
 uint64_t lb_pop_until(void* h, uint64_t ts) {
   Buffer* b = static_cast<Buffer*>(h);

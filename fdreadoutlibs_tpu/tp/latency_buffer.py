@@ -19,6 +19,19 @@ import threading
 import numpy as np
 
 
+def _exact_key(v, key_dtype: np.dtype):
+    """Coerce a window/pop boundary to the key column's dtype EXACTLY
+    (saturating at the dtype's range).
+
+    np.searchsorted(uint64_keys, python_int) promotes both sides to
+    float64, which is lossy above 2**53: a boundary near 2**63 rounded
+    onto its neighbors and extract_window returned wrong (even empty)
+    windows for top-bit-set corrupt-header timestamps — found by the
+    python-vs-native differential in scripts/fuzz_tp_path.py."""
+    info = np.iinfo(key_dtype)
+    return key_dtype.type(min(max(int(v), info.min), info.max))
+
+
 class LatencyBuffer:
     """Ordered store of records with a ``time_start``-like key field."""
 
@@ -125,8 +138,12 @@ class LatencyBuffer:
             arr = self._consolidate()
             if not len(arr):
                 return arr
-            lo = np.searchsorted(self._keys, start_ts, side="left")
-            hi = np.searchsorted(self._keys, end_ts, side="left")
+            lo = np.searchsorted(self._keys,
+                                 _exact_key(start_ts, self._keys.dtype),
+                                 side="left")
+            hi = np.searchsorted(self._keys,
+                                 _exact_key(end_ts, self._keys.dtype),
+                                 side="left")
             return arr[lo:hi].copy()
 
     def key_at(self, idx: int):
@@ -143,7 +160,9 @@ class LatencyBuffer:
         """Drop records with key < ts; returns number dropped."""
         with self._lock:
             arr = self._consolidate()
-            lo = np.searchsorted(self._keys, ts, side="left") if len(arr) else 0
+            lo = np.searchsorted(self._keys,
+                                 _exact_key(ts, self._keys.dtype),
+                                 side="left") if len(arr) else 0
             # copy the tail: a view would pin the whole pre-pop allocation
             # alive until the next consolidation (large payload buffers)
             if lo:
@@ -225,10 +244,11 @@ class NativeLatencyBufferAdapter:
         return self._buf.cleanup_max_ts_diff(int(max_ts_diff))
 
     def snapshot(self) -> np.ndarray:
-        lo = self.oldest_ts()
-        if lo is None:
-            return np.zeros(0, dtype=self._buf.dtype)
-        return self.extract_window(lo, (1 << 63))
+        # full ordered copy — NOT extract_window(lo, big): the half-open
+        # window bound cannot include key UINT64_MAX, and a 1<<63 bound
+        # silently dropped top-bit-set (corrupt-header) timestamps that
+        # the python buffer retains (found by scripts/fuzz_tp_path.py)
+        return self._buf.extract_all()
 
 
 def make_latency_buffer(dtype=None, capacity: int | None = None,
