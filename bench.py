@@ -398,7 +398,16 @@ def bench_host_tp_path(trials: int = 3):
     return {
         "apa_assembly_pct_core": asm["apa_batched"][
             "apa_call_budget_used_pct"],
-        "apa_host_loop_pct_core": loop["pct_core_per_apa"],
+        # RAW shared-core reading — drifts 270-500% between sessions on
+        # this box (BENCH_NOTES round-4 close).  Cross-session readers
+        # must use the _normalized field (divided out against the
+        # same-session 32 MB-memcpy yardstick, expressed at the nominal
+        # 6.7 GB/s core all BENCH_NOTES figures were taken at).
+        "apa_host_loop_pct_core_sharedbox_raw": loop["pct_core_per_apa"],
+        "apa_host_loop_pct_core_normalized":
+            loop["pct_core_per_apa_at_6p7GBps_core"],
+        "apa_host_loop_memcpy_baseline_GBps":
+            loop["memcpy_baseline_GBps"],
         "request_handler_tps_per_s": prod["insert_window_tps_per_s"],
         "request_handler_headroom_vs_256k": prod["headroom_vs_256k"],
         "request_handler_buffer": "native" if "native" in rh else "python",
@@ -487,6 +496,7 @@ def main():
                 for k, (cfg, _, _, _, tp, rmf) in runs.items()}
 
     results = {}
+    spreads = {}
     headline_trials = []
     for name, (cfg, tc, k, unroll, twopass, rmf) in runs.items():
         if rmf is None:
@@ -498,8 +508,14 @@ def main():
             cfg, tc, k, unroll, on_tpu, adcs, rmf, N_WINDOWS,
             trials=trials, fir_twopass=twopass, return_trials=True)
         results[name] = round(rtf, 2)
+        # every family gets the min/trials spread treatment, not just the
+        # headline — one bad tunnel phase must be readable as such for
+        # any family (VERDICT r4 weak #2)
+        srt = sorted(round(v, 2) for v in per_trial)
+        spreads[name] = {"min": srt[0] if srt else results[name],
+                         "trials": srt}
         if name == "AbsRS_production":
-            headline_trials = [round(v, 2) for v in per_trial]
+            headline_trials = srt
 
     # production config again, but paying what the headline never pays:
     # distinct data per window, and the fused byte-ingest path (on-device
@@ -525,6 +541,7 @@ def main():
         "value_min": headline_trials[0] if headline_trials else rtf,
         "value_trials": headline_trials,
         "algorithms": results,
+        "algorithms_spread": spreads,
     }
     if on_tpu:
         # interpret the reading: per-sync tunnel latency at bench start
@@ -567,6 +584,32 @@ def main():
                 "min_latency_ticks_corrected") if k in lat}
         except Exception as e:  # noqa: BLE001 — never cost the headline
             out["latency_error"] = str(e)[-200:]
+    if on_tpu:
+        # per-frontend hardware RTF: every frontend with a device path
+        # gets a slope-timed number at a production aggregation, not an
+        # extrapolation from the WIBEth flagship — VERDICT r4 #2.  Full
+        # harness: scripts/bench_frontends.py (arm docs + budgets there).
+        try:
+            import bench_frontends as bf
+            out["frontends"] = bf.run_all(trials=3)
+        except Exception as e:  # noqa: BLE001 — never cost the headline
+            out["frontends_error"] = str(e)[-200:]
+        # whole-application RTF: the assembled APAReadoutApp, packed
+        # bytes -> TPSets, production config (time2 feed + pipelined +
+        # zero-copy retention), with the stage-overlap projection — the
+        # "pieces measured = whole measured" closure (VERDICT r4 #1).
+        # Full harness: scripts/bench_app_rtf.py.
+        try:
+            import bench_app_rtf as ba
+            app = ba.run_bench(links=40, frames=128, warm=2, timed=8)
+            out["app_rtf"] = {k: app[k] for k in (
+                "rtf_pipelined", "rtf_unpipelined", "batch_span_ms",
+                "device_transfer_mb_per_batch", "projection", "config")
+                if k in app}
+            out["app_rtf"]["tpsets_emitted"] = \
+                app.get("pipelined", {}).get("tpsets", 0)
+        except Exception as e:  # noqa: BLE001 — never cost the headline
+            out["app_rtf_error"] = str(e)[-200:]
     if extra:
         out["production_variants"] = extra
         # overhead of paying ingest at all, against the best shipped

@@ -21,16 +21,23 @@ Accounting honesty (the numbers this box can and cannot give):
   SERIALIZED on one core, and the device stage pays tunnel transfer that
   a production PCIe/ICI attachment would not.  The recorded
   ``rtf_pipelined`` is the honest bytes->TPSets number for THIS rig.
-* A production deployment fans the stages over dedicated cores (the
-  reference does exactly this with per-link threads): the feed codec owns
-  ~2 AVX-512 cores/APA, the preprocess+assembly+handler tail owns ~1-2
-  cores, and the depth-2 pipelined device overlaps them all.  The
-  ``projection`` object models that: projected_rtf = batch span / the
-  slowest single stage, with every stage p50 published so the model is
-  checkable.  Device time in the projection comes from the UNPIPELINED
-  pass (submit->fetch wall minus host codec), which still includes tunnel
-  transfer — the projection is therefore a LOWER bound on what local
-  attachment would sustain.
+* The rig's ``device_ms`` is ~99% tunnel byte transfer (a 40-link
+  8192-tick time2 feed is ~42 MB uploaded per 4.2 ms of data), so the
+  projection does NOT use it.  Instead it decomposes the device stage
+  into two independently-derived terms: ``device_compute_ms`` —
+  slope-timed on the chip with resident feeds (the app's EXACT device
+  computation: process_time2_feed + compact_on_device at the app's
+  shapes/knobs, state chained) — and ``transfer_ms`` — the exact bytes
+  the app moves per batch (feed up + compact hits down) at a local PCIe
+  attachment rate (``--pcie-gbps``, default 16 = gen4 x8 conservative).
+  Double-buffered DMA overlaps transfer with compute, so the device
+  stage cost is max(compute, transfer).
+* A production deployment fans the host stages over dedicated cores (the
+  reference does exactly this with per-link threads).  The projection
+  publishes per-stage UNIT costs (host cores per real-time APA) and two
+  checkable bottom lines: ``chip_bound_rtf`` (what one chip sustains
+  when the host stages are given their cores) and the host cores that
+  sustaining it requires.
 
 Run:  python scripts/bench_app_rtf.py [--frames 128 --timed 12]
 """
@@ -156,32 +163,167 @@ def run_mode(batches, L: int, N: int, warm: int, timed: int,
     return out
 
 
-def projection(span_ms: float, unpiped: dict,
-               host_codec_cores: float = 2.0,
-               host_tail_cores: float = 2.0) -> dict:
-    """Production multi-core stage-overlap model (module docstring): every
-    stage owns its core budget and the depth-2 pipeline overlaps the
-    device, so the sustained rate is set by the slowest stage alone.
-    Codec and host-tail stage times divide by their production core
-    budgets (the codec is native std::thread-parallel — measured ~linear
-    to 2-4 threads; the tail's batched assembly/windowing shards by link
-    subsets the same way the reference fans links over threads)."""
+def measure_device_compute(L: int, N: int, algorithm: str, threshold: int,
+                           trials: int = 3) -> float:
+    """Slope-time the app's EXACT per-batch device computation (the
+    process_time2_feed + compact_on_device pair _device_submit builds,
+    same shapes/knobs/state-chaining) with device-resident feeds, so the
+    tunnel's per-sync RTT and byte transfer cancel out of the number.
+    Returns milliseconds of chip time per batch."""
+    import jax
+    import jax.numpy as jnp
+    from fdreadoutlibs_tpu.formats import wibeth
+    from fdreadoutlibs_tpu.ops import TPGConfig
+    from fdreadoutlibs_tpu.ops.chanstate import init_chanstate, \
+        seed_chanstate
+    from fdreadoutlibs_tpu.ops.ingest import (compact_on_device,
+                                              process_time2_feed)
+    from fdreadoutlibs_tpu.ops.pallas_tpg import (auto_tc, pack_adcs,
+                                                  pack_state,
+                                                  pack_time2_jnp)
+    from fdreadoutlibs_tpu.utils.tuning import kernel_knobs
+
+    T, C = N * wibeth.N_TIME_SAMPLES, L * wibeth.N_CHANNELS
+    cfg = TPGConfig.from_raw(algorithm, threshold=threshold)
+    rng = np.random.default_rng(3)
+    adcs = (900 + rng.normal(0, 30, size=(T, C))).astype(np.int32)
+    for _ in range(100):
+        c, t0 = rng.integers(0, C), rng.integers(0, T - 16)
+        adcs[t0:t0 + 8, c] += rng.integers(300, 3000)
+    rmf = np.where(np.arange(C) % 8 < 3, 0, cfg.rs_memory_factor_x10)
+    knobs = kernel_knobs(cfg, C)
+    stack = pack_state(seed_chanstate(init_chanstate(C), adcs[0], rmf), C,
+                       block_sublanes=knobs["block_sublanes"])
+    # two distinct resident feeds, alternated like a double-buffered DMA
+    feeds = [pack_time2_jnp(jnp.asarray(pack_adcs(adcs))),
+             pack_time2_jnp(jnp.asarray(pack_adcs(np.roll(adcs, T // 2,
+                                                          axis=0))))]
+    tc = auto_tc(T, cap=knobs["tc"])
+    # the app's exact unroll resolution (_device_submit)
+    u = knobs["unroll"] if tc % knobs["unroll"] == 0 else \
+        (8 if tc % 8 == 0 else 1)
+    u = u if u % 2 == 0 else 2          # two ticks per time2 word
+    max_hits = max(2048, 2 * C)
+
+    @jax.jit
+    def step(feed, stack):
+        slots, nclose, stack = process_time2_feed(
+            feed, stack, cfg, C, tc=tc, k_slots=4, unroll=u,
+            fir_twopass=knobs["fir_twopass"])
+        return compact_on_device(slots, nclose, 0, C, max_hits), stack
+
+    def chain(n, stack):
+        t0 = time.perf_counter()
+        packed = None
+        for i in range(n):
+            packed, stack = step(feeds[i % 2], stack)
+        packed.block_until_ready()
+        return time.perf_counter() - t0
+
+    chain(1, stack)                                  # compile
+    slopes = []
+    for _ in range(2 * trials):
+        t_a = chain(1, stack)
+        t_b = chain(7, stack)
+        if t_b > t_a:
+            slopes.append((t_b - t_a) / 6)
+        if len(slopes) >= trials:
+            break
+    assert slopes, "device-compute slope trials all inverted"
+    return float(np.median(slopes)) * 1e3
+
+
+def projection(span_ms: float, unpiped: dict, device_compute_ms: float,
+               transfer_mb: float, pcie_GBps: float = 16.0) -> dict:
+    """Production stage-overlap model (module docstring): every host
+    stage owns its cores, the depth-2 pipeline overlaps the device, and
+    double-buffered DMA overlaps transfer with compute — so one chip
+    sustains span/max(compute, transfer), provided the host feeds it.
+
+    The host requirement is published as UNIT costs: cores per real-time
+    APA for the codec (native std::thread-parallel, ~linear to 2-4
+    threads) and for the preprocess+assembly+handler tail (shards by
+    link subsets the way the reference fans links over threads) — all
+    measured on THIS box's core; production cores are typically faster."""
     st = unpiped["stages_ms_p50"]
     host_tail_ms = sum(st[k] for k in ("preprocess_ms", "retention_ms",
                                        "assembly_ms", "handler_ms"))
-    stages = {
-        "codec_ms": st["codec_ms"] / host_codec_cores,
-        "host_tail_ms": host_tail_ms / host_tail_cores,
-        "device_ms": st["device_ms"],      # tunnel-inclusive: conservative
-    }
-    bottleneck = max(stages, key=stages.get)
+    transfer_ms = transfer_mb / pcie_GBps      # MB / (GB/s) = ms
+    device_ms = max(device_compute_ms, transfer_ms)
+    chip_rtf = span_ms / device_ms
+    codec_cores_per_apa = st["codec_ms"] / span_ms
+    tail_cores_per_apa = host_tail_ms / span_ms
+    cores_per_apa = codec_cores_per_apa + tail_cores_per_apa
     return {
-        "assumes": {"codec_cores": host_codec_cores,
-                    "host_tail_cores": host_tail_cores,
-                    "device": "depth-2 pipelined, tunnel-inclusive time"},
-        "stage_ms": {k: round(v, 3) for k, v in stages.items()},
-        "bottleneck_stage": bottleneck,
-        "projected_rtf": round(span_ms / stages[bottleneck], 2),
+        "assumes": {"pcie_GBps": pcie_GBps,
+                    "overlap": "depth-2 pipeline; double-buffered DMA",
+                    "device_compute": "slope-timed on-chip, resident "
+                                      "feeds (tunnel-free)"},
+        "stage_ms": {"device_compute_ms": round(device_compute_ms, 3),
+                     "transfer_ms": round(transfer_ms, 3),
+                     "codec_ms_1core": round(st["codec_ms"], 3),
+                     "host_tail_ms_1core": round(host_tail_ms, 3)},
+        "device_bottleneck": ("transfer" if transfer_ms > device_compute_ms
+                              else "compute"),
+        "host_cores_per_realtime_apa": {
+            "codec": round(codec_cores_per_apa, 2),
+            "tail": round(tail_cores_per_apa, 2)},
+        "chip_bound_rtf": round(chip_rtf, 2),
+        "host_cores_to_sustain_chip_rtf": round(chip_rtf * cores_per_apa,
+                                                1),
+        "projected_rtf": round(chip_rtf, 2),
+    }
+
+
+def run_bench(links: int = 40, frames: int = 128, warm: int = 3,
+              timed: int = 12, algorithm: str = "AbsRS",
+              threshold: int = 150, signal_rate: float = 0.0025,
+              codec_threads: int = 1, pcie_GBps: float = 16.0,
+              interpret: bool = False) -> dict:
+    """The whole bench as a callable (bench.py embeds it as the
+    ``app_rtf`` object); main() is the CLI shell around this."""
+    L, N = links, frames
+    B = warm + timed
+    t_gen = time.perf_counter()
+    batches = generate_batches(L, N, B, signal_rate)
+    gen_s = time.perf_counter() - t_gen
+
+    span_ms = N * SPAN_S_PER_FRAME * 1e3
+    common = dict(L=L, N=N, warm=warm, timed=timed,
+                  algorithm=algorithm, threshold=threshold,
+                  codec_threads=codec_threads, interpret=interpret)
+    unpiped = run_mode(batches, pipelined=False, **common)
+    piped = run_mode(batches, pipelined=True, **common)
+
+    # exact per-batch device traffic: time2 feed up + compact hits down
+    from fdreadoutlibs_tpu import native
+    C = L * 64
+    T_ticks = N * wibeth.N_TIME_SAMPLES
+    feed_mb = int(np.prod(native.time2_feed_shape(L, T_ticks))) * 4 / 1e6
+    hits_mb = (max(2048, 2 * C) + 1) * 6 * 4 / 1e6
+    transfer_mb = feed_mb + hits_mb
+
+    if interpret:
+        dev_ms = float(unpiped["stages_ms_p50"]["device_ms"])  # smoke only
+    else:
+        dev_ms = measure_device_compute(L, N, algorithm, threshold)
+
+    return {
+        "metric": "app_rtf",
+        "config": {"links": L, "frames_per_batch": N,
+                   "batches_timed": timed,
+                   "algorithm": algorithm,
+                   "threshold_on_collection": True,
+                   "feed": "time2", "retention": "zerocopy",
+                   "assembly": "batched", "source_pregen_s": round(gen_s, 1)},
+        "batch_span_ms": round(span_ms, 3),
+        "rtf_pipelined": piped["rtf"],
+        "rtf_unpipelined": unpiped["rtf"],
+        "device_transfer_mb_per_batch": round(transfer_mb, 2),
+        "pipelined": piped,
+        "unpipelined": unpiped,
+        "projection": projection(span_ms, unpiped, dev_ms, transfer_mb,
+                                 pcie_GBps),
     }
 
 
@@ -199,39 +341,14 @@ def main(argv=None) -> int:
                     help="signals per channel per frame")
     ap.add_argument("--codec-threads", type=int, default=1,
                     help="this box has one core; production uses ~2")
+    ap.add_argument("--pcie-GBps", type=float, default=16.0,
+                    help="local-attachment H2D rate for the projection")
     ap.add_argument("--interpret", action="store_true",
                     help="CPU smoke run (tiny shapes advised)")
     args = ap.parse_args(argv)
-
-    L, N = args.links, args.frames
-    B = args.warm + args.timed
-    t_gen = time.perf_counter()
-    batches = generate_batches(L, N, B, args.signal_rate)
-    gen_s = time.perf_counter() - t_gen
-
-    span_ms = N * SPAN_S_PER_FRAME * 1e3
-    common = dict(L=L, N=N, warm=args.warm, timed=args.timed,
-                  algorithm=args.algorithm, threshold=args.threshold,
-                  codec_threads=args.codec_threads,
-                  interpret=args.interpret)
-    unpiped = run_mode(batches, pipelined=False, **common)
-    piped = run_mode(batches, pipelined=True, **common)
-
-    out = {
-        "metric": "app_rtf",
-        "config": {"links": L, "frames_per_batch": N,
-                   "batches_timed": args.timed,
-                   "algorithm": args.algorithm,
-                   "threshold_on_collection": True,
-                   "feed": "time2", "retention": "zerocopy",
-                   "assembly": "batched", "source_pregen_s": round(gen_s, 1)},
-        "batch_span_ms": round(span_ms, 3),
-        "rtf_pipelined": piped["rtf"],
-        "rtf_unpipelined": unpiped["rtf"],
-        "pipelined": piped,
-        "unpipelined": unpiped,
-        "projection": projection(span_ms, unpiped),
-    }
+    out = run_bench(args.links, args.frames, args.warm, args.timed,
+                    args.algorithm, args.threshold, args.signal_rate,
+                    args.codec_threads, args.pcie_GBps, args.interpret)
     print(json.dumps(out))
     return 0
 
