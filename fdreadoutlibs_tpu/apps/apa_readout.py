@@ -62,7 +62,8 @@ class APAReadoutApp:
                  raw_capacity_frames: int = 4096,
                  raw_retention: str = "zerocopy",
                  pipelined: bool = False,
-                 pallas_interpret: bool = False):
+                 pallas_interpret: bool = False,
+                 k_slots: int | None = None):
         if words14_feed and time2_feed:
             raise ValueError("words14_feed and time2_feed are exclusive")
         if fused_unpack and time2_feed:
@@ -98,6 +99,14 @@ class APAReadoutApp:
         # interpret mode: off-TPU smoke runs (CPU demo / dryrun); the
         # compiled Pallas kernels are TPU-only
         self.pallas_interpret = bool(pallas_interpret)
+        # emission capacity: hits per channel per tc-tick chunk.  None ->
+        # the shipped per-algorithm knob (k=1 everywhere: at tc=256 that
+        # is 1 hit / 131 us / channel, ~75x the 256k TPs/s/APA budget;
+        # overflow is never silent — it lands in the compact trailer's
+        # dropped count).  The previous hardcoded k=4 made the slot
+        # buffers (and their device-side compaction) 4x larger for
+        # capacity the physics never uses — see BENCH_NOTES round-5.
+        self.k_slots = k_slots
 
         self.tpset_q = QueueSender(capacity=1 << 16)
         self.handler = TPRequestHandler(
@@ -287,7 +296,8 @@ class APAReadoutApp:
             fn = process_packed_frames_fused if self.fused_unpack \
                 else process_packed_frames
         slots, nclose, self._stack = fn(
-            dev_in, self._stack, self.cfg, C, tc=tc, k_slots=4, unroll=ur,
+            dev_in, self._stack, self.cfg, C, tc=tc,
+            k_slots=self.k_slots or knobs["k_slots"], unroll=ur,
             fir_twopass=knobs["fir_twopass"],
             interpret=self.pallas_interpret)
         # device-side compaction: only the hit list crosses to the host

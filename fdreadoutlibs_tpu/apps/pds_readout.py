@@ -49,8 +49,11 @@ class PDSReadoutApp:
                  run_number: int = 1, det_id: int = 2,
                  raw_capacity_superchunks: int = 1024,
                  pipelined: bool = False,
-                 pallas_interpret: bool = False):
+                 pallas_interpret: bool = False,
+                 k_slots: int | None = None):
         self.n_links = n_links
+        # None -> shipped per-algorithm knob (see APAReadoutApp.k_slots)
+        self.k_slots = k_slots
         # interpret mode: off-TPU smoke runs (CPU demo / dryrun)
         self.pallas_interpret = bool(pallas_interpret)
         self.run_number = run_number
@@ -137,7 +140,8 @@ class PDSReadoutApp:
             and not self.pallas_interpret else 1
         slots, nclose, self._stack = process_packed_daphne(
             jnp.asarray(words), self._stack, self.cfg, C, tc=tc,
-            k_slots=4, unroll=u if tc % u == 0 else 1,
+            k_slots=self.k_slots or knobs["k_slots"],
+            unroll=u if tc % u == 0 else 1,
             fir_twopass=knobs["fir_twopass"],
             interpret=self.pallas_interpret)
         return compact_on_device(slots, nclose, 0, C, max(2048, 2 * C))

@@ -87,6 +87,7 @@ def compact_slot_words(w0, w1, w2, max_hits: int, channel_base: int = 0,
     list itself (the multi-chip per-link decode and StreamingIngest's
     device_compact path both ride this).
     """
+    import jax
     import jax.numpy as jnp
     K, C = w2.shape
     valid = (w2 != 0).reshape(-1)
@@ -94,21 +95,32 @@ def compact_slot_words(w0, w1, w2, max_hits: int, channel_base: int = 0,
     end = (w2 - 1).reshape(-1)
     if w1 is None:
         w1 = jnp.zeros_like(w0)
-    fields = jnp.stack([
-        chan + jnp.int32(channel_base), end + jnp.int32(tick_offset),
-        w0.reshape(-1) >> 16, w0.reshape(-1) & 0xFFFF,
-        w1.reshape(-1) >> 16, w1.reshape(-1) & 0xFFFF], axis=-1)
-    # order by (end_tick, channel); invalid entries sort last
+    # order by (end_tick, channel); invalid entries sort last.  Valid keys
+    # are unique (a hit closes once per channel per tick), so any
+    # deterministic tie rule only ever applies to the all-identical
+    # invalid keys, whose rows are zeroed below.
     key = jnp.where(valid, end * jnp.int32(C) + chan,
                     jnp.iinfo(jnp.int32).max)
-    order = jnp.argsort(key)
-    fields = fields[order]
-    valid_sorted = valid[order]
-    n = jnp.sum(valid_sorted.astype(jnp.int32))
-    out = jnp.zeros((max_hits, 6), jnp.int32)
     take = min(max_hits, K * C)
-    out = out.at[:take].set(jnp.where(valid_sorted[:take, None],
-                                      fields[:take], 0))
+    # top_k of the negated key == the first `take` rows of a full
+    # ascending sort (XLA TopK breaks ties lowest-index-first, matching a
+    # stable argsort) — but it's a partial reduction, not an O(n log n)
+    # comparator sort over every slot, and the 6-field record gather only
+    # materializes for the `take` survivors instead of all K*C slots.
+    # Hits are sparse (~1e3 valid in ~1e5 slots at APA shapes), so this
+    # is the difference between the compaction costing more than the TPG
+    # kernel itself and costing a rounding error (BENCH_NOTES round-5).
+    _, order = jax.lax.top_k(-key, take)
+    valid_t = valid[order]
+    fields = jnp.stack([
+        chan[order] + jnp.int32(channel_base),
+        end[order] + jnp.int32(tick_offset),
+        w0.reshape(-1)[order] >> 16, w0.reshape(-1)[order] & 0xFFFF,
+        w1.reshape(-1)[order] >> 16, w1.reshape(-1)[order] & 0xFFFF],
+        axis=-1)
+    n = jnp.sum(valid.astype(jnp.int32))
+    out = jnp.zeros((max_hits, 6), jnp.int32)
+    out = out.at[:take].set(jnp.where(valid_t[:, None], fields, 0))
     return out, jnp.minimum(n, max_hits)
 
 

@@ -208,7 +208,7 @@ def measure_device_compute(L: int, N: int, algorithm: str, threshold: int,
     @jax.jit
     def step(feed, stack):
         slots, nclose, stack = process_time2_feed(
-            feed, stack, cfg, C, tc=tc, k_slots=4, unroll=u,
+            feed, stack, cfg, C, tc=tc, k_slots=knobs["k_slots"], unroll=u,
             fir_twopass=knobs["fir_twopass"])
         return compact_on_device(slots, nclose, 0, C, max_hits), stack
 
