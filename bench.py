@@ -367,14 +367,22 @@ def bench_host_codecs(seconds: float = 2.0):
     words = rng.integers(0, 2 ** 32, size=(L, T, 28), dtype=np.uint32)
     gb = words.nbytes / 1e9
     out = {}
-    for name, fn in [
-            ("time2", lambda b: native.relayout_time2(
+    # WIB2 words: 10 links x 256 ch (nw=112) through the same generic
+    # codec — the stream/wib2.py tpg_time2_feed host cost
+    w2_words = rng.integers(0, 2 ** 32, size=(10, T, 112), dtype=np.uint32)
+    w2_gb = w2_words.nbytes / 1e9
+    for name, nbytes, fn in [
+            ("time2", gb, lambda b: native.relayout_time2(
                 words, out=b.get(native.time2_feed_shape(L, T)))),
-            ("words14", lambda b: native.relayout_words14(
-                words, out=b.get(native.words14_feed_shape(L, T))))]:
+            ("words14", gb, lambda b: native.relayout_words14(
+                words, out=b.get(native.words14_feed_shape(L, T)))),
+            ("time2_wib2", w2_gb, lambda b: native.relayout_time2(
+                w2_words, ch_per_link=256,
+                out=b.get(native.time2_feed_shape(10, T,
+                                                  ch_per_link=256))))]:
         buf = native.FeedBuffer()
         dt = codec_bench.bench_one(lambda: fn(buf), seconds)
-        out[f"host_{name}_GBps_per_core"] = round(gb / dt, 2)
+        out[f"host_{name}_GBps_per_core"] = round(nbytes / dt, 2)
     return out
 
 
@@ -606,8 +614,10 @@ def main():
                 "rtf_pipelined", "rtf_unpipelined", "batch_span_ms",
                 "device_transfer_mb_per_batch", "projection", "config")
                 if k in app}
-            out["app_rtf"]["tpsets_emitted"] = \
-                app.get("pipelined", {}).get("tpsets", 0)
+            piped = app.get("pipelined", {})
+            out["app_rtf"]["tpsets_emitted"] = piped.get("tpsets_drained", 0)
+            out["app_rtf"]["tps_sent"] = piped.get("total_tps_sent", 0)
+            out["app_rtf"]["ts_errors"] = piped.get("ts_errors")
         except Exception as e:  # noqa: BLE001 — never cost the headline
             out["app_rtf_error"] = str(e)[-200:]
     if extra:

@@ -124,13 +124,18 @@ class WIB2FrameProcessor(WIBEthFrameProcessor):
         self.process_swtpg_hits(hits, timestamp)
 
     def _run_pallas_packed_wib2(self, frames: np.ndarray):
-        """Fused device ingest: packed 112-word rows, unpack on device."""
+        """Fused device ingest: packed 112-word rows, unpack on device —
+        or, with tpg_time2_feed, the host-codec time2 path (the inherited
+        _run_pallas_time2 is generic over ch_per_link; the frontend RTF
+        gap it closes is recorded in BENCH_NOTES round-5)."""
         import jax.numpy as jnp
         from ..ops.ingest import collect_hits, process_packed_wib2
         from ..ops.pallas_tpg import auto_tc, pack_state
         C = self.N_CHANNELS
         words = np.ascontiguousarray(wib2.adc_region_u32(frames)) \
             .reshape(1, -1, wib2.ADC_WORDS)
+        if self._time2_feed:
+            return self._run_pallas_time2(words)
         T = words.shape[1]
         from ..utils.tuning import kernel_knobs
         knobs = kernel_knobs(self.tpg_cfg, C)

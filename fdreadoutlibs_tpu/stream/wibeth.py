@@ -93,6 +93,8 @@ def assemble_tps(hits: np.ndarray, t_base, offline_table: np.ndarray,
 
 class WIBEthFrameProcessor(TaskRawDataProcessor):
 
+    N_CHANNELS = wibeth.N_CHANNELS       # per link; subclasses override
+
     def __init__(self, error_registry=None, tp_sink: Optional[Sender] = None):
         super().__init__(error_registry)
         self.tp_sink = tp_sink
@@ -145,6 +147,13 @@ class WIBEthFrameProcessor(TaskRawDataProcessor):
         # max(2048, 2x channels)); overflow is counted as dropped.
         self._device_compact = bool(config.get("tpg_device_compact", True))
         self._max_hits = config.get("tpg_max_hits")
+        # time2 feed (pallas backend only): the HOST unpacks the 14-bit
+        # codec and pairs two ticks per int32 (native.relayout_time2 —
+        # generic over ch_per_link, so WIB2's 256-ch frames take the
+        # same path); the device runs the plain time_packed datapath.
+        # The fastest ingest when host codec cores are available
+        # (BENCH_NOTES "time2 feed").
+        self._time2_feed = bool(config.get("tpg_time2_feed", False))
 
         self.error_counter_threshold = config.get("error_counter_threshold",
                                                   1000)
@@ -167,6 +176,8 @@ class WIBEthFrameProcessor(TaskRawDataProcessor):
         self._state = None
         self._pallas_stack = None
         self._state_stale = False
+        from .. import native
+        self._t2_buf = native.FeedBuffer()    # time2 feed output reuse
         self.det_id = 0
         self._ts_problem_reported = False
         self._seq_problem_reported = False
@@ -294,7 +305,12 @@ class WIBEthFrameProcessor(TaskRawDataProcessor):
                 first = wibeth.get_adcs(frames[:1]) \
                     .reshape(-1, wibeth.N_CHANNELS)[0].astype(np.int32)
                 self._first_frame_setup(frames, first)
-            hits = self._run_pallas_packed(words)
+            if self._time2_feed:
+                T = words.shape[0] * wibeth.N_TIME_SAMPLES
+                hits = self._run_pallas_time2(
+                    np.ascontiguousarray(words.reshape(1, T, -1)))
+            else:
+                hits = self._run_pallas_packed(words)
         else:
             adcs = wibeth.get_adcs(frames).reshape(-1, wibeth.N_CHANNELS) \
                 .astype(np.int32)
@@ -335,6 +351,49 @@ class WIBEthFrameProcessor(TaskRawDataProcessor):
         # to host every batch was a device->host sync per batch (VERDICT
         # r2 weak #4) — consumers (checkpoint, inspection) go through
         # current_state(), which unpacks on demand
+        self._state_stale = True
+        return hits
+
+    def _run_pallas_time2(self, words: np.ndarray):
+        """Time2 host feed for one link: (1, T, nw) packed words; the
+        host pays the 14-bit unpack + time pairing (native.relayout_time2
+        with ch_per_link = N_CHANNELS — WIBEth nw=28, WIB2 nw=112) and
+        the device runs the plain time_packed datapath (BENCH_NOTES
+        "time2 feed"; cf. StreamingIngest(time2=True) for the multi-link
+        app path and ProtoWIB's plane-subset variant)."""
+        import jax.numpy as jnp
+        from .. import native
+        from ..ops.ingest import collect_hits, process_time2_feed
+        from ..ops.pallas_tpg import auto_tc, pack_state
+        C = self.N_CHANNELS
+        L, T, _ = words.shape
+        from ..utils.tuning import kernel_knobs
+        knobs = kernel_knobs(self.tpg_cfg, C)
+        if self._pallas_stack is None:
+            self._pallas_stack = pack_state(
+                self._state, C, block_sublanes=knobs["block_sublanes"])
+        feed = jnp.asarray(native.relayout_time2(
+            words, ch_per_link=C,
+            out=self._t2_buf.get(
+                native.time2_feed_shape(L, T, ch_per_link=C))))
+        tc = auto_tc(T, cap=512 if self._interpret else knobs["tc"])
+        # the time_packed datapath consumes two ticks per step: tc and
+        # unroll must be even (T is even — 64 ticks/frame, 12/superchunk)
+        if tc % 2:
+            tc = next((d for d in range(tc, 1, -1)
+                       if T % d == 0 and d % 2 == 0), T)
+        u = knobs["unroll"]
+        unroll = u if (not self._interpret and tc % u == 0
+                       and u % 2 == 0) else 2
+        slots, nclose, self._pallas_stack = process_time2_feed(
+            feed, self._pallas_stack, self.tpg_cfg, C, tc=tc,
+            k_slots=self.k_slots, unroll=unroll,
+            interpret=self._interpret, fir_twopass=knobs["fir_twopass"])
+        hits, dropped = collect_hits(slots, nclose, C,
+                                     max_hits=self._max_hits,
+                                     device=self._device_compact)
+        if dropped:
+            self.metrics.inc("num_hits_dropped", dropped)
         self._state_stale = True
         return hits
 

@@ -45,6 +45,7 @@ Run:  python scripts/bench_app_rtf.py [--frames 128 --timed 12]
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import sys
 import time
@@ -205,26 +206,35 @@ def measure_device_compute(L: int, N: int, algorithm: str, threshold: int,
     u = u if u % 2 == 0 else 2          # two ticks per time2 word
     max_hits = max(2048, 2 * C)
 
-    @jax.jit
-    def step(feed, stack):
+    feeds_arr = jnp.stack(feeds)                     # (2, T//2, S, 128)
+
+    def body(stack, i):
+        feed = jax.lax.dynamic_index_in_dim(feeds_arr, i, keepdims=False)
         slots, nclose, stack = process_time2_feed(
             feed, stack, cfg, C, tc=tc, k_slots=knobs["k_slots"], unroll=u,
             fir_twopass=knobs["fir_twopass"])
-        return compact_on_device(slots, nclose, 0, C, max_hits), stack
+        return stack, compact_on_device(slots, nclose, 0, C, max_hits)
 
-    def chain(n, stack):
+    # chain INSIDE one jit (lax.scan): a per-call tunnel dispatch costs
+    # ms-scale and is phase-variable, so a host-side loop contaminates
+    # the slope (it read 0.44 ms one session and 3.9 ms the next on the
+    # same binary); with one dispatch per chain length it cancels.
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def multi(stack, n):
+        return jax.lax.scan(body, stack, jnp.arange(n) % 2)
+
+    jax.block_until_ready(multi(stack, 1))           # compile both arms
+    jax.block_until_ready(multi(stack, 7))
+
+    def chain(n):
         t0 = time.perf_counter()
-        packed = None
-        for i in range(n):
-            packed, stack = step(feeds[i % 2], stack)
-        packed.block_until_ready()
+        jax.block_until_ready(multi(stack, n))
         return time.perf_counter() - t0
 
-    chain(1, stack)                                  # compile
     slopes = []
     for _ in range(2 * trials):
-        t_a = chain(1, stack)
-        t_b = chain(7, stack)
+        t_a = chain(1)
+        t_b = chain(7)
         if t_b > t_a:
             slopes.append((t_b - t_a) / 6)
         if len(slopes) >= trials:

@@ -113,7 +113,8 @@ def arm_wib2(T, n_windows, trials, on_tpu, links=10):
     from fdreadoutlibs_tpu.ops import TPGConfig
     from fdreadoutlibs_tpu.ops.chanstate import init_chanstate, \
         seed_chanstate
-    from fdreadoutlibs_tpu.ops.ingest import process_packed_wib2
+    from fdreadoutlibs_tpu.ops.ingest import (process_packed_wib2,
+                                              process_time2_feed)
     from fdreadoutlibs_tpu.ops.pallas_tpg import pack_state
     from fdreadoutlibs_tpu.utils.tuning import kernel_knobs
 
@@ -133,22 +134,40 @@ def arm_wib2(T, n_windows, trials, on_tpu, links=10):
     u = knobs["unroll"] if (on_tpu and tc % knobs["unroll"] == 0) else 1
     w = jnp.asarray(words)
 
-    def step(s):
+    def step_fused(s):
         return process_packed_wib2(w, s, cfg, C, tc=tc, k_slots=knobs["k_slots"],
                                    unroll=u, interpret=not on_tpu,
                                    vmem_limit_mb=64 if on_tpu else None,
                                    fir_twopass=knobs["fir_twopass"])
 
-    multi = _scan_jit(step, n_windows)
+    # production path (stream/wib2.py tpg_time2_feed): the HOST unpacks
+    # + time-pairs (native.relayout_time2 is generic over ch_per_link —
+    # WIB2 nw=112), the device runs the plain time_packed datapath.
+    # Host codec cost is quantified separately (host_codecs in bench.py).
+    from fdreadoutlibs_tpu import native
+    feed = jnp.asarray(native.relayout_time2(words, ch_per_link=256))
+    u2 = u if u % 2 == 0 else 2
+    tc2 = tc if tc % 2 == 0 else 256
+
+    def step_time2(s):
+        return process_time2_feed(feed, s, cfg, C, tc=tc2,
+                                  k_slots=knobs["k_slots"], unroll=u2,
+                                  interpret=not on_tpu,
+                                  vmem_limit_mb=64 if on_tpu else None,
+                                  fir_twopass=knobs["fir_twopass"])
 
     def sync(s):
         _ = float(jnp.sum(s[:, 0]))
     span = T / TICK_HZ["wib2"]
-    rtf, per = _measure(multi, stack, n_windows, span, trials, sync,
-                        on_tpu, sanity=3)
+    rtf, per = _measure(_scan_jit(step_time2, n_windows), stack, n_windows,
+                        span, trials, sync, on_tpu, sanity=3)
+    rtf_f, per_f = _measure(_scan_jit(step_fused, n_windows), stack,
+                            n_windows, span, trials, sync, on_tpu, sanity=3)
     return {"rtf": round(rtf, 2), "trials": [round(v, 2) for v in per],
             "channels": C, "links": links, "algorithm": "FIR",
-            "ingest": "fused on-device 14-bit unpack",
+            "ingest": "time2 host feed (codec in host_codecs)",
+            "rtf_fused": round(rtf_f, 2),
+            "trials_fused": [round(v, 2) for v in per_f],
             "tick_hz": TICK_HZ["wib2"]}
 
 

@@ -154,6 +154,23 @@ class TestRelayoutOutReuse:
         res2 = native.relayout_time2(words2, out=out)
         np.testing.assert_array_equal(res2, native.relayout_time2(words2))
 
+    def test_time2_cpl256_matches_numpy_oracle(self):
+        """WIB2 shapes (ch_per_link=256, nw=112) through the generic
+        codec vs an independent bitpack oracle — the differential behind
+        the WIB2 tpg_time2_feed path."""
+        from fdreadoutlibs_tpu.formats.bitpack import unpack_14bit
+        rng = np.random.default_rng(11)
+        L, T, cpl = 3, 24, 256
+        words = rng.integers(0, 2 ** 32, size=(L, T, 112), dtype=np.uint32)
+        res = native.relayout_time2(words, ch_per_link=cpl)
+        adcs = unpack_14bit(words, cpl).astype(np.int32)  # (L, T, 256)
+        C = L * cpl
+        S = native._pad_sublanes8(C)
+        flat = np.zeros((T, S * 128), dtype=np.int32)
+        flat[:, :C] = adcs.transpose(1, 0, 2).reshape(T, C)
+        expect = (flat[0::2] | (flat[1::2] << 16)).reshape(T // 2, S, 128)
+        np.testing.assert_array_equal(res, expect)
+
     def test_time2_unaligned_out_is_bit_exact(self):
         # a 4-byte-aligned (not 64) buffer takes the regular-store branch
         # of the C++ codec; results must be identical

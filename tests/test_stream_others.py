@@ -93,6 +93,24 @@ class TestWIB2Processor:
         ref = np.concatenate(sink_r.drain())
         np.testing.assert_array_equal(got, ref)
 
+    def test_time2_feed_matches_reference(self):
+        """tpg_time2_feed on WIB2: the generic host relayout_time2
+        (ch_per_link=256, nw=112) + plain time_packed datapath must match
+        the reference backend, with state carried across batches."""
+        proc_t, sink_t = self.make(tpg_backend="pallas",
+                                   tpg_pallas_interpret=True,
+                                   tpg_time2_feed=True)
+        proc_r, sink_r = self.make(tpg_backend="reference")
+        sc, _ = self.golden_superchunks(n=8, channel=200)
+        # batch boundary at tick 12 lands inside the golden hill (ticks
+        # 10-18): the carried feed state is load-bearing
+        proc_t.process(sc[:1].copy())
+        proc_t.process(sc[1:].copy())
+        proc_r.process(sc.copy())
+        got = np.concatenate(sink_t.drain())
+        ref = np.concatenate(sink_r.drain())
+        np.testing.assert_array_equal(got, ref)
+
 
 class TestDAPHNEProcessors:
     def test_selftriggered_records_ts(self):

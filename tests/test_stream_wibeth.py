@@ -70,6 +70,23 @@ class TestGoldenEndToEnd:
         ref = np.concatenate(ref_sink.drain())
         np.testing.assert_array_equal(tps, ref)
 
+    def test_time2_feed_matches_reference(self):
+        """tpg_time2_feed: host relayout_time2 + plain time_packed
+        datapath must emit the same TP stream, including carried state
+        across batches."""
+        proc, sink = make_processor(backend="pallas", tpg_time2_feed=True)
+        # offset=60: hits span the frame boundary (cf.
+        # test_state_carries_across_batches), so the carried feed state
+        # is load-bearing
+        frames = golden_frames(n_frames=4, channel=17, offset=60)
+        for i in range(4):
+            proc.process(frames[i:i + 1])
+        tps = np.concatenate(sink.drain())
+        ref_proc, ref_sink = make_processor(backend="reference")
+        ref_proc.process(golden_frames(n_frames=4, channel=17, offset=60))
+        ref = np.concatenate(ref_sink.drain())
+        np.testing.assert_array_equal(tps, ref)
+
     def test_state_carries_across_batches(self):
         proc, sink = make_processor()
         frames = golden_frames(n_frames=4, offset=60)  # hits span frames
