@@ -593,6 +593,11 @@ def main():
         except Exception as e:  # noqa: BLE001 — never cost the headline
             out["latency_error"] = str(e)[-200:]
     if on_tpu:
+        # own path insert: the latency block's insert above is inside a
+        # try and may be skipped/refactored — these imports must not
+        # depend on it
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "scripts"))
         # per-frontend hardware RTF: every frontend with a device path
         # gets a slope-timed number at a production aggregation, not an
         # extrapolation from the WIBEth flagship — VERDICT r4 #2.  Full

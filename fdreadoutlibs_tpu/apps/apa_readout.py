@@ -100,13 +100,16 @@ class APAReadoutApp:
         # compiled Pallas kernels are TPU-only
         self.pallas_interpret = bool(pallas_interpret)
         # emission capacity: hits per channel per tc-tick chunk.  None ->
-        # the shipped per-algorithm knob (k=1 everywhere: at tc=256 that
-        # is 1 hit / 131 us / channel, ~75x the 256k TPs/s/APA budget;
-        # overflow is never silent — it lands in the compact trailer's
-        # dropped count).  The previous hardcoded k=4 made the slot
-        # buffers (and their device-side compaction) 4x larger for
-        # capacity the physics never uses — see BENCH_NOTES round-5.
-        self.k_slots = k_slots
+        # 4, the streaming default (stream/wibeth.py): the constraint is
+        # per-channel BURST capacity, not the APA-average rate — two real
+        # hits on one wire inside a tc=256 chunk (131 us; overlapping
+        # tracks, showers, glitching channels) would silently lose the
+        # second at k=1.  The shipped KERNEL knob k=1 is the bench /
+        # speed-of-light config; pass k_slots=1 to reproduce it.  The
+        # app's projected RTF is transfer-bound either way (BENCH_NOTES
+        # round-5), and overflow is never silent — it lands in the
+        # compact trailer's dropped count.
+        self.k_slots = 4 if k_slots is None else k_slots
 
         self.tpset_q = QueueSender(capacity=1 << 16)
         self.handler = TPRequestHandler(
@@ -297,7 +300,7 @@ class APAReadoutApp:
                 else process_packed_frames
         slots, nclose, self._stack = fn(
             dev_in, self._stack, self.cfg, C, tc=tc,
-            k_slots=self.k_slots or knobs["k_slots"], unroll=ur,
+            k_slots=self.k_slots, unroll=ur,
             fir_twopass=knobs["fir_twopass"],
             interpret=self.pallas_interpret)
         # device-side compaction: only the hit list crosses to the host

@@ -52,8 +52,9 @@ class PDSReadoutApp:
                  pallas_interpret: bool = False,
                  k_slots: int | None = None):
         self.n_links = n_links
-        # None -> shipped per-algorithm knob (see APAReadoutApp.k_slots)
-        self.k_slots = k_slots
+        # None -> 4, the capacity-driven streaming default (rationale on
+        # APAReadoutApp.k_slots)
+        self.k_slots = 4 if k_slots is None else k_slots
         # interpret mode: off-TPU smoke runs (CPU demo / dryrun)
         self.pallas_interpret = bool(pallas_interpret)
         self.run_number = run_number
@@ -140,7 +141,7 @@ class PDSReadoutApp:
             and not self.pallas_interpret else 1
         slots, nclose, self._stack = process_packed_daphne(
             jnp.asarray(words), self._stack, self.cfg, C, tc=tc,
-            k_slots=self.k_slots or knobs["k_slots"],
+            k_slots=self.k_slots,
             unroll=u if tc % u == 0 else 1,
             fir_twopass=knobs["fir_twopass"],
             interpret=self.pallas_interpret)

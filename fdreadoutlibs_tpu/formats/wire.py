@@ -230,7 +230,13 @@ def unpack_fragment(buf: bytes, payload_stride: int | None = None):
         raise ValueError(f"fragment size field {int(h['size'])} != "
                          f"{len(buf)} bytes supplied")
     payload = np.frombuffer(buf[hdr_size:], dtype=np.uint8)
-    tname = fragment_type_name(int(h["fragment_type"]))
+    code = int(h["fragment_type"])
+    tname = fragment_type_name(code)
+    # forward compat: a code with no name in this build's table must
+    # survive an unpack->repack round-trip byte-faithfully — keep the
+    # numeric code (pack_fragment accepts ints) instead of collapsing
+    # it to kUnknown (code 0)
+    ftype = tname if fragment_type_code(tname) == code else code
     if payload_stride is None and tname == "kTriggerPrimitive":
         # reconstruct in-memory TP records from the POD stride
         payload = wire_to_tps(buf[hdr_size:])
@@ -248,7 +254,7 @@ def unpack_fragment(buf: bytes, payload_stride: int | None = None):
         trigger_timestamp=int(h["trigger_timestamp"]),
         window_begin=int(h["window_begin"]),
         window_end=int(h["window_end"]),
-        source_id=int(h["elem_id"]), fragment_type=tname,
+        source_id=int(h["elem_id"]), fragment_type=ftype,
         sequence_number=int(h["sequence_number"]),
         detector_id=int(h["detector_id"]),
         error_bits=int(h["error_bits"]), version=int(h["version"]),
@@ -287,11 +293,22 @@ def tpset_to_bytes(tpset: TPSet) -> bytes:
 
 def tpset_from_bytes(buf: bytes) -> TPSet:
     hs = TPSET_HEADER_DTYPE.itemsize
+    if len(buf) < hs:
+        raise ValueError(f"short TPSet: {len(buf)} B < {hs} B header")
     h = np.frombuffer(buf[:hs], dtype=TPSET_HEADER_DTYPE)[0]
     if int(h["marker"]) != TPSET_MARKER:
         raise ValueError(f"bad TPSet marker 0x{int(h['marker']):08x}")
+    if int(h["version"]) != TPSET_WIRE_VERSION:
+        raise ValueError(f"TPSet wire version {int(h['version'])} != "
+                         f"{TPSET_WIRE_VERSION}")
     n = int(h["n_objects"])
-    tps = wire_to_tps(buf[hs:hs + n * TP_WIRE_DTYPE.itemsize])
+    need = hs + n * TP_WIRE_DTYPE.itemsize
+    if len(buf) < need:
+        # a partial write at a 48-byte boundary would otherwise decode
+        # silently short — lossy replay claiming to be lossless
+        raise ValueError(f"truncated TPSet: header claims {n} TPs "
+                         f"({need} B), got {len(buf)} B")
+    tps = wire_to_tps(buf[hs:need])
     return TPSet(run_number=int(h["run_number"]),
                  type=TPSetType(int(h["type"])), origin=int(h["origin"]),
                  start_time=int(h["start_time"]),

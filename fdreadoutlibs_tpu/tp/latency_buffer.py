@@ -228,11 +228,17 @@ class NativeLatencyBufferAdapter:
     def newest_ts(self):
         return self._buf.newest_ts()
 
+    _U64 = np.dtype(np.uint64)
+
     def extract_window(self, start_ts: int, end_ts: int) -> np.ndarray:
-        return self._buf.extract_window(int(start_ts), int(end_ts))
+        # saturate out-of-range boundaries exactly like the python
+        # LatencyBuffer: bare int() through ctypes c_uint64 WRAPS
+        # (-5 -> 2**64-5, 1<<64 -> 0), silently inverting the window
+        return self._buf.extract_window(int(_exact_key(start_ts, self._U64)),
+                                        int(_exact_key(end_ts, self._U64)))
 
     def pop_until(self, ts: int) -> int:
-        return self._buf.pop_until(int(ts))
+        return self._buf.pop_until(int(_exact_key(ts, self._U64)))
 
     def pop_n(self, n: int) -> int:
         return self._buf.pop_n(int(n))

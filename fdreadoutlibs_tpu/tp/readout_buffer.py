@@ -17,7 +17,7 @@ import numpy as np
 
 from ..formats.adapters import TypeAdapter
 from ..utils.metrics import MetricsCollector
-from .latency_buffer import make_latency_buffer
+from .latency_buffer import _exact_key, make_latency_buffer
 
 
 def payload_record_dtype(payload_size: int) -> np.dtype:
@@ -145,8 +145,13 @@ class PayloadRingBuffer:
 
     def _window_bounds(self, start_ts: int, end_ts: int) -> tuple[int, int]:
         k = self._keys[self._start:self._end]
-        lo = int(np.searchsorted(k, start_ts, side="left"))
-        hi = int(np.searchsorted(k, end_ts, side="left"))
+        # exact saturating boundary coercion: searchsorted(uint64, int)
+        # promotes through float64, lossy above 2**53 (same bug class as
+        # LatencyBuffer._exact_key; scripts/fuzz_tp_path.py)
+        lo = int(np.searchsorted(k, _exact_key(start_ts, k.dtype),
+                                 side="left"))
+        hi = int(np.searchsorted(k, _exact_key(end_ts, k.dtype),
+                                 side="left"))
         return self._start + lo, self._start + hi
 
     def extract_window(self, start_ts: int, end_ts: int) -> np.ndarray:
@@ -286,6 +291,9 @@ class SegmentedPayloadBuffer:
         """(segment index, lo, hi) row ranges with start <= key < end,
         clipped to the live region."""
         pieces = []
+        # exact saturating coercion — see PayloadRingBuffer._window_bounds
+        start_ts = _exact_key(start_ts, np.dtype(np.uint64))
+        end_ts = _exact_key(end_ts, np.dtype(np.uint64))
         for i, (seg_keys, _) in enumerate(self._segs):
             lo = int(np.searchsorted(seg_keys, start_ts, side="left"))
             hi = int(np.searchsorted(seg_keys, end_ts, side="left"))
@@ -337,6 +345,7 @@ class SegmentedPayloadBuffer:
     def pop_until(self, ts: int) -> int:
         with self._lock:
             total = 0
+            ts = _exact_key(ts, np.dtype(np.uint64))
             for seg_keys, _ in list(self._segs):
                 lo = int(np.searchsorted(seg_keys, ts, side="left"))
                 live_lo = lo - self._first_live

@@ -43,6 +43,11 @@ class FragmentRecorder:
         meta["file"] = name
         meta["n_payloads"] = len(fragment)
         meta["size_bytes"] = fragment.size_bytes
+        if fragment.payloads.dtype.names:
+            # structured payloads (e.g. ring-retention records with a
+            # time_start field): the .frag bytes are dtype-less, so the
+            # index carries the descr for faithful read()-back
+            meta["payload_dtype"] = fragment.payloads.dtype.descr
         with open(self._index, "a") as f:
             f.write(json.dumps(meta) + "\n")
         self._n += 1
@@ -70,7 +75,17 @@ class FragmentRecorder:
         stride = (meta["size_bytes"] // n
                   if n and meta["fragment_type"] != "kTriggerPrimitive"
                   else None)
-        return Fragment.from_bytes(path.read_bytes(), payload_stride=stride)
+        frag = Fragment.from_bytes(path.read_bytes(), payload_stride=stride)
+        if "payload_dtype" in meta and n:
+            # restore the structured dtype the writer recorded (descr
+            # round-trips through JSON as lists; shapes need tuples)
+            dt = np.dtype([tuple(f) if len(f) < 3 else
+                           (f[0], f[1], tuple(f[2]))
+                           for f in meta["payload_dtype"]])
+            frag = Fragment(frag.header,
+                            np.ascontiguousarray(frag.payloads)
+                            .view(dt).reshape(n))
+        return frag
 
     def index(self) -> list[dict]:
         if not self._index.exists():

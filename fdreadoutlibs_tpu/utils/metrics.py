@@ -21,9 +21,10 @@ class MetricsCollector:
         self._gauges: dict[str, float] = {}
         self.channel_tp_counts: dict[int, int] = defaultdict(int)
         self._channel_pending: list[np.ndarray] = []
-        # Guards _channel_pending only: the batch thread appends while a
-        # monitoring thread consolidates; uncontended acquire is ~100 ns,
-        # negligible at per-batch cadence.
+        # Guards _channel_pending AND channel_tp_counts (consolidation's
+        # read-modify-write, top_channels iteration, reset clear): the
+        # batch thread appends while a monitoring thread consolidates;
+        # uncontended acquire is ~100 ns, negligible at per-batch cadence.
         self._channel_lock = threading.Lock()
         self._t0 = time.monotonic()
 
@@ -71,7 +72,12 @@ class MetricsCollector:
     def top_channels(self, n: int = 10) -> list[tuple[int, int]]:
         """Top-n (channel, tp_count) — WIBEthFrameProcessor.cpp:264-287."""
         self._consolidate_channels()
-        return sorted(self.channel_tp_counts.items(), key=lambda kv: -kv[1])[:n]
+        # iterate under the same lock the consolidation mutates under: a
+        # concurrent consolidation inserting a first-seen channel would
+        # otherwise resize the dict mid-sorted() (RuntimeError)
+        with self._channel_lock:
+            return sorted(self.channel_tp_counts.items(),
+                          key=lambda kv: -kv[1])[:n]
 
     # snapshot (get_info equivalent) -------------------------------------
     def get_info(self) -> dict:
@@ -88,8 +94,8 @@ class MetricsCollector:
         """Snapshot and reset rate counters (the exchange(0) pattern)."""
         info = self.get_info()
         self._counters.clear()
-        self.channel_tp_counts.clear()
         with self._channel_lock:
+            self.channel_tp_counts.clear()
             self._channel_pending = []
         self._t0 = time.monotonic()
         return info

@@ -211,8 +211,10 @@ def measure_device_compute(L: int, N: int, algorithm: str, threshold: int,
     def body(stack, i):
         feed = jax.lax.dynamic_index_in_dim(feeds_arr, i, keepdims=False)
         slots, nclose, stack = process_time2_feed(
-            feed, stack, cfg, C, tc=tc, k_slots=knobs["k_slots"], unroll=u,
-            fir_twopass=knobs["fir_twopass"])
+            feed, stack, cfg, C, tc=tc, k_slots=4, unroll=u,
+            fir_twopass=knobs["fir_twopass"])  # k=4: the app's
+        # capacity-driven default (APAReadoutApp.k_slots), not the
+        # kernel-bench knob — the projection must model the app
         return stack, compact_on_device(slots, nclose, 0, C, max_hits)
 
     # chain INSIDE one jit (lax.scan): a per-call tunnel dispatch costs

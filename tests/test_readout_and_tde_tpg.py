@@ -253,6 +253,24 @@ class TestFragmentRecorder:
         rec2 = FragmentRecorder(tmp_path / "run", run_number=12)
         assert len(rec2) == 2
 
+    def test_structured_payloads_roundtrip_dtype(self, tmp_path):
+        """Ring-retention fragments carry structured records; read()
+        must restore the exact dtype, not uint8 rows (round-5 review)."""
+        from fdreadoutlibs_tpu.formats.fragment import build_fragment
+        from fdreadoutlibs_tpu.tp.recorder import FragmentRecorder
+        dt = np.dtype([("time_start", "<u8"), ("payload", "u1", (16,))])
+        recs = np.zeros(3, dtype=dt)
+        recs["time_start"] = [10, 20, 30]
+        recs["payload"] = np.arange(3 * 16, dtype=np.uint8).reshape(3, 16)
+        frag = build_fragment(recs, run_number=5, trigger_number=9,
+                              window_begin=10, window_end=31, source_id=2,
+                              fragment_type="kWIBEth")
+        rec = FragmentRecorder(tmp_path / "run", run_number=5)
+        rec.write(frag)
+        back = rec.read(0)
+        assert back.payloads.dtype == dt
+        np.testing.assert_array_equal(back.payloads, recs)
+
 
 @pytest.mark.parametrize("impl", ["ring", "zerocopy"])
 def test_payload_ring_concurrent_insert_and_request(impl):

@@ -452,6 +452,48 @@ class TestHostileTimestamps:
         snap = buf.snapshot()
         np.testing.assert_array_equal(snap["time_start"], sorted(keys))
 
+    def test_native_window_boundaries_saturate_like_python(self):
+        """Bare int() through ctypes c_uint64 WRAPS (-5 -> 2**64-5,
+        1<<64 -> 0): the native adapter silently inverted out-of-range
+        windows the python buffer saturates (round-5 review)."""
+        from fdreadoutlibs_tpu import native
+        from fdreadoutlibs_tpu.formats.trigprim import TP_DTYPE
+        from fdreadoutlibs_tpu.tp.latency_buffer import \
+            NativeLatencyBufferAdapter
+        if not native.available():
+            import pytest
+            pytest.skip("native lib not built")
+        nat = NativeLatencyBufferAdapter(TP_DTYPE)
+        py = LatencyBuffer()
+        for b in (nat, py):
+            b.insert(tps_at([0, 100, (1 << 64) - 1]))
+        for lo, hi in ((-5, 101), (0, 1 << 64), (-(1 << 70), 1 << 70)):
+            np.testing.assert_array_equal(
+                nat.extract_window(lo, hi)["time_start"],
+                py.extract_window(lo, hi)["time_start"])
+        assert nat.pop_until(-1) == py.pop_until(-1) == 0
+
+    def test_payload_buffers_exact_above_2_53(self):
+        """The raw-retention buffers had the same float64 searchsorted
+        promotion LatencyBuffer._exact_key fixed: boundaries near 2**63
+        rounded onto neighboring keys (round-5 review)."""
+        from fdreadoutlibs_tpu.tp.readout_buffer import (
+            PayloadRingBuffer, SegmentedPayloadBuffer)
+        base = (1 << 63) - 5001
+        keys = np.array([base, base + 1, base + 3], dtype=np.uint64)
+        rows = np.arange(3 * 8, dtype=np.uint8).reshape(3, 8)
+        for buf in (PayloadRingBuffer(8, capacity=16),
+                    SegmentedPayloadBuffer(8, capacity=16)):
+            buf.insert(keys, rows.copy())
+            np.testing.assert_array_equal(
+                buf.extract_window(base, base + 1), rows[:1])
+            np.testing.assert_array_equal(
+                buf.extract_window(base + 1, base + 4), rows[1:])
+            assert buf.pop_until(base + 1) == 1
+            # saturating out-of-range boundaries
+            np.testing.assert_array_equal(
+                buf.extract_window(-5, 1 << 70), rows[1:])
+
     def test_fuzz_tp_path_smoke(self):
         """A slice of the differential fuzz runs clean (full sweeps are
         scripts/fuzz_tp_path.py; clean seed ranges recorded in

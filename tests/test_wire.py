@@ -183,6 +183,36 @@ def test_tpset_heartbeat_roundtrip():
     assert back.type == TPSetType.kHeartbeat and len(back.objects) == 0
 
 
+def test_tpset_truncation_raises():
+    """A partial write at any 48-byte boundary must raise, not decode
+    silently short (round-5 review)."""
+    tps = make_tps(3)
+    tps["time_start"] = [10, 20, 30]
+    buf = wire.tpset_to_bytes(TPSet(run_number=4, type=TPSetType.kPayload,
+                                    origin=1, start_time=10, end_time=30,
+                                    seqno=0, objects=tps))
+    with pytest.raises(ValueError, match="truncated"):
+        wire.tpset_from_bytes(buf[:-48])        # one whole TP short
+    with pytest.raises(ValueError, match="truncated"):
+        wire.tpset_from_bytes(buf[:-1])
+    with pytest.raises(ValueError, match="short"):
+        wire.tpset_from_bytes(buf[:10])
+
+
+def test_unknown_fragment_type_code_roundtrips():
+    """A forward-compat code absent from this build's table must survive
+    unpack->repack byte-faithfully, not collapse to kUnknown/0."""
+    frag = build_fragment(np.zeros((1, 8), np.uint8), run_number=1,
+                          trigger_number=1, window_begin=0, window_end=1,
+                          source_id=0, fragment_type="kWIB")
+    buf = bytearray(frag.to_bytes())
+    assert wire.FRAGMENT_HEADER_DTYPE.fields["fragment_type"][1] == 56
+    buf[56:60] = (20).to_bytes(4, "little")       # unassigned code
+    back = Fragment.from_bytes(bytes(buf))
+    assert back.header.fragment_type == 20
+    assert back.to_bytes() == bytes(buf)
+
+
 # ---- recorder store + request path emit the binary form -------------------
 
 def test_recorder_stores_wire_bytes(tmp_path):
