@@ -285,10 +285,13 @@ class APAReadoutApp:
             from .. import native
             from ..ops.ingest import process_time2_feed
             t_codec = time.perf_counter()
+            # pad8=False: ship only the ceil(C/128) data rows; the
+            # 8-sublane kernel pad happens on device inside
+            # process_time2_feed (~17% less transfer at APA shapes)
             fed = native.relayout_time2(
                 words, out=self._feed_buf.get(
-                    native.time2_feed_shape(L, T)),
-                nthreads=self.codec_threads)
+                    native.time2_feed_shape(L, T, pad8=False)),
+                nthreads=self.codec_threads, pad8=False)
             self._codec_ms = (time.perf_counter() - t_codec) * 1e3
             dev_in = jnp.asarray(fed)
             fn = process_time2_feed

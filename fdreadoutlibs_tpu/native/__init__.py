@@ -353,11 +353,18 @@ def _pad_sublanes8(C: int) -> int:
 
 
 def time2_feed_shape(n_links: int, n_ticks: int,
-                     ch_per_link: int = 64) -> tuple:
+                     ch_per_link: int = 64, pad8: bool = True) -> tuple:
     """Canonical relayout_time2 output shape for an (L, T, .) word block —
     the one place the (T//2, S, 128) convention lives; every bench/feed
-    call site must use this instead of re-deriving the literals."""
-    return (n_ticks // 2, _pad_sublanes8(ch_per_link * n_links), 128)
+    call site must use this instead of re-deriving the literals.
+
+    pad8=False ships only ceil(C/128) rows — the kernel's 8-sublane pad
+    moves to the device (process_time2_feed pads before the Pallas
+    call), cutting host->device transfer ~17% at APA shapes (24 -> 20
+    rows); bit-exact either way."""
+    C = ch_per_link * n_links
+    rows = _pad_sublanes8(C) if pad8 else -(-C // 128)
+    return (n_ticks // 2, rows, 128)
 
 
 def words14_feed_shape(n_links: int, n_ticks: int) -> tuple:
@@ -374,7 +381,8 @@ def _pair_flat(adcs: np.ndarray, C: int, S: int) -> np.ndarray:
 
 
 def relayout_time2(words: np.ndarray, ch_per_link: int = 64,
-                   out: np.ndarray = None, nthreads: int = 1) -> np.ndarray:
+                   out: np.ndarray = None, nthreads: int = 1,
+                   pad8: bool = True) -> np.ndarray:
     """Host-side 14-bit unpack + time-pairing: (L, T, nw) uint32 packed
     channel-major link rows (nw = ch_per_link*7/16: WIBEth 28, WIB2 112)
     -> (T//2, S, 128) int32 in the kernel's time_packed canonical layout
@@ -396,7 +404,8 @@ def relayout_time2(words: np.ndarray, ch_per_link: int = 64,
     if T % 2:
         raise ValueError("time2 relayout needs an even tick count")
     C = ch_per_link * L
-    S = _pad_sublanes8(C)
+    # pad8=False: ship exact rows, pad on device (time2_feed_shape doc)
+    S = _pad_sublanes8(C) if pad8 else -(-C // 128)
     lib = load()
     if lib is not None and getattr(lib, "has_time2_generic", False):
         # 64-byte-aligned output enables the codec's non-temporal store

@@ -164,8 +164,17 @@ def process_time2_feed(W2, state_stack, cfg: TPGConfig,
     (~6.3 GB/s/core C++: AVX-512 quartet unpack + non-temporal stores,
     reused output buffers) — prefer words14 when the feed stage must be
     a pure byte permutation (NIC/DPU reordering).
+
+    W2 may arrive UNPADDED on the sublane axis (ceil(C/128) rows,
+    relayout_time2(pad8=False)): the kernel's 8-sublane pad then happens
+    here on device — one cheap zero-pad pass instead of shipping ~17%
+    dead rows over PCIe/tunnel at APA shapes.  Bit-exact either way
+    (the host codec zero-fills the same rows).
     """
-    from .pallas_tpg import process_window_pallas
+    from .pallas_tpg import pad_sublanes, process_window_pallas
+    S = pad_sublanes(n_channels)
+    if W2.shape[1] < S:
+        W2 = jnp.pad(W2, ((0, 0), (0, S - W2.shape[1]), (0, 0)))
     return process_window_pallas(W2, state_stack, cfg, tc=tc,
                                  k_slots=k_slots, unroll=unroll,
                                  interpret=interpret,

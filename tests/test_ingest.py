@@ -629,6 +629,39 @@ class TestTime2Feed:
                 np.testing.assert_array_equal(
                     native.relayout_time2(words), got)
 
+    def test_unpadded_feed_matches_padded(self):
+        """pad8=False ships only ceil(C/128) rows; process_time2_feed
+        pads on device — hits and carried state must be bit-exact vs the
+        host-padded feed (the apa_readout time2 transfer cut)."""
+        from fdreadoutlibs_tpu import native
+        from fdreadoutlibs_tpu.ops.ingest import process_time2_feed
+        from fdreadoutlibs_tpu.ops.chanstate import (init_chanstate,
+                                                     seed_chanstate)
+        from fdreadoutlibs_tpu.ops.pallas_tpg import pack_state
+        L, N = 9, 2            # C=576: 5 data rows, padded S=8
+        frames, adcs = make_frames(L, N, pulse=(4, 1, 12, 6, 2200))
+        C = L * 64
+        words = host_words(frames.reshape(-1, wibeth.FRAME_SIZE)) \
+            .reshape(L, N * 64, 28)
+        padded = native.relayout_time2(words)
+        unpadded = native.relayout_time2(words, pad8=False)
+        assert unpadded.shape[1] == -(-C // 128) < padded.shape[1]
+        np.testing.assert_array_equal(padded[:, :unpadded.shape[1]],
+                                      unpadded)
+        assert not padded[:, unpadded.shape[1]:].any()
+        outs = []
+        for feed in (padded, unpadded):
+            stack = pack_state(
+                seed_chanstate(init_chanstate(C),
+                               link_major_stream(adcs)[0], 8), C)
+            slots, nclose, stack = process_time2_feed(
+                feed, stack, TPGConfig(threshold=150), C, tc=64,
+                k_slots=4, unroll=2, interpret=True)
+            outs.append((np.asarray(slots), np.asarray(nclose),
+                         np.asarray(stack)))
+        for a, b in zip(outs[0], outs[1]):
+            np.testing.assert_array_equal(a, b)
+
     def test_submit_time2_matches_submit_words(self):
         """The time-paired host feed is hit-for-hit and state-for-state
         identical to the plain packed-words path."""
