@@ -195,10 +195,14 @@ def measure_device_compute(L: int, N: int, algorithm: str, threshold: int,
     knobs = kernel_knobs(cfg, C)
     stack = pack_state(seed_chanstate(init_chanstate(C), adcs[0], rmf), C,
                        block_sublanes=knobs["block_sublanes"])
-    # two distinct resident feeds, alternated like a double-buffered DMA
-    feeds = [pack_time2_jnp(jnp.asarray(pack_adcs(adcs))),
+    # two distinct resident feeds, alternated like a double-buffered DMA.
+    # Sliced to the UNPADDED ceil(C/128) rows the app actually ships
+    # (relayout_time2 pad8=False): process_time2_feed's on-device zero-pad
+    # is part of the app's per-batch device computation and must be timed
+    rows = -(-C // 128)
+    feeds = [pack_time2_jnp(jnp.asarray(pack_adcs(adcs)))[:, :rows],
              pack_time2_jnp(jnp.asarray(pack_adcs(np.roll(adcs, T // 2,
-                                                          axis=0))))]
+                                                          axis=0))))[:, :rows]]
     tc = auto_tc(T, cap=knobs["tc"])
     # the app's exact unroll resolution (_device_submit)
     u = knobs["unroll"] if tc % knobs["unroll"] == 0 else \
@@ -311,7 +315,11 @@ def run_bench(links: int = 40, frames: int = 128, warm: int = 3,
     from fdreadoutlibs_tpu import native
     C = L * 64
     T_ticks = N * wibeth.N_TIME_SAMPLES
-    feed_mb = int(np.prod(native.time2_feed_shape(L, T_ticks))) * 4 / 1e6
+    # pad8=False: the app ships only the ceil(C/128) data rows since the
+    # unpadded-feed change (apa_readout pad-on-device) — count the bytes
+    # that actually cross the link, not the 8-sublane kernel pad
+    feed_mb = int(np.prod(native.time2_feed_shape(
+        L, T_ticks, pad8=False))) * 4 / 1e6
     hits_mb = (max(2048, 2 * C) + 1) * 6 * 4 / 1e6
     transfer_mb = feed_mb + hits_mb
 

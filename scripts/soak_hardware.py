@@ -157,7 +157,9 @@ def main():
                                           wibeth.N_CHANNELS)
                         .astype(np.uint16))
         host_words = wibeth.frames_bytes_to_u32(frames).reshape(L, T, 28)
-        feed = jnp.asarray(native.relayout_time2(host_words))
+        # pad8=False: the production app ships UNPADDED rows and pads on
+        # device (apa_readout time2 transfer cut) — soak the same path
+        feed = jnp.asarray(native.relayout_time2(host_words, pad8=False))
         state0 = pack_state(seeded, C,
                             block_sublanes=default_block_sublanes(cfg, C))
 
